@@ -1,13 +1,392 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.graph.{Algorithms, PropertyGraph}
+import graft.similarity.Similarity
+import graft.text.{Dedup, TextAnalysis}
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2, with a DuckDB oracle where the semantics are
+  * SQL-expressible (the driver compares column-sorted value hashes, so
+  * every computed column is aliased identically in both).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship query on /root/testdata/sf0.001: PageRank over the
+    * customer→supplier interaction graph, top 20 — the minimum
+    * end-to-end slice of SURVEY.md §7.3 (reader → graph → Pregel-style
+    * iteration → top-k).
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val edges = Tables.customerSupplierEdges(spark, "/root/testdata/sf0.001")
+    Algorithms.pageRank(edges, iterations = 4)
+      .orderBy(desc("pr"), asc("id")).limit(20)
+  }
+
+  // ---- shared derived inputs -------------------------------------------
+
+  /** supplier→part distinct edge list (the canonical test graph). */
+  private def spEdges(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).select(col("l_suppkey").as("src"), col("l_partkey").as("dst"))
+      .distinct()
+
+  /** A unipartite graph that actually contains triangles: suppkey →
+    * partkey mod 100 (id ranges overlap, so closures exist).
+    */
+  private def triEdges(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_suppkey").as("src"), (col("l_partkey") % 100).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+
+  /** Implicit ratings (user=customer, item=part, rating=avg quantity). */
+  private def ratings(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey", "l_quantity")
+    val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_custkey").as("user"), col("l_partkey").as("item"))
+      .agg(round(avg("l_quantity"), 4).as("rating"))
+  }
+
+  // ---- queries ----------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.1/§2.2 scan + filter + projection (predicate/column pushdown).
+    "q01_scan_filter_project" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_quantity") > 45 && col("l_returnflag") === "R")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // §2.4 grouped aggregation (TPC-H Q1 shape; the reference's
+    // sum_vertices / per-key aggregator).
+    "q02_agg" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(sum("l_quantity").as("sum_qty"),
+             round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+             count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // §2.3 joins (broadcast dim ⋈ fact chain).
+    "q03_join" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      val n = Tables.nation(s, d)
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name").as("nation"))
+        .agg(count(lit(1)).as("n_orders"),
+             round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("nation")
+    }),
+
+    // §2.5 per-key top-k (parsers/topk.cpp).
+    "q04_topk_per_key" -> ((s, d) =>
+      PropertyGraph.topKPerKey(
+          Tables.customer(s, d), "c_mktsegment", "c_acctbal", 5,
+          tieBreak = Seq(asc("c_custkey")))
+        .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"))
+        .orderBy("c_mktsegment", "c_custkey")),
+
+    // §2.6 global top-k (toplist.hpp).
+    "q05_global_topk" -> ((s, d) =>
+      Tables.orders(s, d)
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        .limit(20)
+        .select("o_orderkey", "o_totalprice")),
+
+    // §2.4 degree count (the reference's degree file).
+    "q06_degrees" -> ((s, d) =>
+      PropertyGraph.fromEdges(spEdges(s, d)).degrees.orderBy("id")),
+
+    // §2.4 analyze_labels (label histogram, top 20).
+    "q07_label_histogram" -> ((s, d) =>
+      PropertyGraph(Tables.documents(s, d).withColumnRenamed("doc_id", "id"),
+          s.emptyDataFrame)
+        .labelHistogram("lang", 20)),
+
+    // §2.2 DuplicateEdgeFilter / AcceptMinimum.
+    "q08_dedup_minby" -> ((s, d) => {
+      val e = Tables.lineitem(s, d).select(
+        col("l_suppkey").as("src"), col("l_partkey").as("dst"),
+        col("l_extendedprice").as("weight"),
+        col("l_orderkey").as("okey"), col("l_linenumber").as("lineno"))
+        .withColumn("rk", struct(col("weight"), col("okey"), col("lineno")))
+      PropertyGraph(s.emptyDataFrame, e).dedupEdgesMinBy("rk")
+        .edges.drop("rk").orderBy("src", "dst")
+    }),
+
+    // Training-pipeline: exact duplicate detection on documents.
+    "q09_exact_dups" -> ((s, d) =>
+      Dedup.exactDuplicates(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // Training-pipeline: corpus token counts (texttokens.cpp).
+    "q10_token_counts" -> ((s, d) =>
+      TextAnalysis.tokenCounts(Tables.documents(s, d), "text")
+        .orderBy(desc("cnt"), asc("token")).limit(50)),
+
+    // Training-pipeline: per-doc token counting.
+    "q11_doc_token_count" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+        col("n_chars"))
+        .orderBy("doc_id")),
+
+    // §2.4 events aggregation (parser aggregator.cpp shape).
+    "q12_events_agg" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .orderBy("event_type")),
+
+    // Event-time tumbling-hour rollup (streaming-shaped, batch oracle).
+    "q13_events_hourly" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("hour", "event_type")),
+
+    // §2.10 triangle counting — global count.
+    "q14_triangle_count" -> ((s, d) => {
+      val per = Algorithms.triangleCounts(triEdges(s, d))
+      per.agg((coalesce(sum("triangles"), lit(0L)) / lit(3)).cast("long").as("n_triangles"))
+    }),
+
+    // §2.10 triangle counting — per-vertex.
+    "q15_triangles_per_vertex" -> ((s, d) =>
+      Algorithms.triangleCounts(triEdges(s, d)).orderBy("id")),
+
+    // §2.11 CF baseline (user mean predictor, baseline.cpp).
+    "q16_cf_user_mean" -> ((s, d) =>
+      ratings(s, d).groupBy("user")
+        .agg(round(avg("rating"), 4).as("user_mean"), count(lit(1)).as("n_items"))
+        .orderBy("user")),
+
+    // §2.11 itemcf: co-rating pair counts with min-intersection pruning,
+    // top-5 similar items per item by Jaccard.
+    "q17_itemcf_jaccard" -> ((s, d) => {
+      val r = ratings(s, d).select("user", "item")
+      val cnt = r.groupBy("item").agg(count(lit(1)).as("n"))
+      val co = r.select(col("user"), col("item").as("i1"))
+        .join(r.select(col("user"), col("item").as("i2")), "user")
+        .filter(col("i1") < col("i2"))
+        .groupBy("i1", "i2").agg(count(lit(1)).as("co"))
+        .filter(col("co") >= 2)
+      val sims = co
+        .join(broadcast(cnt.select(col("item").as("i1"), col("n").as("n1"))), "i1")
+        .join(broadcast(cnt.select(col("item").as("i2"), col("n").as("n2"))), "i2")
+        .select(col("i1"), col("i2"),
+          round(col("co").cast("double") / (col("n1") + col("n2") - col("co")), 6)
+            .as("jaccard"))
+      val both = sims.union(sims.select(col("i2"), col("i1"), col("jaccard")))
+        .withColumnRenamed("i1", "item").withColumnRenamed("i2", "other")
+      PropertyGraph.topKPerKey(both, "item", "jaccard", 5,
+          tieBreak = Seq(asc("other")))
+        .orderBy("item", "other")
+    }),
+
+    // §2.10 connected components (fixpoint labels; rows-only oracle —
+    // iterative, not ANSI-SQL-expressible).
+    "q18_connected_components" -> ((s, d) =>
+      Algorithms.connectedComponents(spEdges(s, d)).orderBy("id")),
+
+    // §2.10 PageRank top-100 (rows-only oracle).
+    "q19_pagerank" -> ((s, d) =>
+      Algorithms.pageRank(Tables.customerSupplierEdges(s, d), iterations = 4)
+        .select(col("id"), round(col("pr"), 6).as("pr"))
+        .orderBy(desc("pr"), asc("id")).limit(100)),
+
+    // Training-pipeline: MinHash-LSH near-dup pairs (rows-only oracle).
+    "q20_minhash_dups" -> ((s, d) =>
+      Dedup.minHashDuplicatePairs(Tables.documents(s, d), "doc_id", "text",
+          threshold = 0.5)
+        .orderBy("id1", "id2")),
+
+    // Training-pipeline: SimHash near-dup pairs (rows-only oracle).
+    "q21_simhash_dups" -> ((s, d) =>
+      Dedup.simHashDuplicatePairs(Tables.documents(s, d), "doc_id", "text",
+          maxHamming = 6)
+        .orderBy("id1", "id2")),
+
+    // Training-pipeline: language id + quality score distribution.
+    "q22_lang_quality" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")),
+
+    // Similarity search: brute-force cosine top-5 over embeddings
+    // (first 100 vectors as queries; corpus broadcast).
+    "q23_knn_bruteforce" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(emb.filter(col("vec_id") < 100), emb,
+          "vec_id", "embedding", 5)
+        .orderBy("query_id", "neighbor_id")
+    }),
+
+    // §2.2 k-hop subgraph from seed vertices.
+    "q24_khop" -> ((s, d) => {
+      val g = PropertyGraph.fromEdges(
+        Tables.customerSupplierEdges(s, d).select("src", "dst"))
+      val seeds = g.edges.select(col("src").as("id")).distinct().orderBy("id").limit(5)
+      g.khopSubgraph(seeds, 2).edges.select("src", "dst").orderBy("src", "dst")
+    })
+  )
+
+  // ---- oracles ----------------------------------------------------------
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_scan_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice
+         FROM lineitem WHERE l_quantity > 45 AND l_returnflag = 'R'
+         ORDER BY l_orderkey, l_linenumber""",
+
+    "q02_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+                SUM(l_quantity) AS sum_qty,
+                ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                COUNT(*) AS n_rows
+         FROM lineitem GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+
+    "q03_join" ->
+      """SELECT n_name AS nation, COUNT(*) AS n_orders,
+                ROUND(SUM(o_totalprice), 2) AS total
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name ORDER BY nation""",
+
+    "q04_topk_per_key" ->
+      """SELECT c_mktsegment, c_custkey, c_acctbal FROM (
+           SELECT c_mktsegment, c_custkey, c_acctbal,
+                  ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                    ORDER BY c_acctbal DESC, c_custkey) AS rk
+           FROM customer) WHERE rk <= 5
+         ORDER BY c_mktsegment, c_custkey""",
+
+    "q05_global_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""",
+
+    "q06_degrees" ->
+      """WITH e AS (SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem),
+            d AS (SELECT src AS id, 0 AS i, 1 AS o FROM e
+                  UNION ALL SELECT dst AS id, 1 AS i, 0 AS o FROM e)
+         SELECT id, CAST(SUM(i) AS BIGINT) AS in_degree,
+                CAST(SUM(o) AS BIGINT) AS out_degree
+         FROM d GROUP BY id ORDER BY id""",
+
+    "q07_label_histogram" ->
+      """SELECT lang AS label, COUNT(*) AS cnt FROM documents
+         GROUP BY lang ORDER BY cnt DESC, label LIMIT 20""",
+
+    "q08_dedup_minby" ->
+      """SELECT src, dst, weight, okey, lineno FROM (
+           SELECT l_suppkey AS src, l_partkey AS dst,
+                  l_extendedprice AS weight, l_orderkey AS okey,
+                  l_linenumber AS lineno,
+                  ROW_NUMBER() OVER (PARTITION BY l_suppkey, l_partkey
+                    ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn
+           FROM lineitem) WHERE rn = 1
+         ORDER BY src, dst""",
+
+    "q09_exact_dups" ->
+      """WITH n AS (SELECT doc_id,
+                    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+                    FROM documents),
+            g AS (SELECT t, MIN(doc_id) AS keeper, COUNT(*) AS cnt
+                  FROM n GROUP BY t)
+         SELECT n.doc_id, g.keeper FROM n JOIN g ON n.t = g.t
+         WHERE g.cnt > 1 AND n.doc_id <> g.keeper
+         ORDER BY n.doc_id""",
+
+    "q10_token_counts" ->
+      """SELECT t.token, COUNT(*) AS cnt
+         FROM documents,
+              UNNEST(string_split_regex(trim(lower(text)), '\s+')) AS t(token)
+         WHERE t.token <> ''
+         GROUP BY t.token ORDER BY cnt DESC, token LIMIT 50""",
+
+    "q11_doc_token_count" ->
+      """SELECT doc_id,
+                CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                     x -> x <> '')) AS BIGINT) AS n_tokens,
+                n_chars
+         FROM documents ORDER BY doc_id""",
+
+    "q12_events_agg" ->
+      """SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q13_events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n
+         FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
+
+    "q14_triangle_count" ->
+      """WITH e0 AS (SELECT DISTINCT l_suppkey AS src, l_partkey % 100 AS dst
+                     FROM lineitem WHERE l_suppkey <> l_partkey % 100),
+            und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+                    FROM e0)
+         SELECT COUNT(*) AS n_triangles
+         FROM und e1 JOIN und e2 ON e1.b = e2.a
+              JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b""",
+
+    "q15_triangles_per_vertex" ->
+      """WITH e0 AS (SELECT DISTINCT l_suppkey AS src, l_partkey % 100 AS dst
+                     FROM lineitem WHERE l_suppkey <> l_partkey % 100),
+            und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+                    FROM e0),
+            tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                    FROM und e1 JOIN und e2 ON e1.b = e2.a
+                         JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+            corners AS (SELECT x AS id FROM tri UNION ALL
+                        SELECT y FROM tri UNION ALL SELECT z FROM tri)
+         SELECT id, COUNT(*) AS triangles FROM corners
+         GROUP BY id ORDER BY id""",
+
+    "q16_cf_user_mean" ->
+      """WITH r AS (SELECT o_custkey AS "user", l_partkey AS item,
+                    ROUND(AVG(l_quantity), 4) AS rating
+                    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                    GROUP BY 1, 2)
+         SELECT "user", ROUND(AVG(rating), 4) AS user_mean,
+                COUNT(*) AS n_items
+         FROM r GROUP BY "user" ORDER BY "user" """,
+
+    "q17_itemcf_jaccard" ->
+      """WITH r AS (SELECT DISTINCT o_custkey AS u, l_partkey AS item
+                    FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+            cnt AS (SELECT item, COUNT(*) AS n FROM r GROUP BY item),
+            co AS (SELECT r1.item AS i1, r2.item AS i2, COUNT(*) AS co
+                   FROM r r1 JOIN r r2 ON r1.u = r2.u AND r1.item < r2.item
+                   GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+            sims AS (SELECT i1, i2,
+                     ROUND(CAST(co AS DOUBLE) / (c1.n + c2.n - co), 6) AS jaccard
+                     FROM co JOIN cnt c1 ON co.i1 = c1.item
+                          JOIN cnt c2 ON co.i2 = c2.item),
+            bidir AS (SELECT i1 AS item, i2 AS other, jaccard FROM sims
+                      UNION ALL SELECT i2, i1, jaccard FROM sims),
+            ranked AS (SELECT item, other, jaccard,
+                       ROW_NUMBER() OVER (PARTITION BY item
+                         ORDER BY jaccard DESC, other) AS rk
+                       FROM bidir)
+         SELECT item, other, jaccard FROM ranked WHERE rk <= 5
+         ORDER BY item, other""",
+
+    "q24_khop" ->
+      """WITH li AS (SELECT l_orderkey, l_suppkey FROM lineitem),
+            e AS (SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
+                  FROM li JOIN orders ON l_orderkey = o_orderkey),
+            seeds AS (SELECT DISTINCT src AS id FROM e ORDER BY id LIMIT 5),
+            r1 AS (SELECT id FROM seeds UNION
+                   SELECT e.dst FROM e JOIN seeds ON e.src = seeds.id),
+            r2 AS (SELECT id FROM r1 UNION
+                   SELECT e.dst FROM e JOIN r1 ON e.src = r1.id)
+         SELECT src, dst FROM e
+         WHERE src IN (SELECT id FROM r2) AND dst IN (SELECT id FROM r2)
+         ORDER BY src, dst"""
+  )
 }

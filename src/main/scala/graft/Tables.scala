@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-generated parquet tables (TESTDATA.md) and the
+  * canonical graph views derived from them.
+  *
+  * The reference engine consumes raw edge lists (see
+  * reference `src/preprocessing/conversions.hpp:211-288`); our test fixtures
+  * are relational, so graph-shaped operators run over derived edge tables.
+  */
+object Tables {
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
+  def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
+  /** events.ts is TIMESTAMP(NANOS) in the fixtures; Spark reads it as a
+    * nanosecond long (legacy.parquet.nanosAsLong) and we convert to a
+    * proper microsecond timestamp here.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      case _ => df
+    }
+  }
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Canonical directed graph for graph-operator tests: supplier -> part
+    * edges from lineitem, weighted by total shipped quantity. Distinct so
+    * the graph is a plain (src, dst, weight) edge set like the reference's
+    * post-dedup shards (`src/preprocessing/sharder.hpp:646-668`).
+    */
+  def supplierPartEdges(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_suppkey").as("src"), col("l_partkey").as("dst"))
+      .agg(sum("l_quantity").as("weight"))
+
+  /** Customer -> supplier interaction edges (via orders ⋈ lineitem):
+    * a denser two-mode graph used by PageRank/CC-style programs.
+    */
+  def customerSupplierEdges(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d).select("l_orderkey", "l_suppkey")
+    val o  = orders(s, d).select("o_orderkey", "o_custkey")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
+      .agg(count(lit(1)).as("weight"))
+  }
+}

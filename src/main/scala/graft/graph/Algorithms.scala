@@ -1,0 +1,221 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph algorithm library — the reference's `example_apps/` and
+  * `toolkits/graph_analytics/` programs (SURVEY.md §2.10), re-expressed as
+  * declarative DataFrame iteration. Each takes an edge DataFrame
+  * (`src`, `dst` [, props]) and returns a result DataFrame.
+  */
+object Algorithms {
+
+  /** PageRank, fixed iterations, damping 0.85 — the reference's
+    * `example_apps/pagerank.cpp:73-113` (pr = 0.15 + 0.85·Σ in-values,
+    * in-value = neighbor pr / outdeg).
+    *
+    * Scale notes: out-degrees are computed once and joined into the edge
+    * set once, so the per-iteration work is exactly one join + one
+    * aggregation (two shuffles) over an edge table pre-partitioned by
+    * `src`; dangling-vertex mass follows the reference (it is dropped,
+    * not redistributed — GraphChi vertices with no out-edges simply emit
+    * nothing).
+    */
+  def pageRank(edges: DataFrame, iterations: Int = 4,
+               resetProb: Double = 0.15): DataFrame = {
+    val spark = edges.sparkSession
+    val e = edges.select("src", "dst")
+    val outDeg = e.groupBy("src").agg(count(lit(1)).as("odeg"))
+    // (src, dst, 1/odeg) — contribution weight, built once, reused each iter.
+    val contrib = e.join(outDeg, "src")
+      .select(col("src"), col("dst"), (lit(1.0) / col("odeg")).as("w"))
+      .repartition(col("src"))
+      .localCheckpoint(eager = true)
+    val verts = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(eager = true)
+
+    var ranks = verts.withColumn("pr", lit(1.0))
+    for (i <- 1 to iterations) {
+      val inbox = contrib.join(ranks, contrib("src") === ranks("id"))
+        .groupBy(col("dst").as("rid"))
+        .agg(sum(col("pr") * col("w")).as("mass"))
+      val updated = verts.join(inbox, verts("id") === col("rid"), "left")
+        .select(col("id"),
+          (lit(resetProb) + lit(1 - resetProb) * coalesce(col("mass"), lit(0.0))).as("pr"))
+      ranks = if (i % 2 == 0 || i == iterations)
+        updated.localCheckpoint(eager = true) else updated
+    }
+    ranks
+  }
+
+  /** Connected components by min-label flooding to a fixpoint — the
+    * reference's `example_apps/connectedcomponents.cpp:79-138`. Uses the
+    * active-set formulation (only changed vertices send) and converges
+    * when no label changes, mirroring the reference's scheduler-driven
+    * termination (`graphchi_engine.hpp:802-810`).
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    // Undirected: symmetrize once.
+    val fwd = edges.select("src", "dst")
+    val sym = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .repartition(col("src"))
+      .localCheckpoint(eager = true)
+    var comp = sym.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint(eager = true)
+    var active = comp // vertices whose label changed last round
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // Messages flow only out of vertices that changed (selective scheduling).
+      val msgs = sym.join(active, sym("src") === active("id"))
+        .groupBy(col("dst").as("mid")).agg(min("component").as("mcomp"))
+      val joined = comp.join(msgs, comp("id") === col("mid"), "inner")
+        .filter(col("mcomp") < col("component"))
+        .select(col("id").as("cid"), col("mcomp"))
+        .localCheckpoint(eager = true)
+      if (joined.isEmpty) converged = true
+      else {
+        comp = comp.join(joined, comp("id") === col("cid"), "left")
+          .select(col("id"), coalesce(col("mcomp"), col("component")).as("component"))
+          .localCheckpoint(eager = true)
+        active = joined.select(col("cid").as("id"), col("mcomp").as("component"))
+        iter += 1
+      }
+    }
+    comp
+  }
+
+  /** Community detection by label propagation (most-frequent neighbor
+    * label, larger label wins ties) — the reference's
+    * `example_apps/communitydetection.cpp:100-171` (tie-break `:150-153`).
+    * Synchronous variant; fixed iteration budget like the reference's
+    * default.
+    */
+  def labelPropagation(edges: DataFrame, iterations: Int = 5): DataFrame = {
+    val fwd = edges.select("src", "dst")
+    val sym = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().repartition(col("src")).localCheckpoint(eager = true)
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint(eager = true)
+    for (i <- 1 to iterations) {
+      val freq = sym.join(labels, sym("src") === labels("id"))
+        .groupBy(col("dst").as("mid"), col("label").as("l"))
+        .agg(count(lit(1)).as("n"))
+        // most frequent; ties to larger label (communitydetection.cpp:150-153)
+        .groupBy("mid")
+        .agg(max_by(col("l"), struct(col("n"), col("l"))).as("newl"))
+      val updated = labels.join(freq, labels("id") === col("mid"), "left")
+        .select(col("id"), coalesce(col("newl"), col("label")).as("label"))
+      labels = if (i % 2 == 0 || i == iterations)
+        updated.localCheckpoint(eager = true) else updated
+    }
+    labels
+  }
+
+  /** k-core decomposition by iterative peeling for a given k — the
+    * reference's `toolkits/graph_analytics/kcores.cpp:81-142` (peel:
+    * deactivate vertices with active-degree < k until stable). Returns
+    * vertices that survive in the k-core.
+    */
+  def kCore(edges: DataFrame, k: Int, maxIter: Int = 50): DataFrame = {
+    val fwd = edges.select("src", "dst").filter(col("src") =!= col("dst"))
+    var sym = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(eager = true)
+    var stable = false
+    var iter = 0
+    while (!stable && iter < maxIter) {
+      val deg = sym.groupBy("src").agg(count(lit(1)).as("d"))
+      val keep = deg.filter(col("d") >= k).select(col("src").as("kid"))
+      val pruned = sym
+        .join(keep, sym("src") === keep("kid"), "left_semi")
+        .join(keep.withColumnRenamed("kid", "kid2"), sym("dst") === col("kid2"), "left_semi")
+        .localCheckpoint(eager = true)
+      if (pruned.count() == sym.count()) stable = true
+      sym = pruned
+      iter += 1
+    }
+    sym.select(col("src").as("id")).distinct()
+  }
+
+  /** Triangle count per vertex and the degree-ordering pre-pass — the
+    * reference's `example_apps/trianglecounting.cpp:282-427` with
+    * `order_by_degree` relabeling
+    * (`src/preprocessing/util/orderbydegree.hpp:59`). The classic
+    * Spark-first formulation: canonicalize each undirected edge so it
+    * points from the lower-degree endpoint to the higher ("degree
+    * ordering" — bounds the self-join the same way the reference's
+    * relabeling bounds pivot memory), then count wedge closures with one
+    * self-join + one semi-join against the edge set.
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val und = edges.select("src", "dst").filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+              greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+      .localCheckpoint(eager = true)
+    val deg = und.select(col("a").as("v")).union(und.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    // Orient each edge low-degree -> high-degree, ties by id.
+    val oriented = und
+      .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+      .select(
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")), col("a"))
+          .otherwise(col("b")).as("u"),
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")), col("b"))
+          .otherwise(col("a")).as("v"))
+      .localCheckpoint(eager = true)
+    // Wedges u->v, u->w (v<w in orientation order) closed by edge v->w or w->v.
+    val e1 = oriented.select(col("u"), col("v").as("x"))
+    val e2 = oriented.select(col("u"), col("v").as("y"))
+    val wedges = e1.join(e2, "u").filter(col("x") < col("y"))
+    val closed = wedges.join(
+      oriented.select(col("u").as("cx"), col("v").as("cy")),
+      (col("x") === col("cx") && col("y") === col("cy")) ||
+      (col("y") === col("cx") && col("x") === col("cy")),
+      "left_semi")
+    // Per-vertex counts: each triangle increments all three corners.
+    closed.select(explode(array(col("u"), col("x"), col("y"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("triangles"))
+  }
+
+  /** Total triangle count (each triangle once). */
+  def totalTriangles(edges: DataFrame): Long = {
+    val per = triangleCounts(edges)
+    val s = per.agg(sum("triangles")).collect()(0)
+    if (s.isNullAt(0)) 0L else s.getLong(0) / 3
+  }
+
+  /** Random walks: `nWalks` walkers from each source vertex take `steps`
+    * uniform random out-edge steps; returns visit counts per vertex —
+    * the reference's `example_apps/randomwalks.cpp:57-137`, with the
+    * per-edge `chivector` walker buffers re-formulated as a walker
+    * Dataset (SURVEY.md §7.5).
+    */
+  def randomWalks(edges: DataFrame, sources: DataFrame, nWalks: Int,
+                  steps: Int, seed: Long = 42L): DataFrame = {
+    val e = edges.select("src", "dst").repartition(col("src"))
+      .localCheckpoint(eager = true)
+    var walkers = sources.select(col(sources.columns.head).as("cur"))
+      .withColumn("w", explode(array((0 until nWalks).map(lit): _*)))
+    var visits = walkers.groupBy(col("cur").as("id")).agg(count(lit(1)).as("visits"))
+    for (step <- 1 to steps) {
+      // Pick a uniform random out-edge per walker: join to out-edges,
+      // keep min by hash(rand) — one shuffle, no per-vertex adjacency
+      // materialization on the driver.
+      val moved = walkers.join(e, walkers("cur") === e("src"))
+        .withColumn("r", rand(seed + step))
+        .groupBy(col("cur"), col("w"))
+        .agg(min_by(col("dst"), col("r")).as("next"))
+        .select(col("next").as("cur"), col("w"))
+        .localCheckpoint(eager = true)
+      walkers = moved
+      visits = visits.union(
+        moved.groupBy(col("cur").as("id")).agg(count(lit(1)).as("visits")))
+    }
+    visits.groupBy("id").agg(sum("visits").as("visits"))
+  }
+}

@@ -1,0 +1,90 @@
+package graft.graph
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** BSP vertex-program runner over DataFrames — the Spark-native
+  * replacement for the reference's engine loop
+  * (`src/engine/graphchi_engine.hpp:718-992`) and its GAS / functional
+  * APIs (`src/api/graphlab2_1_GAS_api/graphchi_graphlabv2_1.hpp:42-67`,
+  * `src/api/functional/functional_api.hpp:55-137`).
+  *
+  * Semantics: bulk-synchronous. The reference defaults to asynchronous
+  * updates (`README.md:30`); fixpoints agree, iteration counts may not
+  * (SURVEY.md §7.5). Selective scheduling
+  * (`src/engine/bitset_scheduler.hpp:38-96`) maps to the active-message
+  * set: a superstep's messages only reach vertices that must recompute,
+  * and the loop terminates when no messages flow.
+  *
+  * Execution shape per superstep (all declarative, Catalyst-planned):
+  *   messages  = edges ⋈ vertices ON src  →  select(dst, msgExpr)
+  *   inbox     = messages.groupBy(dst).agg(aggExpr)      (one shuffle)
+  *   vertices' = vertices LEFT JOIN inbox  →  update columns
+  * Lineage is cut with localCheckpoint every `checkpointInterval`
+  * supersteps, else the plan grows unboundedly (SURVEY.md §7.5).
+  */
+object Pregel {
+
+  /** Column-expression Pregel, GraphFrames-style.
+    *
+    * @param vertices   DataFrame with `id` + state columns
+    * @param edges      DataFrame with `src`, `dst` + property columns
+    * @param initial    per-state-column init expressions, over `vertices`
+    * @param sendMsg    message expression evaluated over the joined row
+    *                   (edge cols + `src_*` / `dst_*` vertex state cols);
+    *                   null means "send nothing" (selective scheduling)
+    * @param aggMsg     merge expression over column `msg`
+    * @param update     per-state-column new-value expressions, over the
+    *                   vertex state joined with aggregated `msg`
+    *                   (null `msg` = vertex received nothing)
+    * @param maxIter    superstep cap
+    * @param activeOnly when true, a vertex with no inbound message keeps
+    *                   its state untouched and the loop stops early once
+    *                   no messages flow
+    */
+  def run(
+      vertices: DataFrame,
+      edges: DataFrame,
+      initial: Map[String, Column],
+      sendMsg: Column,
+      aggMsg: Column,
+      update: Map[String, Column],
+      maxIter: Int,
+      activeOnly: Boolean = false,
+      checkpointInterval: Int = 2): DataFrame = {
+
+    val stateCols = initial.keys.toSeq
+    var v = vertices.select(
+      (col("id") +: stateCols.map(c => initial(c).as(c))): _*)
+    v = v.localCheckpoint(eager = true)
+
+    // Pre-project edges once; rename vertex state for both endpoints.
+    val e = edges
+    var iter = 0
+    var done = false
+    while (iter < maxIter && !done) {
+      val srcV = v.select(
+        (col("id").as("__src_id") +: stateCols.map(c => col(c).as(s"src_$c"))): _*)
+      val msgs = e.join(srcV, e("src") === col("__src_id"))
+        .select(col("dst").as("__dst"), sendMsg.as("msg"))
+        .filter(col("msg").isNotNull)
+      val inbox = msgs.groupBy(col("__dst")).agg(aggMsg.as("msg"))
+
+      if (activeOnly && inbox.isEmpty) {
+        done = true
+      } else {
+        val joined = v.join(inbox, v("id") === col("__dst"), "left")
+        val updated = joined.select(
+          (col("id") +: stateCols.map { c =>
+            val u = update(c)
+            (if (activeOnly) when(col("msg").isNull, col(c)).otherwise(u) else u).as(c)
+          }): _*)
+        v = if ((iter + 1) % checkpointInterval == 0)
+          updated.localCheckpoint(eager = true)
+        else updated
+        iter += 1
+      }
+    }
+    v.localCheckpoint(eager = true)
+  }
+}

@@ -1,0 +1,147 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline, over a documents
+  * table (idCol, textCol). All stages are shuffle-based group-bys /
+  * bucket joins — no driver-side pairwise loops — so they scale with the
+  * cluster: candidate generation is O(docs × bands) rows through one
+  * shuffle, and pairwise verification only ever runs inside a bucket.
+  */
+object Dedup {
+
+  /** Normalized text used as the exact-dup key: lowercase, collapse
+    * whitespace, strip leading/trailing space.
+    */
+  def normText(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+
+  /** Exact dedup: keep the lowest-id document of each normalized-text
+    * group. Hash-groupBy on a 64-bit fingerprint so 100 TB of text
+    * shuffles 8-byte keys, not documents; the (rare) colliding groups
+    * carry the full norm text only within a group.
+    */
+  def exactDuplicates(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        xxhash64(normText(col(textCol))).as("h"))
+      .groupBy("h")
+      .agg(min("doc_id").as("keeper"), count(lit(1)).as("n"),
+           sort_array(collect_list("doc_id")).as("members"))
+      .filter(col("n") > 1)
+      .select(explode(col("members")).as("doc_id"), col("keeper"))
+      .filter(col("doc_id") =!= col("keeper"))
+
+  /** Exact-dedup survivors: one doc per normalized text (min id wins). */
+  def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keep = docs.select(col(idCol).as("kid"),
+        xxhash64(normText(col(textCol))).as("h"))
+      .groupBy("h").agg(min("kid").as("kid"))
+    docs.join(keep, docs(idCol) === keep("kid"), "left_semi")
+  }
+
+  /** MinHash signature: `numHashes` 64-bit min-hashes over word
+    * `shingleK`-shingles. h_i(doc) = min over shingles of
+    * xxhash64(shingle, seed_i) — computed entirely inside whole-stage
+    * codegen (transform/aggregate over the shingle array, no UDF).
+    */
+  def minHashSignature(text: Column, numHashes: Int = 16, shingleK: Int = 3): Column = {
+    val sh = TextAnalysis.shingles(text, shingleK)
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(transform(sh, s => xxhash64(s, i))))
+  }
+
+  /** MinHash + LSH near-duplicate pairs: signatures are cut into `bands`
+    * bands; docs sharing any band bucket become candidates; candidates
+    * are verified by estimated Jaccard (signature agreement) ≥ threshold.
+    * Shape: explode bands (docs×bands rows) → groupBy bucket (one
+    * shuffle) → within-bucket pairing — never an all-pairs join.
+    */
+  def minHashDuplicatePairs(docs: DataFrame, idCol: String, textCol: String,
+                            numHashes: Int = 16, bands: Int = 8,
+                            shingleK: Int = 3,
+                            threshold: Double = 0.8): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val signed = docs.select(col(idCol).as("doc_id"),
+        minHashSignature(col(textCol), numHashes, shingleK).as("sig"))
+    val banded = signed.select(col("doc_id"), col("sig"),
+        posexplode(array((0 until bands).map(b =>
+          xxhash64(lit(b), slice(col("sig"), b * rows + 1, rows))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val a = banded.select(col("band"), col("bucket"),
+      col("doc_id").as("id1"), col("sig").as("sig1"))
+    val b = banded.select(col("band"), col("bucket"),
+      col("doc_id").as("id2"), col("sig").as("sig2"))
+    a.join(b, Seq("band", "bucket")).filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        (size(filter(zip_with(col("sig1"), col("sig2"), (x, y) => x === y),
+          b => b)) / lit(numHashes.toDouble)).as("est_jaccard"))
+      .distinct()
+      .filter(col("est_jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash over whitespace tokens: per-bit majority vote of
+    * token hashes. Bits are folded with bit_count/shiftright inside
+    * codegen; near-dups = hamming distance ≤ `maxHamming`, candidate
+    * generation by block permutation (split into 4 16-bit blocks; dups
+    * within `maxHamming ≤ 3` must share one block — pigeonhole).
+    */
+  def simHash(text: Column): Column = {
+    val hashes = transform(TextAnalysis.wsTokens(text), t => xxhash64(lower(t)))
+    // Single pass over the token hashes: fold into 64 per-bit vote
+    // counters (zip_with over a static bit-extraction array), then fold
+    // the counter array into the 64-bit signature. Bit positions are
+    // compile-time constants so shiftright stays a literal shift.
+    val counts = aggregate(hashes, array_repeat(lit(0L), 64),
+      (acc, h) => zip_with(acc,
+        array((0 until 64).map(b =>
+          when(shiftright(h, b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)): _*),
+        (a, d) => a + d))
+    val powers = array((0 until 64).map(b => lit(1L << b)): _*)
+    aggregate(zip_with(counts, powers,
+        (c, p) => when(c > 0, p).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** Hamming distance between two 64-bit simhashes. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-duplicate pairs via 16-bit block LSH (4 blocks; any
+    * pair within hamming ≤ 3 shares at least one exact block).
+    */
+  def simHashDuplicatePairs(docs: DataFrame, idCol: String, textCol: String,
+                            maxHamming: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol).as("doc_id"), simHash(col(textCol)).as("sh"))
+    val blocked = sh.select(col("doc_id"), col("sh"),
+        posexplode(array((0 until 4).map(b =>
+          shiftright(col("sh"), b * 16).bitwiseAND(0xffffL)): _*)))
+      .withColumnRenamed("pos", "block").withColumnRenamed("col", "key")
+    val a = blocked.select(col("block"), col("key"),
+      col("doc_id").as("id1"), col("sh").as("sh1"))
+    val b = blocked.select(col("block"), col("key"),
+      col("doc_id").as("id2"), col("sh").as("sh2"))
+    a.join(b, Seq("block", "key")).filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), hamming(col("sh1"), col("sh2")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact n-gram Jaccard similarity for candidate pairs from MinHash
+    * LSH: re-joins the shingle sets only for surviving candidates.
+    */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        shingleK: Int = 3, threshold: Double = 0.5,
+                        numHashes: Int = 16, bands: Int = 8): DataFrame = {
+    val cands = minHashDuplicatePairs(docs, idCol, textCol, numHashes, bands,
+      shingleK, threshold = 0.0)
+    val sh = docs.select(col(idCol).as("sid"),
+      array_distinct(TextAnalysis.shingles(col(textCol), shingleK)).as("sset"))
+    cands.join(sh, cands("id1") === sh("sid")).withColumnRenamed("sset", "s1").drop("sid")
+      .join(sh.withColumnRenamed("sset", "s2"), cands("id2") === col("sid")).drop("sid")
+      .select(col("id1"), col("id2"),
+        (size(array_intersect(col("s1"), col("s2"))).cast("double") /
+         size(array_union(col("s1"), col("s2")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+}

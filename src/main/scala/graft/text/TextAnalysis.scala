@@ -1,0 +1,130 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over a documents table — the reference's
+  * text-analysis / parsers toolkits (`toolkits/parsers/texttokens.cpp`,
+  * `toolkits/text_analysis/coem.cpp`) extended with the operations a
+  * large-scale training-data pipeline needs (language id, quality
+  * scoring, token counting, fingerprinting). Everything is built from
+  * codegen'd `org.apache.spark.sql.functions` — no UDFs in the hot path,
+  * so whole-stage codegen applies and the work distributes per-row with
+  * no shuffle until the final aggregation.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of trimmed text (empty → empty array). */
+  def wsTokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => length(t) > 0)
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(wsTokens(text))
+
+  /** BPE-ish subword-boundary token count: runs of letters, runs of
+    * digits, and single other non-space characters — the usual
+    * pre-tokenizer regex shape.
+    */
+  def bpeishTokens(text: Column): Column =
+    filter(
+      split(text, "(?<=[\\p{L}])(?=[^\\p{L}])|(?<=[\\p{N}])(?=[^\\p{N}])|" +
+                  "(?<=[^\\p{L}\\p{N}\\s])(?=.)|\\s+"),
+      t => length(t) > 0)
+
+  def bpeishTokenCount(text: Column): Column = size(bpeishTokens(text))
+
+  /** Tokenization with configurable non-word characters — the reference's
+    * parser tokenizer (`toolkits/parsers/topk.cpp:68`).
+    */
+  def tokensBySeparators(text: Column, separatorClass: String): Column =
+    filter(split(text, s"[$separatorClass]+"), t => length(t) > 0)
+
+  private val stopwords = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that", "it", "for"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "mit", "zu", "den"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est", "un", "une", "dans", "que"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "un", "una", "es"),
+    "it" -> Seq("il", "di", "che", "la", "e", "un", "per", "non", "una", "sono"))
+
+  /** Language id by stopword-hit voting over lowercased whitespace tokens
+    * (an n-gram/dictionary heuristic; "und" for unknown when nothing hits).
+    */
+  def langId(text: Column): Column = {
+    val toks = transform(wsTokens(text), t => lower(t))
+    val scores = stopwords.toSeq.map { case (lang, words) =>
+      struct(
+        size(filter(toks, t => t.isin(words.map(lit): _*))).as("hits"),
+        lit(lang).as("lang"))
+    }
+    val best = greatest(scores: _*)
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Heuristic quality score in [0,1]: blend of length band, alpha ratio,
+    * low punctuation density, and mean word length band — the standard
+    * pretraining-corpus quality signals.
+    */
+  def qualityScore(text: Column): Column = {
+    val n = length(text).cast("double")
+    val alpha = length(regexp_replace(text, "[^\\p{L}]", "")).cast("double")
+    val punct = length(regexp_replace(text, "[^\\p{Punct}]", "")).cast("double")
+    val toks = tokenCount(text).cast("double")
+    val lenScore = least(n / lit(500.0), lit(1.0))
+    val alphaRatio = when(n > 0, alpha / n).otherwise(lit(0.0))
+    val punctPenalty = lit(1.0) - least(when(n > 0, punct / n).otherwise(lit(0.0)) * 4, lit(1.0))
+    val meanWord = when(toks > 0, alpha / toks).otherwise(lit(0.0))
+    val wordScore = when(meanWord.between(3.0, 10.0), lit(1.0)).otherwise(lit(0.5))
+    round(lenScore * 0.25 + alphaRatio * 0.35 + punctPenalty * 0.25 + wordScore * 0.15, 4)
+  }
+
+  /** Word k-shingles of the lowercased text. */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val toks = transform(wsTokens(text), t => lower(t))
+    when(size(toks) < k, array(concat_ws(" ", toks)))
+      .otherwise(transform(sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+  }
+
+  /** Document fingerprint: min rolling-shingle hash (Rabin-Karp style
+    * winnowing reduced to its min-hash special case) — stable under
+    * whitespace normalization.
+    */
+  def fingerprint(text: Column, k: Int = 3): Column =
+    array_min(transform(shingles(text, k), s => xxhash64(s)))
+
+  /** Per-token document frequency table: (token, docs) — the reference's
+    * `texttokens` word-count prep (`toolkits/parsers/texttokens.cpp`).
+    */
+  def tokenDocFrequency(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(array_distinct(transform(wsTokens(col(textCol)), (t: org.apache.spark.sql.Column) => lower(t))))
+        .as("token"))
+      .groupBy("token").agg(count(lit(1)).as("docs"))
+
+  /** Global token counts (token, cnt). */
+  def tokenCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(transform(wsTokens(col(textCol)), (t: org.apache.spark.sql.Column) => lower(t))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+
+  /** Pointwise mutual information between co-occurring tokens — the
+    * reference's `toolkits/parsers/mi.cpp`. Computed from per-doc
+    * distinct tokens; restricted to tokens with document frequency ≥
+    * `minDf` to bound the pair join (same role as the reference's
+    * `min_allowed_intersection` pruning).
+    */
+  def tokenPmi(docs: DataFrame, idCol: String, textCol: String,
+               minDf: Long = 10L, topPairs: Int = 100): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc"),
+        explode(array_distinct(transform(wsTokens(col(textCol)), (t: org.apache.spark.sql.Column) => lower(t)))).as("token"))
+    val df = tok.groupBy("token").agg(count(lit(1)).as("df")).filter(col("df") >= minDf)
+    val filtered = tok.join(broadcast(df), "token")
+    val nDocs = docs.count().toDouble
+    val pairs = filtered.select(col("doc"), col("token").as("t1"), col("df").as("df1"))
+      .join(filtered.select(col("doc"), col("token").as("t2"), col("df").as("df2")), "doc")
+      .filter(col("t1") < col("t2"))
+      .groupBy("t1", "t2", "df1", "df2").agg(count(lit(1)).as("co"))
+    pairs.select(col("t1"), col("t2"), col("co"),
+        round(log((col("co") * nDocs) / (col("df1") * col("df2"))), 4).as("pmi"))
+      .orderBy(desc("co"), asc("t1"), asc("t2"))
+      .limit(topPairs)
+  }
+}
