@@ -27,8 +27,8 @@ object TextAnalysis {
     */
   def bpeishTokens(text: Column): Column =
     filter(
-      split(text, "(?<=[\\p{L}])(?=[^\\p{L}])|(?<=[\\p{N}])(?=[^\\p{N}])|" +
-                  "(?<=[^\\p{L}\\p{N}\\s])(?=.)|\\s+"),
+      split(text, "\\s+|(?<=[\\p{L}])(?=[^\\p{L}\\s])|(?<=[\\p{N}])(?=[^\\p{N}\\s])|" +
+                  "(?<=[^\\p{L}\\p{N}\\s])(?=\\S)"),
       t => length(t) > 0)
 
   def bpeishTokenCount(text: Column): Column = size(bpeishTokens(text))

@@ -1,0 +1,62 @@
+package graft.similarity
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine / euclidean / manhattan on known vectors") {
+    val df = Seq((Array(1.0f, 0.0f), Array(0.0f, 1.0f), Array(1.0f, 1.0f)))
+      .toDF("a", "b", "c")
+      .select(Similarity.cosine(col("a"), col("b")).as("ab"),
+              Similarity.cosine(col("a"), col("a")).as("aa"),
+              Similarity.euclidean(col("a"), col("b")).as("eab"),
+              Similarity.manhattan(col("a"), col("c")).as("mac"))
+    val r = df.collect()(0)
+    assert(math.abs(r.getDouble(0)) < 1e-9)
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-9)
+    assert(math.abs(r.getDouble(2) - math.sqrt(2)) < 1e-9)
+    assert(math.abs(r.getDouble(3) - 1.0) < 1e-9)
+  }
+
+  test("bruteForceTopK returns nearest neighbor first") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(-1.0f, 0.0f))).toDF("id", "v")
+    val knn = Similarity.bruteForceTopK(vecs, vecs, "id", "v", 2)
+      .filter(col("query_id") === 1L).orderBy(desc("cos")).collect()
+    assert(knn(0).getLong(1) == 2L)   // closest to (1,0) is (0.9,0.1)
+    assert(knn.length == 2)
+  }
+
+  test("lshTopK recall against brute force on clustered vectors") {
+    val rng = new scala.util.Random(7)
+    // two tight clusters
+    val vecs = (0 until 40).map { i =>
+      val base = if (i % 2 == 0) Array(1.0f, 0.0f, 0.0f, 0.0f)
+                 else Array(0.0f, 0.0f, 0.0f, 1.0f)
+      (i.toLong, base.map(x => x + rng.nextFloat() * 0.05f))
+    }.toDF("id", "v")
+    val approx = Similarity.lshTopK(vecs, "id", "v", dim = 4, k = 1,
+      numPlanes = 4, numTables = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = Similarity.bruteForceTopK(vecs, vecs, "id", "v", 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // same-cluster neighbor for nearly all queries
+    val agreeCluster = approx.count { case (q, n) => (q % 2) == (n % 2) }
+    assert(approx.size >= 35)
+    assert(agreeCluster >= (approx.size * 0.9).toInt)
+    assert(exact.size == 40)
+  }
+
+  test("embeddingDuplicatePairs finds the planted duplicate") {
+    val v = Array(0.3f, 0.5f, 0.1f, 0.7f)
+    val vecs = Seq((1L, v), (2L, v.map(x => x * 1.001f)), (3L, Array(-0.3f, 0.5f, -0.1f, 0.7f)))
+      .toDF("id", "v")
+    val pairs = Similarity.embeddingDuplicatePairs(vecs, "id", "v", dim = 4,
+      threshold = 0.999).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._2 == 3L))
+  }
+}

@@ -1,0 +1,86 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class TextSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokenCount and bpeishTokenCount") {
+    val df = Seq("  hello   world ", "one,two three!", "").toDF("text")
+      .select(TextAnalysis.tokenCount(col("text")).as("ws"),
+              TextAnalysis.bpeishTokenCount(col("text")).as("bpe"))
+    val rows = df.collect().map(r => (r.getInt(0), r.getInt(1)))
+    assert(rows(0) == ((2, 2)))
+    assert(rows(1) == ((2, 5)))  // one , two three !
+    assert(rows(2) == ((0, 0)))
+  }
+
+  test("langId picks English for English text") {
+    val df = Seq(
+      "the cat sat on the mat and it is happy for now",
+      "der Hund ist nicht mit der Katze und das ist gut",
+      "xyzzy plugh").toDF("text")
+      .select(TextAnalysis.langId(col("text")).as("lang"))
+    val langs = df.collect().map(_.getString(0))
+    assert(langs(0) == "en")
+    assert(langs(1) == "de")
+    assert(langs(2) == "und")
+  }
+
+  test("fingerprint is whitespace-normalization invariant") {
+    val df = Seq("The quick brown fox jumps", "The  quick\tbrown fox   jumps")
+      .toDF("text").select(TextAnalysis.fingerprint(col("text")).as("fp"))
+    val fps = df.collect().map(_.getLong(0))
+    assert(fps(0) == fps(1))
+  }
+
+  test("qualityScore is in [0,1] and favors clean prose") {
+    val df = Seq(
+      "This is a reasonably long, clean English paragraph with normal words and structure. " * 5,
+      "@@@ ### !!! $$$ %%% ^^^ &&&").toDF("text")
+      .select(TextAnalysis.qualityScore(col("text")).as("q"))
+    val qs = df.collect().map(_.getDouble(0))
+    assert(qs.forall(q => q >= 0.0 && q <= 1.0))
+    assert(qs(0) > qs(1))
+  }
+
+  test("exactDuplicates finds whitespace-variant copies") {
+    val docs = Seq(
+      (1L, "alpha beta gamma"), (2L, "alpha  beta   gamma"),
+      (3L, "different text entirely")).toDF("doc_id", "text")
+    val dups = Dedup.exactDuplicates(docs, "doc_id", "text").collect()
+    assert(dups.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((2L, 1L)))
+  }
+
+  test("minHash LSH flags near-duplicates, not unrelated docs") {
+    val base = (1 to 40).map(i => s"token$i").mkString(" ")
+    val near = (1 to 39).map(i => s"token$i").mkString(" ") + " tokenX"
+    val other = (100 to 140).map(i => s"word$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, near), (3L, other)).toDF("doc_id", "text")
+    val pairs = Dedup.minHashDuplicatePairs(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simHash: identical text → distance 0; near text → small distance") {
+    val a = "the quick brown fox jumps over the lazy dog again and again"
+    val b = "the quick brown fox jumps over the lazy cat again and again"
+    val df = Seq((a, a, b)).toDF("x", "y", "z").select(
+      Dedup.hamming(Dedup.simHash(col("x")), Dedup.simHash(col("y"))).as("same"),
+      Dedup.hamming(Dedup.simHash(col("x")), Dedup.simHash(col("z"))).as("near"))
+    val r = df.collect()(0)
+    assert(r.getInt(0) == 0)
+    assert(r.getInt(1) > 0 && r.getInt(1) <= 20)
+  }
+
+  test("ngramJaccardPairs computes exact jaccard on candidates") {
+    val base = (1 to 30).map(i => s"t$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, base), (3L, "zz yy xx ww vv uu")).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.length == 1 && pairs(0)._1 == 1L && pairs(0)._2 == 2L
+      && pairs(0)._3 == 1.0)
+  }
+}
