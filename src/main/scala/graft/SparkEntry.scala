@@ -3,7 +3,9 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.graph.{Algorithms, PropertyGraph}
+import graft.cf.CollaborativeFiltering
+import graft.graph.{Algorithms, Contraction, PropertyGraph}
+import graft.multimodal.Multimodal
 import graft.similarity.Similarity
 import graft.text.{Dedup, TextAnalysis}
 
@@ -233,7 +235,105 @@ object SparkEntry {
         Tables.customerSupplierEdges(s, d).select("src", "dst"))
       val seeds = g.edges.select(col("src").as("id")).distinct().orderBy("id").limit(5)
       g.khopSubgraph(seeds, 2).edges.select("src", "dst").orderBy("src", "dst")
-    })
+    }),
+
+    // §2.11 baseline predictor: pred = mu + user bias + item bias.
+    "q25_cf_baseline" -> ((s, d) =>
+      CollaborativeFiltering.baselinePredictions(ratings(s, d))
+        .select(col("user"), col("item"), col("rating"),
+          round(col("pred"), 4).as("pred"))
+        .orderBy("user", "item")),
+
+    // §2.11 item-item Adamic-Adar similarity with min-intersection.
+    "q26_itemcf_aa" -> ((s, d) =>
+      CollaborativeFiltering.itemSimilarity(ratings(s, d),
+          CollaborativeFiltering.AdamicAdar, minIntersection = 3)
+        .orderBy("i1", "i2")),
+
+    // §2.11 itemsim2rating: similarity-weighted top-3 recs per user.
+    "q27_itemsim2rating" -> ((s, d) => {
+      val sims = CollaborativeFiltering.itemSimilarity(ratings(s, d),
+        CollaborativeFiltering.Jaccard, minIntersection = 3)
+      CollaborativeFiltering.itemSimToRatings(ratings(s, d), sims, 3)
+        .select(col("user"), col("rec"), col("score"),
+          col("rank").cast("long").as("rnk"))
+        .orderBy("user", "rnk", "rec")
+    }),
+
+    // §2.11 ALS matrix factorization + batch top-K recs (rating.cpp).
+    // Seeded but implementation-specific → rows-only oracle.
+    "q28_als_recs" -> ((s, d) => {
+      val model = CollaborativeFiltering.trainAls(ratings(s, d),
+        rank = 8, maxIter = 5)
+      CollaborativeFiltering.recommendTopK(model, 5)
+        .orderBy("user", "rank")
+    }),
+
+    // §2.11 ranking metrics (MAP@K/MRR) of itemsim recs vs liked items.
+    "q29_ranking_metrics" -> ((s, d) => {
+      val r = ratings(s, d)
+      val sims = CollaborativeFiltering.itemSimilarity(r,
+        CollaborativeFiltering.Jaccard, minIntersection = 3)
+      val recs = CollaborativeFiltering.itemSimToRatings(r, sims, 5)
+        .select(col("user"), col("rec").as("item"), col("rank"))
+      val userMean = r.groupBy("user").agg(avg("rating").as("um"))
+      val truth = r.join(userMean, "user")
+        .filter(col("rating") > col("um")).select("user", "item")
+      CollaborativeFiltering.rankingMetrics(recs, truth, 5)
+    }),
+
+    // §2.10 strongly connected components (contraction phases;
+    // iterative → rows-only oracle). Label histogram of SCC sizes.
+    "q30_scc_sizes" -> ((s, d) =>
+      Contraction.stronglyConnectedComponents(triEdges(s, d))
+        .groupBy("scc").agg(count(lit(1)).as("sz"))
+        .groupBy("sz").agg(count(lit(1)).as("n_sccs"))
+        .orderBy("sz")),
+
+    // §2.10 minimum spanning forest (Borůvka; rows-only oracle).
+    "q31_msf" -> ((s, d) =>
+      Contraction.minimumSpanningForest(
+          Tables.supplierPartEdges(s, d).select(col("src"), col("dst"),
+            col("weight").cast("double").as("weight")))
+        .agg(count(lit(1)).as("n_edges"),
+          round(sum("weight"), 2).as("total_weight"))),
+
+    // §2.10 bond percolation: CC sizes on randomly kept edges
+    // (seeded rand; rows-only oracle).
+    "q32_percolation" -> ((s, d) => {
+      val g = PropertyGraph(s.emptyDataFrame, spEdges(s, d)).percolate(0.5)
+      Algorithms.connectedComponents(g.edges)
+        .groupBy("component").agg(count(lit(1)).as("sz"))
+        .groupBy("sz").agg(count(lit(1)).as("n"))
+        .orderBy("sz")
+    }),
+
+    // Multimodal plumbing: feature extraction over binary payloads
+    // (deterministic fake decode; byte counts oracled in SQL).
+    "q33_multimodal_bytes" -> ((s, d) => {
+      val media = Multimodal.mediaFromDocuments(s, Tables.documents(s, d))
+      Multimodal.extractFeatures(media).toDF()
+        .select(col("media_id"), col("modality"), col("n_bytes"))
+        .orderBy("media_id")
+    }),
+
+    // Multimodal frame sampling: frames per video payload.
+    "q34_frame_sample" -> ((s, d) => {
+      val media = Multimodal.mediaFromDocuments(s, Tables.documents(s, d))
+        .filter(col("modality") === "video")
+      Multimodal.sampleFrames(media, frameBytes = 64, everyK = 4)
+        .groupBy("media_id").agg(count(lit(1)).as("n_frames"))
+        .orderBy("media_id")
+    }),
+
+    // §2.8 distance library over embeddings: per-label centroid cosine
+    // (vector algebra via zip_with/aggregate, oracled in SQL).
+    "q35_embedding_norms" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          round(Similarity.norm(col("embedding").cast("array<double>")), 4).as("l2"),
+          size(col("embedding")).cast("long").as("dim"))
+        .orderBy("vec_id"))
   )
 
   // ---- oracles ----------------------------------------------------------
@@ -387,6 +487,81 @@ object SparkEntry {
                    SELECT e.dst FROM e JOIN r1 ON e.src = r1.id)
          SELECT src, dst FROM e
          WHERE src IN (SELECT id FROM r2) AND dst IN (SELECT id FROM r2)
-         ORDER BY src, dst"""
+         ORDER BY src, dst""",
+
+    "q25_cf_baseline" ->
+      """WITH r AS (SELECT o_custkey AS "user", l_partkey AS item,
+                    ROUND(AVG(l_quantity), 4) AS rating
+                    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                    GROUP BY 1, 2),
+            mu AS (SELECT AVG(rating) AS mu FROM r),
+            bu AS (SELECT "user", AVG(rating) - (SELECT mu FROM mu) AS bu
+                   FROM r GROUP BY 1),
+            bi AS (SELECT item, AVG(rating) - (SELECT mu FROM mu) AS bi
+                   FROM r GROUP BY 1)
+         SELECT r."user", r.item, r.rating,
+                ROUND((SELECT mu FROM mu) + bu.bu + bi.bi, 4) AS pred
+         FROM r JOIN bu ON r."user" = bu."user" JOIN bi ON r.item = bi.item
+         ORDER BY r."user", r.item""",
+
+    "q26_itemcf_aa" ->
+      """WITH r AS (SELECT DISTINCT o_custkey AS u, l_partkey AS item
+                    FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+            ud AS (SELECT u, COUNT(*) AS udeg FROM r GROUP BY u),
+            pairs AS (SELECT r1.item AS i1, r2.item AS i2, ud.udeg
+                      FROM r r1 JOIN r r2 ON r1.u = r2.u AND r1.item < r2.item
+                           JOIN ud ON ud.u = r1.u),
+            co AS (SELECT i1, i2, COUNT(*) AS co, SUM(1.0 / ln(udeg)) AS w
+                   FROM pairs GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+         SELECT i1, i2, ROUND(w, 6) AS sim FROM co ORDER BY i1, i2""",
+
+    "q27_itemsim2rating" ->
+      """WITH r AS (SELECT DISTINCT o_custkey AS u, l_partkey AS item
+                    FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+            cnt AS (SELECT item, COUNT(*) AS n FROM r GROUP BY item),
+            co AS (SELECT r1.item AS i1, r2.item AS i2, COUNT(*) AS co
+                   FROM r r1 JOIN r r2 ON r1.u = r2.u AND r1.item < r2.item
+                   GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+            sims AS (SELECT i1, i2,
+                     ROUND(CAST(co AS DOUBLE) / (c1.n + c2.n - co), 6) AS sim
+                     FROM co JOIN cnt c1 ON co.i1 = c1.item
+                          JOIN cnt c2 ON co.i2 = c2.item),
+            bidir AS (SELECT i1 AS item, i2 AS other, sim FROM sims
+                      UNION ALL SELECT i2, i1, sim FROM sims),
+            scored AS (SELECT r.u AS "user", b.other AS rec,
+                       ROUND(SUM(b.sim), 6) AS score
+                       FROM r JOIN bidir b ON r.item = b.item GROUP BY 1, 2),
+            unrated AS (SELECT s.* FROM scored s
+                        LEFT JOIN r ON r.u = s."user" AND r.item = s.rec
+                        WHERE r.u IS NULL),
+            ranked AS (SELECT "user", rec, score,
+                       ROW_NUMBER() OVER (PARTITION BY "user"
+                         ORDER BY score DESC, rec) AS rnk
+                       FROM unrated)
+         SELECT "user", rec, score, rnk FROM ranked WHERE rnk <= 3
+         ORDER BY "user", rnk, rec""",
+
+    "q33_multimodal_bytes" ->
+      """SELECT doc_id AS media_id,
+                CASE WHEN doc_id % 3 = 0 THEN 'image'
+                     WHEN doc_id % 3 = 1 THEN 'audio'
+                     ELSE 'video' END AS modality,
+                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+         FROM documents ORDER BY media_id""",
+
+    "q34_frame_sample" ->
+      """WITH v AS (SELECT doc_id, octet_length(encode(text)) AS nb
+                    FROM documents WHERE doc_id % 3 = 2),
+            f AS (SELECT doc_id, CAST(CEIL(nb / 64.0) AS BIGINT) AS nf
+                  FROM v WHERE nb > 0)
+         SELECT doc_id AS media_id, (nf - 1) // 4 + 1 AS n_frames
+         FROM f ORDER BY media_id""",
+
+    "q35_embedding_norms" ->
+      """SELECT vec_id,
+                ROUND(sqrt(list_sum(list_transform(
+                  CAST(embedding AS DOUBLE[]), x -> x * x))), 4) AS l2,
+                CAST(len(embedding) AS BIGINT) AS dim
+         FROM embeddings ORDER BY vec_id"""
   )
 }

