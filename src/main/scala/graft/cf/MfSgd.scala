@@ -1,0 +1,130 @@
+package graft.cf
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Gradient-descent matrix factorization — the reference's SGD family
+  * (`toolkits/collaborative_filtering/sgd.cpp`, `biassgd.cpp`): latent
+  * factors as `array<double>` columns updated by distributed full-batch
+  * gradient steps (the BSP re-formulation of the reference's per-edge
+  * asynchronous SGD — same objective, deterministic instead of
+  * race-ordered; SURVEY.md §7.5 stochastic-algorithm note).
+  *
+  * Each iteration is two shuffles (group gradients by user, by item) —
+  * the same join/agg shape ALS uses, so it scales identically.
+  */
+object MfSgd {
+
+  final case class Model(userFactors: DataFrame, itemFactors: DataFrame,
+                         userBias: DataFrame, itemBias: DataFrame,
+                         mu: Double, trainRmse: Seq[Double])
+
+  private def dotArr(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+
+  /** Deterministic pseudo-random init in [-0.05, 0.05). */
+  private def initFactors(ids: DataFrame, rank: Int, seed: Long): DataFrame =
+    ids.select(col("id"),
+      transform(sequence(lit(0), lit(rank - 1)),
+        k => (pmod(xxhash64(col("id"), k, lit(seed)), lit(1000000L))
+          .cast("double") / 1e7) - 0.05).as("f"))
+
+  /** Train biased MF: r̂ = μ + bu + bi + pu·qi (biassgd.cpp objective).
+    * Full-batch GD with per-iteration training RMSE and halt-on-increase
+    * (`rmse_engine.hpp:93-99`).
+    */
+  def train(ratings: DataFrame, rank: Int = 8, iterations: Int = 10,
+            lr: Double = 0.01, reg: Double = 0.05, seed: Long = 42L,
+            haltOnIncrease: Boolean = false): Model = {
+    val spark = ratings.sparkSession
+    val r = ratings.select(col("user"), col("item"), col("rating"))
+      .repartition(col("user")).transform(graft.graph.Iterate.ckpt)
+    val mu = r.agg(avg("rating")).collect()(0).getDouble(0)
+    var uf = initFactors(r.select(col("user").as("id")).distinct(), rank, seed)
+      .withColumnRenamed("f", "pu").withColumnRenamed("id", "user")
+      .withColumn("bu", lit(0.0)).transform(graft.graph.Iterate.ckpt)
+    var vf = initFactors(r.select(col("item").as("id")).distinct(), rank, seed + 1)
+      .withColumnRenamed("f", "qi").withColumnRenamed("id", "item")
+      .withColumn("bi", lit(0.0)).transform(graft.graph.Iterate.ckpt)
+
+    var rmses = Vector.empty[Double]
+    var it = 0
+    var halted = false
+    val verbose = sys.env.contains("GRAFT_DEBUG")
+    while (it < iterations && !halted) {
+      val itStart = System.currentTimeMillis
+      val joined = r.join(uf, "user").join(vf, "item")
+        .withColumn("err",
+          col("rating") - (lit(mu) + col("bu") + col("bi") + dotArr(col("pu"), col("qi"))))
+        .transform(graft.graph.Iterate.ckpt)
+      val rmse = joined.agg(sqrt(avg(pow(col("err"), 2)))).collect()(0).getDouble(0)
+      if (haltOnIncrease && rmses.nonEmpty && rmse > rmses.last) halted = true
+      else {
+        rmses :+= rmse
+        // user-side gradient: Σ err·qi − reg·pu  (and bias)
+        val gu = joined.groupBy("user").agg(
+          aggregateVecSum(col("err"), col("qi"), rank).as("gv"),
+          sum(col("err")).as("gb"), count(lit(1)).as("n"))
+        uf = uf.join(gu, Seq("user"), "left").select(
+          col("user"),
+          when(col("gv").isNotNull,
+            zip_with(col("pu"), col("gv"),
+              (p, g) => p + lit(lr) * (g - lit(reg) * p)))
+            .otherwise(col("pu")).as("pu"),
+          when(col("gb").isNotNull,
+            col("bu") + lit(lr) * (col("gb") - lit(reg) * col("bu")))
+            .otherwise(col("bu")).as("bu"))
+          .transform(graft.graph.Iterate.ckpt)
+        val gi = joined.groupBy("item").agg(
+          aggregateVecSum(col("err"), col("pu"), rank).as("gv"),
+          sum(col("err")).as("gb"))
+        vf = vf.join(gi, Seq("item"), "left").select(
+          col("item"),
+          when(col("gv").isNotNull,
+            zip_with(col("qi"), col("gv"),
+              (q, g) => q + lit(lr) * (g - lit(reg) * q)))
+            .otherwise(col("qi")).as("qi"),
+          when(col("gb").isNotNull,
+            col("bi") + lit(lr) * (col("gb") - lit(reg) * col("bi")))
+            .otherwise(col("bi")).as("bi"))
+          .transform(graft.graph.Iterate.ckpt)
+        it += 1
+        if (verbose) System.err.println(
+          f"[mfsgd] iter $it rmse=${rmses.last}%.5f ${System.currentTimeMillis - itStart} ms")
+      }
+    }
+    Model(uf.select(col("user").as("id"), col("pu").as("f")),
+      vf.select(col("item").as("id"), col("qi").as("f")),
+      uf.select(col("user").as("id"), col("bu").as("b")),
+      vf.select(col("item").as("id"), col("bi").as("b")),
+      mu, rmses)
+  }
+
+  /** Element-wise Σ err·vec as a typed aggregate: builds err-scaled
+    * vectors then sums them component-wise via aggregate over
+    * collect_list — bounded by rank (small) per group.
+    */
+  private def aggregateVecSum(err: org.apache.spark.sql.Column,
+                              vec: org.apache.spark.sql.Column,
+                              rank: Int): org.apache.spark.sql.Column =
+    aggregate(
+      collect_list(transform(vec, v => v * err)),
+      array_repeat(lit(0.0d), rank),
+      (acc, v) => zip_with(acc, v, (a, x) => a + x))
+
+  /** Predict ratings for (user, item) pairs with a trained model. */
+  def predict(model: Model, pairs: DataFrame): DataFrame = {
+    val uf = model.userFactors.withColumnRenamed("id", "user")
+      .withColumnRenamed("f", "pu")
+      .join(model.userBias.withColumnRenamed("id", "user")
+        .withColumnRenamed("b", "bu"), "user")
+    val vf = model.itemFactors.withColumnRenamed("id", "item")
+      .withColumnRenamed("f", "qi")
+      .join(model.itemBias.withColumnRenamed("id", "item")
+        .withColumnRenamed("b", "bi"), "item")
+    pairs.join(uf, "user").join(vf, "item")
+      .withColumn("pred",
+        lit(model.mu) + col("bu") + col("bi") + dotArr(col("pu"), col("qi")))
+      .drop("pu", "qi", "bu", "bi")
+  }
+}

@@ -1,6 +1,6 @@
 package graft.graph
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Graph algorithm library — the reference's `example_apps/` and
@@ -30,10 +30,10 @@ object Algorithms {
     val contrib = e.join(outDeg, "src")
       .select(col("src"), col("dst"), (lit(1.0) / col("odeg")).as("w"))
       .repartition(col("src"))
-      .localCheckpoint(eager = true)
+      .transform(graft.graph.Iterate.ckpt)
     val verts = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
-      .localCheckpoint(eager = true)
+      .transform(graft.graph.Iterate.ckpt)
 
     var ranks = verts.withColumn("pr", lit(1.0))
     for (i <- 1 to iterations) {
@@ -44,7 +44,7 @@ object Algorithms {
         .select(col("id"),
           (lit(resetProb) + lit(1 - resetProb) * coalesce(col("mass"), lit(0.0))).as("pr"))
       ranks = if (i % 2 == 0 || i == iterations)
-        updated.localCheckpoint(eager = true) else updated
+        updated.transform(graft.graph.Iterate.ckpt) else updated
     }
     ranks
   }
@@ -61,10 +61,10 @@ object Algorithms {
     val sym = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .repartition(col("src"))
-      .localCheckpoint(eager = true)
+      .transform(graft.graph.Iterate.ckpt)
     var comp = sym.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
-      .localCheckpoint(eager = true)
+      .transform(graft.graph.Iterate.ckpt)
     var active = comp // vertices whose label changed last round
     var iter = 0
     var converged = false
@@ -75,12 +75,12 @@ object Algorithms {
       val joined = comp.join(msgs, comp("id") === col("mid"), "inner")
         .filter(col("mcomp") < col("component"))
         .select(col("id").as("cid"), col("mcomp"))
-        .localCheckpoint(eager = true)
+        .transform(graft.graph.Iterate.ckpt)
       if (joined.isEmpty) converged = true
       else {
         comp = comp.join(joined, comp("id") === col("cid"), "left")
           .select(col("id"), coalesce(col("mcomp"), col("component")).as("component"))
-          .localCheckpoint(eager = true)
+          .transform(graft.graph.Iterate.ckpt)
         active = joined.select(col("cid").as("id"), col("mcomp").as("component"))
         iter += 1
       }
@@ -97,9 +97,9 @@ object Algorithms {
   def labelPropagation(edges: DataFrame, iterations: Int = 5): DataFrame = {
     val fwd = edges.select("src", "dst")
     val sym = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().repartition(col("src")).localCheckpoint(eager = true)
+      .distinct().repartition(col("src")).transform(graft.graph.Iterate.ckpt)
     var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint(eager = true)
+      .withColumn("label", col("id")).transform(graft.graph.Iterate.ckpt)
     for (i <- 1 to iterations) {
       val freq = sym.join(labels, sym("src") === labels("id"))
         .groupBy(col("dst").as("mid"), col("label").as("l"))
@@ -110,7 +110,7 @@ object Algorithms {
       val updated = labels.join(freq, labels("id") === col("mid"), "left")
         .select(col("id"), coalesce(col("newl"), col("label")).as("label"))
       labels = if (i % 2 == 0 || i == iterations)
-        updated.localCheckpoint(eager = true) else updated
+        updated.transform(graft.graph.Iterate.ckpt) else updated
     }
     labels
   }
@@ -123,7 +123,7 @@ object Algorithms {
   def kCore(edges: DataFrame, k: Int, maxIter: Int = 50): DataFrame = {
     val fwd = edges.select("src", "dst").filter(col("src") =!= col("dst"))
     var sym = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint(eager = true)
+      .distinct().transform(graft.graph.Iterate.ckpt)
     var stable = false
     var iter = 0
     while (!stable && iter < maxIter) {
@@ -132,7 +132,7 @@ object Algorithms {
       val pruned = sym
         .join(keep, sym("src") === keep("kid"), "left_semi")
         .join(keep.withColumnRenamed("kid", "kid2"), sym("dst") === col("kid2"), "left_semi")
-        .localCheckpoint(eager = true)
+        .transform(graft.graph.Iterate.ckpt)
       if (pruned.count() == sym.count()) stable = true
       sym = pruned
       iter += 1
@@ -155,7 +155,7 @@ object Algorithms {
       .select(least(col("src"), col("dst")).as("a"),
               greatest(col("src"), col("dst")).as("b"))
       .distinct()
-      .localCheckpoint(eager = true)
+      .transform(graft.graph.Iterate.ckpt)
     val deg = und.select(col("a").as("v")).union(und.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("d"))
     // Orient each edge low-degree -> high-degree, ties by id.
@@ -167,7 +167,7 @@ object Algorithms {
           .otherwise(col("b")).as("u"),
         when(struct(col("da"), col("a")) < struct(col("db"), col("b")), col("b"))
           .otherwise(col("a")).as("v"))
-      .localCheckpoint(eager = true)
+      .transform(graft.graph.Iterate.ckpt)
     // Wedges u->v, u->w (v<w in orientation order) closed by edge v->w or w->v.
     val e1 = oriented.select(col("u"), col("v").as("x"))
     val e2 = oriented.select(col("u"), col("v").as("y"))
@@ -198,7 +198,7 @@ object Algorithms {
   def randomWalks(edges: DataFrame, sources: DataFrame, nWalks: Int,
                   steps: Int, seed: Long = 42L): DataFrame = {
     val e = edges.select("src", "dst").repartition(col("src"))
-      .localCheckpoint(eager = true)
+      .transform(graft.graph.Iterate.ckpt)
     var walkers = sources.select(col(sources.columns.head).as("cur"))
       .withColumn("w", explode(array((0 until nWalks).map(lit): _*)))
     var visits = walkers.groupBy(col("cur").as("id")).agg(count(lit(1)).as("visits"))
@@ -211,11 +211,57 @@ object Algorithms {
         .groupBy(col("cur"), col("w"))
         .agg(min_by(col("dst"), col("r")).as("next"))
         .select(col("next").as("cur"), col("w"))
-        .localCheckpoint(eager = true)
+        .transform(graft.graph.Iterate.ckpt)
       walkers = moved
       visits = visits.union(
         moved.groupBy(col("cur").as("id")).agg(count(lit(1)).as("visits")))
     }
     visits.groupBy("id").agg(sum("visits").as("visits"))
+  }
+
+  /** Seeded, damped label propagation over a weighted graph — the
+    * reference's `toolkits/graph_analytics/label_propagation.cpp:79-101`:
+    * seed vertices keep a fixed label distribution; others take the
+    * α-damped, renormalized weighted average of their in-neighbors'
+    * distributions. State is an `ArrayType(double)` probability vector
+    * indexed by label id.
+    *
+    * @param seeds (id, label) — label ∈ [0, numLabels)
+    */
+  def seededLabelPropagation(edges: DataFrame, seeds: DataFrame,
+                             numLabels: Int, iterations: Int = 10,
+                             alpha: Double = 0.15): DataFrame = {
+    val e = edges.select(col("src"), col("dst"),
+        (if (edges.columns.contains("weight")) col("weight").cast("double")
+         else lit(1.0)).as("w"))
+      .repartition(col("src")).transform(graft.graph.Iterate.ckpt)
+    val verts = e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
+      .distinct()
+    val oneHot = (l: Column) => transform(sequence(lit(0), lit(numLabels - 1)),
+      i => when(i === l, 1.0d).otherwise(0.0d))
+    val uniform = array_repeat(lit(1.0d / numLabels), numLabels)
+    var state = verts.join(seeds.withColumnRenamed("label", "__seed"), Seq("id"), "left")
+      .select(col("id"), col("__seed").isNotNull.as("fixed"),
+        when(col("__seed").isNotNull, oneHot(col("__seed"))).otherwise(uniform).as("dist"))
+      .transform(graft.graph.Iterate.ckpt)
+    for (i <- 1 to iterations) {
+      val msgs = e.join(state, e("src") === state("id"))
+        .select(col("dst").as("mid"),
+          transform(col("dist"), p => p * col("w")).as("wd"), col("w"))
+        .groupBy("mid")
+        .agg(aggregate(collect_list(col("wd")), array_repeat(lit(0.0d), numLabels),
+            (acc, v) => zip_with(acc, v, (a, x) => a + x)).as("sumd"),
+          sum("w").as("sw"))
+        .select(col("mid"), transform(col("sumd"), x => x / col("sw")).as("avg"))
+      val updated = state.join(msgs, state("id") === col("mid"), "left")
+        .select(col("id"), col("fixed"),
+          when(col("fixed") || col("avg").isNull, col("dist"))
+            .otherwise(zip_with(col("dist"), col("avg"),
+              (d, m) => lit(alpha) * d + lit(1 - alpha) * m)).as("dist"))
+      state = if (i % 2 == 0 || i == iterations)
+        updated.transform(graft.graph.Iterate.ckpt) else updated
+    }
+    state.select(col("id"),
+      expr("array_position(dist, array_max(dist)) - 1").as("label"), col("dist"))
   }
 }

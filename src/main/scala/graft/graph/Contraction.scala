@@ -22,10 +22,10 @@ object Contraction {
   def stronglyConnectedComponents(edges: DataFrame, maxPhases: Int = 20): DataFrame = {
     val spark = edges.sparkSession
     var e = edges.select("src", "dst").filter(col("src") =!= col("dst"))
-      .distinct().localCheckpoint(eager = true)
+      .distinct().transform(graft.graph.Iterate.ckpt)
     var remaining = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
-      .localCheckpoint(eager = true)
+      .transform(graft.graph.Iterate.ckpt)
     var assigned = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType(Seq(
@@ -43,25 +43,25 @@ object Contraction {
       while (trimmed) {
         val haveIn = e.select(col("dst").as("id")).distinct()
         val haveOut = e.select(col("src").as("id")).distinct()
-        val both = haveIn.join(haveOut, "id").localCheckpoint(eager = true)
+        val both = haveIn.join(haveOut, "id").transform(graft.graph.Iterate.ckpt)
         val single = remaining.join(both, Seq("id"), "left_anti")
-          .localCheckpoint(eager = true)
+          .transform(graft.graph.Iterate.ckpt)
         if (single.isEmpty) trimmed = false
         else {
           assigned = assigned.union(single.select(col("id"), col("id").as("scc")))
-            .localCheckpoint(eager = true)
+            .transform(graft.graph.Iterate.ckpt)
           remaining = remaining.join(single, Seq("id"), "left_anti")
-            .localCheckpoint(eager = true)
+            .transform(graft.graph.Iterate.ckpt)
           e = e.join(single.withColumnRenamed("id", "t1"), col("src") === col("t1"), "left_anti")
             .join(single.withColumnRenamed("id", "t2"), col("dst") === col("t2"), "left_anti")
-            .localCheckpoint(eager = true)
+            .transform(graft.graph.Iterate.ckpt)
         }
       }
       live = remaining.count()
       if (live > 0) {
         // --- forward min-color flood to fixpoint
         var color = remaining.withColumn("color", col("id"))
-          .localCheckpoint(eager = true)
+          .transform(graft.graph.Iterate.ckpt)
         var changed = true
         while (changed) {
           val msgs = e.join(color, e("src") === color("id"))
@@ -72,7 +72,7 @@ object Contraction {
               (col("color") > coalesce(col("mc"), col("color"))).as("chg"))
           val nchanged = upd.filter(col("chg")).count()
           color = upd.select(col("id"), col("ncolor").as("color"))
-            .localCheckpoint(eager = true)
+            .transform(graft.graph.Iterate.ckpt)
           changed = nchanged > 0
         }
         // --- backward confirm: reverse-BFS from each color root through
@@ -80,7 +80,7 @@ object Contraction {
         val roots = color.filter(col("id") === col("color"))
           .select(col("id"), col("color"))
         var reached = roots.withColumn("scc", col("color"))
-          .select("id", "scc").localCheckpoint(eager = true)
+          .select("id", "scc").transform(graft.graph.Iterate.ckpt)
         var frontier = reached
         var expanding = true
         while (expanding) {
@@ -91,21 +91,21 @@ object Contraction {
               col("id") === col("cid") && col("scc") === col("color"), "left_semi")
             .join(reached.withColumnRenamed("id", "rid").select("rid"),
               col("id") === col("rid"), "left_anti")
-            .distinct().localCheckpoint(eager = true)
+            .distinct().transform(graft.graph.Iterate.ckpt)
           if (step.isEmpty) expanding = false
           else {
-            reached = reached.union(step).localCheckpoint(eager = true)
+            reached = reached.union(step).transform(graft.graph.Iterate.ckpt)
             frontier = step
           }
         }
-        assigned = assigned.union(reached).localCheckpoint(eager = true)
+        assigned = assigned.union(reached).transform(graft.graph.Iterate.ckpt)
         remaining = remaining.join(reached, Seq("id"), "left_anti")
-          .localCheckpoint(eager = true)
+          .transform(graft.graph.Iterate.ckpt)
         e = e.join(reached.withColumnRenamed("id", "t1").select("t1"),
             col("src") === col("t1"), "left_anti")
           .join(reached.withColumnRenamed("id", "t2").select("t2"),
             col("dst") === col("t2"), "left_anti")
-          .localCheckpoint(eager = true)
+          .transform(graft.graph.Iterate.ckpt)
         live = remaining.count()
       }
       phase += 1
@@ -129,9 +129,9 @@ object Contraction {
         greatest(col("src"), col("dst")).as("dst"), col("weight"))
       .filter(col("src") =!= col("dst"))
       .groupBy("src", "dst").agg(min("weight").as("weight"))
-      .localCheckpoint(eager = true)
+      .transform(graft.graph.Iterate.ckpt)
     var comp = e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
-      .distinct().withColumn("comp", col("id")).localCheckpoint(eager = true)
+      .distinct().withColumn("comp", col("id")).transform(graft.graph.Iterate.ckpt)
     var forest = Seq.empty[(Long, Long, Double)].toDF("src", "dst", "weight")
     var round = 0
     var done = false
@@ -140,7 +140,7 @@ object Contraction {
         .join(comp.select(col("id").as("src"), col("comp").as("csrc")), "src")
         .join(comp.select(col("id").as("dst"), col("comp").as("cdst")), "dst")
         .filter(col("csrc") =!= col("cdst"))
-        .localCheckpoint(eager = true)
+        .transform(graft.graph.Iterate.ckpt)
       if (ec.isEmpty) done = true
       else {
         // min outgoing edge per component (both directions), deterministic
@@ -153,9 +153,9 @@ object Contraction {
             struct(col("weight"), col("src"), col("dst"))).as("e"))
           .select(col("c"), col("e.src").as("src"), col("e.dst").as("dst"),
             col("e.weight").as("weight"), col("e.other").as("other"))
-          .localCheckpoint(eager = true)
+          .transform(graft.graph.Iterate.ckpt)
         forest = forest.union(minEdge.select("src", "dst", "weight").distinct())
-          .localCheckpoint(eager = true)
+          .transform(graft.graph.Iterate.ckpt)
         // contract: merge components along chosen edges (hash-min on the
         // component merge graph, pointer-jump to fixpoint)
         val mergeEdges = minEdge.select(col("c").as("src"), col("other").as("dst"))
@@ -163,7 +163,7 @@ object Contraction {
           .select(col("id").as("comp"), col("component").as("newcomp"))
         comp = comp.join(newComp, Seq("comp"), "left")
           .select(col("id"), coalesce(col("newcomp"), col("comp")).as("comp"))
-          .localCheckpoint(eager = true)
+          .transform(graft.graph.Iterate.ckpt)
         round += 1
       }
     }

@@ -56,7 +56,7 @@ object Pregel {
     val stateCols = initial.keys.toSeq
     var v = vertices.select(
       (col("id") +: stateCols.map(c => initial(c).as(c))): _*)
-    v = v.localCheckpoint(eager = true)
+    v = v.transform(graft.graph.Iterate.ckpt)
 
     // Pre-project edges once; rename vertex state for both endpoints.
     val e = edges
@@ -80,11 +80,11 @@ object Pregel {
             (if (activeOnly) when(col("msg").isNull, col(c)).otherwise(u) else u).as(c)
           }): _*)
         v = if ((iter + 1) % checkpointInterval == 0)
-          updated.localCheckpoint(eager = true)
+          updated.transform(graft.graph.Iterate.ckpt)
         else updated
         iter += 1
       }
     }
-    v.localCheckpoint(eager = true)
+    v.transform(graft.graph.Iterate.ckpt)
   }
 }

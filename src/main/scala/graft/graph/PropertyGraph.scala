@@ -84,7 +84,7 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
     for (_ <- 1 to hops) {
       val next = edges.join(reached, edges("src") === reached("id"), "left_semi")
         .select(col("dst").as("id")).distinct()
-      reached = reached.union(next).distinct().localCheckpoint(eager = true)
+      reached = reached.union(next).distinct().transform(graft.graph.Iterate.ckpt)
     }
     val e = edges
       .join(reached.withColumnRenamed("id", "srcok"), col("src") === col("srcok"), "left_semi")

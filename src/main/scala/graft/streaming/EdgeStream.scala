@@ -31,7 +31,7 @@ object EdgeStream {
   final class GraphState(spark: SparkSession, initial: DataFrame) {
     @volatile var edges: DataFrame =
       initial.select(col("src"), col("dst")).withColumn("deleted", lit(false))
-        .localCheckpoint(eager = true)
+        .transform(graft.graph.Iterate.ckpt)
     @volatile var batches: Long = 0L
     @volatile var ranks: DataFrame = spark.emptyDataFrame
 
@@ -54,7 +54,7 @@ object EdgeStream {
       batches += 1
       edges = (if (batches % compactEvery == 0)
         next.filter(!col("deleted")).distinct() else next)
-        .localCheckpoint(eager = true)
+        .transform(graft.graph.Iterate.ckpt)
     }
 
     def liveEdges: DataFrame = edges.filter(!col("deleted")).select("src", "dst")
@@ -75,7 +75,7 @@ object EdgeStream {
       .foreachBatch { (delta: DataFrame, _: Long) =>
         state.applyDelta(delta)
         state.ranks = Algorithms.pageRank(state.liveEdges, prIters)
-          .localCheckpoint(eager = true)
+          .transform(graft.graph.Iterate.ckpt)
         ()
       }
       .start()

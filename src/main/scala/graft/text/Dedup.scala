@@ -46,9 +46,16 @@ object Dedup {
     * codegen (transform/aggregate over the shingle array, no UDF).
     */
   def minHashSignature(text: Column, numHashes: Int = 16, shingleK: Int = 3): Column = {
-    val sh = TextAnalysis.shingles(text, shingleK)
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(sh, s => xxhash64(s, i))))
+    // Single pass over the shingles: hash each shingle string once, then
+    // derive the per-seed minima from the (cheap) long hash. Higher-order
+    // functions are interpreted (no codegen/CSE), so a naive
+    // "transform(seeds, i => min(transform(shingles, ...)))" would
+    // re-evaluate the shingle pipeline numHashes times per row.
+    val baseHashes = transform(TextAnalysis.shingles(text, shingleK),
+      s => xxhash64(s))
+    val seeds = array((0 until numHashes).map(lit): _*)
+    aggregate(baseHashes, array_repeat(lit(Long.MaxValue), numHashes),
+      (acc, h) => zip_with(acc, seeds, (a, i) => least(a, xxhash64(h, i))))
   }
 
   /** MinHash + LSH near-duplicate pairs: signatures are cut into `bands`
@@ -63,8 +70,13 @@ object Dedup {
                             threshold: Double = 0.8): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
+    // repartition = exchange barrier: signatures are materialized once
+    // before the 2×bands derived projections (projection collapse would
+    // otherwise re-evaluate the interpreted HOF signature per band), and
+    // ReuseExchange makes the self-join's two sides share the one scan.
     val signed = docs.select(col(idCol).as("doc_id"),
         minHashSignature(col(textCol), numHashes, shingleK).as("sig"))
+      .repartition(col("doc_id"))
     val banded = signed.select(col("doc_id"), col("sig"),
         posexplode(array((0 until bands).map(b =>
           xxhash64(lit(b), slice(col("sig"), b * rows + 1, rows))): _*)))
@@ -77,8 +89,8 @@ object Dedup {
       .select(col("id1"), col("id2"),
         (size(filter(zip_with(col("sig1"), col("sig2"), (x, y) => x === y),
           b => b)) / lit(numHashes.toDouble)).as("est_jaccard"))
-      .distinct()
       .filter(col("est_jaccard") >= threshold)
+      .distinct()
   }
 
   /** 64-bit SimHash over whitespace tokens: per-bit majority vote of
@@ -113,6 +125,7 @@ object Dedup {
   def simHashDuplicatePairs(docs: DataFrame, idCol: String, textCol: String,
                             maxHamming: Int = 3): DataFrame = {
     val sh = docs.select(col(idCol).as("doc_id"), simHash(col(textCol)).as("sh"))
+      .repartition(col("doc_id"))  // barrier: simhash evaluated once
     val blocked = sh.select(col("doc_id"), col("sh"),
         posexplode(array((0 until 4).map(b =>
           shiftright(col("sh"), b * 16).bitwiseAND(0xffffL)): _*)))
@@ -136,7 +149,8 @@ object Dedup {
     val cands = minHashDuplicatePairs(docs, idCol, textCol, numHashes, bands,
       shingleK, threshold = 0.0)
     val sh = docs.select(col(idCol).as("sid"),
-      array_distinct(TextAnalysis.shingles(col(textCol), shingleK)).as("sset"))
+        array_distinct(TextAnalysis.shingles(col(textCol), shingleK)).as("sset"))
+      .repartition(col("sid"))  // barrier: shingle sets materialized once
     cands.join(sh, cands("id1") === sh("sid")).withColumnRenamed("sset", "s1").drop("sid")
       .join(sh.withColumnRenamed("sset", "s2"), cands("id2") === col("sid")).drop("sid")
       .select(col("id1"), col("id2"),

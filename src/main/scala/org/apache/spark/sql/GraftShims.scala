@@ -1,0 +1,32 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.classic.{Dataset => CDataset, SparkSession => CSparkSession}
+import org.apache.spark.sql.execution.LogicalRDD
+
+/** Internal shim for graft's iterative drivers.
+  *
+  * Spark 4's `Dataset.localCheckpoint` truncates the RDD lineage but
+  * carries the parent plan's *estimated* statistics onto the resulting
+  * `LogicalRDD` (`LogicalRDD.rewriteStatsAndConstraints`). In an
+  * iterative join loop the size-in-bytes estimate therefore squares
+  * every superstep — after ~25 iterations the BigInt estimate has
+  * ~2^30 bits and the stats visitor melts down in BigInteger multiply
+  * (observed: minutes of driver CPU, then "BigInteger would overflow
+  * supported range").
+  *
+  * `freshCheckpoint` materializes like localCheckpoint but rebuilds the
+  * frame on a bare `LogicalRDD` with no inherited stats, so every
+  * superstep starts from a clean leaf estimate. Runtime adaptivity
+  * (AQE) still sees the true materialized sizes, so join strategy
+  * selection is unaffected at execution time.
+  */
+object GraftShims {
+  def freshCheckpoint(df: DataFrame): DataFrame = {
+    val cdf = df.asInstanceOf[CDataset[Row]]
+    val spark = cdf.sparkSession.asInstanceOf[CSparkSession]
+    val ck = cdf.localCheckpoint(true).asInstanceOf[CDataset[Row]]
+    val out = ck.queryExecution.analyzed.output
+    CDataset.ofRows(spark,
+      LogicalRDD(out, ck.queryExecution.toRdd)(spark))
+  }
+}
