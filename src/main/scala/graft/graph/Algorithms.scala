@@ -152,34 +152,31 @@ object Algorithms {
     */
   def triangleCounts(edges: DataFrame): DataFrame = {
     val und = edges.select("src", "dst").filter(col("src") =!= col("dst"))
-      .select(least(col("src"), col("dst")).as("a"),
-              greatest(col("src"), col("dst")).as("b"))
+      .select(least(col("src"), col("dst")).as("src"),
+              greatest(col("src"), col("dst")).as("dst"))
       .distinct()
       .transform(graft.graph.Iterate.ckpt)
-    val deg = und.select(col("a").as("v")).union(und.select(col("b").as("v")))
-      .groupBy("v").agg(count(lit(1)).as("d"))
-    // Orient each edge low-degree -> high-degree, ties by id.
-    val oriented = und
-      .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
-      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
-      .select(
-        when(struct(col("da"), col("a")) < struct(col("db"), col("b")), col("a"))
-          .otherwise(col("b")).as("u"),
-        when(struct(col("da"), col("a")) < struct(col("db"), col("b")), col("b"))
-          .otherwise(col("a")).as("v"))
+    // Degree-order relabel (the reference's order_by_degree pre-pass):
+    // after it, ascending new-id == ascending degree, so orientation is a
+    // plain id comparison and the closure check below is an EQUI-join on
+    // (x, y) — an OR-condition join would fall back to a nested loop.
+    val (relabeled, mapping) = Generators.orderByDegree(und)
+    val oriented = relabeled.select(
+        least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
       .transform(graft.graph.Iterate.ckpt)
-    // Wedges u->v, u->w (v<w in orientation order) closed by edge v->w or w->v.
+    // Wedges u->x, u->y with x<y; closed iff oriented edge (x, y) exists.
     val e1 = oriented.select(col("u"), col("v").as("x"))
     val e2 = oriented.select(col("u"), col("v").as("y"))
     val wedges = e1.join(e2, "u").filter(col("x") < col("y"))
     val closed = wedges.join(
-      oriented.select(col("u").as("cx"), col("v").as("cy")),
-      (col("x") === col("cx") && col("y") === col("cy")) ||
-      (col("y") === col("cx") && col("x") === col("cy")),
+      oriented.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"),
       "left_semi")
     // Per-vertex counts: each triangle increments all three corners.
-    closed.select(explode(array(col("u"), col("x"), col("y"))).as("id"))
-      .groupBy("id").agg(count(lit(1)).as("triangles"))
+    val perNew = closed.select(explode(array(col("u"), col("x"), col("y"))).as("newid"))
+      .groupBy("newid").agg(count(lit(1)).as("triangles"))
+    perNew.join(mapping, perNew("newid") === mapping("newid"))
+      .select(mapping("id"), col("triangles"))
   }
 
   /** Total triangle count (each triangle once). */

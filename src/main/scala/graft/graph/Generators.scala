@@ -40,14 +40,21 @@ object Generators {
     * by the dense degree-rank, plus the mapping.
     */
   def orderByDegree(edges: DataFrame): (DataFrame, DataFrame) = {
+    val spark = edges.sparkSession
+    import spark.implicits._
     val deg = edges.select(col("src").as("id"))
       .union(edges.select(col("dst").as("id")))
       .groupBy("id").agg(count(lit(1)).as("d"))
-    // rank by (degree, id): deterministic dense relabel 0..n-1
-    val mapping = deg.select(col("id"), col("d"),
-        (row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy(col("d"), col("id"))) - 1).cast("long").as("newid"))
-      .select("id", "newid")
+    // rank by (degree, id): deterministic dense relabel 0..n-1.
+    // Distributed: range-partitioned sort + zipWithIndex (two passes),
+    // not a single-partition window — this pre-pass must survive
+    // billion-vertex graphs (it did in the reference via external sort).
+    val mapping = deg.select(col("id"), col("d"))
+      .orderBy("d", "id")
+      .rdd.map(r => (r.getLong(0), r.getLong(1)))
+      .zipWithIndex()
+      .map { case ((id, _), idx) => (id, idx) }
+      .toDF("id", "newid")
     val relabeled = edges
       .join(mapping.withColumnRenamed("id", "src").withColumnRenamed("newid", "nsrc"), "src")
       .join(mapping.withColumnRenamed("id", "dst").withColumnRenamed("newid", "ndst"), "dst")
