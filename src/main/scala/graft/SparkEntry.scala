@@ -326,6 +326,34 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // §2.5 window functions (running aggregate per key) — the full
+    // relational window surface the engine exposes beyond topk.
+    "q36_window_running" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          round(sum("value").over(w), 4).as("running_value"))
+        .orderBy("event_id")
+    }),
+
+    // §2.7 set operations: EXCEPT of row sets (customers with orders
+    // minus the BUILDING segment).
+    "q37_set_except" -> ((s, d) => {
+      val seg = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("custkey"))
+      val ordered = Tables.orders(s, d).select(col("o_custkey").as("custkey"))
+      ordered.except(seg).orderBy("custkey")
+    }),
+
+    // §2.12 string→dense-id dictionary (parsers ips2ids relabeling).
+    "q38_dictionary" -> ((s, d) =>
+      graft.graph.Generators.stringDictionary(
+          Tables.part(s, d).select(col("p_brand").as("k")), "k")
+        .orderBy("k")),
+
     // §2.8 distance library over embeddings: per-label centroid cosine
     // (vector algebra via zip_with/aggregate, oracled in SQL).
     "q35_embedding_norms" -> ((s, d) =>
@@ -556,6 +584,24 @@ object SparkEntry {
                   FROM v WHERE nb > 0)
          SELECT doc_id AS media_id, (nf - 1) // 4 + 1 AS n_frames
          FROM f ORDER BY media_id""",
+
+    "q36_window_running" ->
+      """SELECT event_id, user_id,
+                ROUND(SUM(value) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+                  AS running_value
+         FROM events ORDER BY event_id""",
+
+    "q37_set_except" ->
+      """SELECT o_custkey AS custkey FROM orders
+         EXCEPT SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+         ORDER BY custkey""",
+
+    "q38_dictionary" ->
+      """SELECT k, CAST(ROW_NUMBER() OVER (ORDER BY k) - 1 AS BIGINT) AS id
+         FROM (SELECT DISTINCT p_brand AS k FROM part)
+         ORDER BY k""",
 
     "q35_embedding_norms" ->
       """SELECT vec_id,
