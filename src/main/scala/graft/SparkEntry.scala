@@ -354,6 +354,12 @@ object SparkEntry {
           Tables.part(s, d).select(col("p_brand").as("k")), "k")
         .orderBy("k")),
 
+    // §2.10 degree distribution (subgraph.cpp's companion analysis).
+    "q39_degree_distribution" -> ((s, d) =>
+      PropertyGraph.fromEdges(spEdges(s, d)).outDegrees
+        .groupBy("out_degree").agg(count(lit(1)).as("n_vertices"))
+        .orderBy("out_degree")),
+
     // §2.8 distance library over embeddings: per-label centroid cosine
     // (vector algebra via zip_with/aggregate, oracled in SQL).
     "q35_embedding_norms" -> ((s, d) =>
@@ -584,6 +590,13 @@ object SparkEntry {
                   FROM v WHERE nb > 0)
          SELECT doc_id AS media_id, (nf - 1) // 4 + 1 AS n_frames
          FROM f ORDER BY media_id""",
+
+    "q39_degree_distribution" ->
+      """WITH e AS (SELECT DISTINCT l_suppkey AS src, l_partkey AS dst
+                    FROM lineitem),
+            d AS (SELECT src, COUNT(*) AS out_degree FROM e GROUP BY src)
+         SELECT out_degree, COUNT(*) AS n_vertices FROM d
+         GROUP BY out_degree ORDER BY out_degree""",
 
     "q36_window_running" ->
       """SELECT event_id, user_id,

@@ -31,16 +31,20 @@ object Pregel {
     * @param edges      DataFrame with `src`, `dst` + property columns
     * @param initial    per-state-column init expressions, over `vertices`
     * @param sendMsg    message expression evaluated over the joined row
-    *                   (edge cols + `src_*` / `dst_*` vertex state cols);
+    *                   (edge cols + `src_*` vertex state cols);
     *                   null means "send nothing" (selective scheduling)
     * @param aggMsg     merge expression over column `msg`
     * @param update     per-state-column new-value expressions, over the
     *                   vertex state joined with aggregated `msg`
     *                   (null `msg` = vertex received nothing)
     * @param maxIter    superstep cap
-    * @param activeOnly when true, a vertex with no inbound message keeps
-    *                   its state untouched and the loop stops early once
-    *                   no messages flow
+    * @param activeOnly true = Pregel active-set semantics (the
+    *                   reference's bitset scheduler): messages are sent
+    *                   only by vertices that were active (all vertices in
+    *                   superstep 1; afterwards only message receivers), a
+    *                   vertex with no inbound message keeps its state
+    *                   untouched, and the loop stops once no messages
+    *                   flow
     */
   def run(
       vertices: DataFrame,
@@ -58,17 +62,21 @@ object Pregel {
       (col("id") +: stateCols.map(c => initial(c).as(c))): _*)
     v = v.transform(graft.graph.Iterate.ckpt)
 
-    // Pre-project edges once; rename vertex state for both endpoints.
     val e = edges
+    var frontier: DataFrame = null  // null = all vertices active
     var iter = 0
     var done = false
     while (iter < maxIter && !done) {
-      val srcV = v.select(
+      val srcState = v.select(
         (col("id").as("__src_id") +: stateCols.map(c => col(c).as(s"src_$c"))): _*)
+      val srcV = if (activeOnly && frontier != null)
+        srcState.join(frontier, srcState("__src_id") === frontier("__fid"), "left_semi")
+      else srcState
       val msgs = e.join(srcV, e("src") === col("__src_id"))
         .select(col("dst").as("__dst"), sendMsg.as("msg"))
         .filter(col("msg").isNotNull)
       val inbox = msgs.groupBy(col("__dst")).agg(aggMsg.as("msg"))
+        .transform(if (activeOnly) graft.graph.Iterate.ckpt else identity[DataFrame])
 
       if (activeOnly && inbox.isEmpty) {
         done = true
@@ -79,9 +87,10 @@ object Pregel {
             val u = update(c)
             (if (activeOnly) when(col("msg").isNull, col(c)).otherwise(u) else u).as(c)
           }): _*)
-        v = if ((iter + 1) % checkpointInterval == 0)
+        v = if ((iter + 1) % checkpointInterval == 0 || activeOnly)
           updated.transform(graft.graph.Iterate.ckpt)
         else updated
+        if (activeOnly) frontier = inbox.select(col("__dst").as("__fid"))
         iter += 1
       }
     }
