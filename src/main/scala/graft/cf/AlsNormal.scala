@@ -1,0 +1,132 @@
+package graft.cf
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.UserDefinedFunction
+
+/** ALS by per-vertex normal equations — the reference's own algorithm
+  * (`toolkits/collaborative_filtering/als.cpp:123-149`: accumulate
+  * XᵗX / Xᵗy over incident edges, Cholesky solve) and its weighted
+  * variant (`wals.cpp`: per-rating confidence weights in both the
+  * Gram matrix and the right-hand side).
+  *
+  * Spark shape: each half-step is `ratings ⋈ otherFactors` followed by
+  * `groupBy(thisSide)` collecting the incident (factor, rating, weight)
+  * triples, then a local rank×rank solve per vertex. The group payload
+  * is O(degree·rank) and the solve is O(rank³) with rank ≲ 50, so the
+  * shuffle (two per iteration, keyed by user then item) dominates —
+  * identical scale behavior to `ml.recommendation.ALS`, but with
+  * arbitrary per-rating weights, which the built-in lacks.
+  */
+object AlsNormal {
+
+  final case class Model(userFactors: DataFrame, itemFactors: DataFrame,
+                         trainRmse: Seq[Double])
+
+  /** Solve (Σ w·q qᵗ + λ n I) p = Σ w·r·q for one vertex from its
+    * incident edges. Plain Gaussian elimination with partial pivoting —
+    * rank is tiny, numerical profile matches the reference's
+    * `ldlt().solve` closely enough for CF.
+    */
+  private def solveOne(rows: Seq[(Seq[Double], Double, Double)], rank: Int,
+                       lambda: Double): Array[Double] = {
+    val a = Array.ofDim[Double](rank, rank + 1)
+    val n = rows.size.toDouble
+    rows.foreach { case (q, r, w) =>
+      var i = 0
+      while (i < rank) {
+        var j = 0
+        while (j < rank) { a(i)(j) += w * q(i) * q(j); j += 1 }
+        a(i)(rank) += w * r * q(i)
+        i += 1
+      }
+    }
+    var i = 0
+    while (i < rank) { a(i)(i) += lambda * n; i += 1 }
+    // forward elimination with partial pivoting
+    var col = 0
+    while (col < rank) {
+      var piv = col
+      var row = col + 1
+      while (row < rank) { if (math.abs(a(row)(col)) > math.abs(a(piv)(col))) piv = row; row += 1 }
+      if (piv != col) { val t = a(piv); a(piv) = a(col); a(col) = t }
+      val d = a(col)(col)
+      if (math.abs(d) > 1e-12) {
+        row = col + 1
+        while (row < rank) {
+          val f = a(row)(col) / d
+          var j = col
+          while (j <= rank) { a(row)(j) -= f * a(col)(j); j += 1 }
+          row += 1
+        }
+      }
+      col += 1
+    }
+    val x = new Array[Double](rank)
+    i = rank - 1
+    while (i >= 0) {
+      var s = a(i)(rank)
+      var j = i + 1
+      while (j < rank) { s -= a(i)(j) * x(j); j += 1 }
+      x(i) = if (math.abs(a(i)(i)) > 1e-12) s / a(i)(i) else 0.0
+      i -= 1
+    }
+    x
+  }
+
+  private def solver(rank: Int, lambda: Double): UserDefinedFunction =
+    udf { rows: Seq[(Seq[Double], Double, Double)] => solveOne(rows, rank, lambda) }
+
+  private def dotArr(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+
+  private def initFactors(ids: DataFrame, rank: Int, seed: Long): DataFrame =
+    ids.select(col("id"),
+      transform(sequence(lit(0), lit(rank - 1)),
+        k => pmod(xxhash64(col("id"), k, lit(seed)), lit(1000L)).cast("double") / 1000.0)
+        .as("f"))
+
+  /** Train (weighted) ALS. `ratings` needs `user`, `item`, `rating` and
+    * optionally `weight` (absent → 1.0, plain ALS). λ follows the
+    * reference's per-vertex `λ·n` regularization (weighted-λ ALS).
+    */
+  def train(ratings: DataFrame, rank: Int = 8, iterations: Int = 5,
+            lambda: Double = 0.065, seed: Long = 42L): Model = {
+    val w = if (ratings.columns.contains("weight")) col("weight").cast("double") else lit(1.0d)
+    val r = ratings.select(col("user"), col("item"), col("rating").cast("double"), w.as("w"))
+      .repartition(col("user")).transform(graft.graph.Iterate.ckpt)
+    val solve = solver(rank, lambda)
+
+    var vf = initFactors(r.select(col("item").as("id")).distinct(), rank, seed)
+      .transform(graft.graph.Iterate.ckpt)
+    var uf: DataFrame = null
+    var rmses = Vector.empty[Double]
+    for (_ <- 1 to iterations) {
+      uf = r.join(vf.withColumnRenamed("id", "item").withColumnRenamed("f", "q"), "item")
+        .groupBy(col("user").as("id"))
+        .agg(collect_list(struct(col("q"), col("rating"), col("w"))).as("rows"))
+        .select(col("id"), solve(col("rows")).as("f"))
+        .transform(graft.graph.Iterate.ckpt)
+      vf = r.join(uf.withColumnRenamed("id", "user").withColumnRenamed("f", "p"), "user")
+        .groupBy(col("item").as("id"))
+        .agg(collect_list(struct(col("p"), col("rating"), col("w"))).as("rows"))
+        .select(col("id"), solve(col("rows")).as("f"))
+        .transform(graft.graph.Iterate.ckpt)
+      val preds = r
+        .join(uf.select(col("id").as("user"), col("f").as("p")), "user")
+        .join(vf.select(col("id").as("item"), col("f").as("q")), "item")
+        .select(col("rating"), dotArr(col("p"), col("q")).as("pred"), col("w"))
+      rmses :+= preds.agg(sqrt(sum(col("w") * pow(col("rating") - col("pred"), 2)) / sum("w")))
+        .collect()(0).getDouble(0)
+    }
+    Model(uf, vf, rmses)
+  }
+
+  /** Predict for (user, item) pairs. */
+  def predict(model: Model, pairs: DataFrame): DataFrame =
+    pairs
+      .join(model.userFactors.select(col("id").as("user"), col("f").as("p")), "user")
+      .join(model.itemFactors.select(col("id").as("item"), col("f").as("q")), "item")
+      .withColumn("pred", dotArr(col("p"), col("q")))
+      .drop("p", "q")
+}

@@ -1,0 +1,128 @@
+package graft.cf
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** SVD++ — biased MF with an implicit-feedback term
+  * (`toolkits/collaborative_filtering/svdpp.cpp`):
+  * r̂_ui = μ + b_u + b_i + q_i · (p_u + |N(u)|^-½ Σ_{j∈N(u)} y_j).
+  *
+  * The reference runs asynchronous per-edge SGD; here each iteration is
+  * a deterministic full-batch gradient step (same objective, BSP) built
+  * from joins + groupBys:
+  *  1. implicit vector per user: ratings ⋈ y, groupBy(user)   (1 shuffle)
+  *  2. errors: ratings ⋈ userState ⋈ itemState               (2 joins)
+  *  3. gradients: groupBy(user), groupBy(item), and the y-update
+  *     groupBy(item) over err-weighted q sums                (3 shuffles)
+  * All vector state is `array<double>` of length `rank`, so the shuffle
+  * rows stay narrow and the plan is identical at any scale factor.
+  */
+object SvdPP {
+
+  final case class Model(userFactors: DataFrame, itemFactors: DataFrame,
+                         implicitFactors: DataFrame, mu: Double,
+                         trainRmse: Seq[Double])
+
+  private def dotArr(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+
+  private def vecSum(vec: Column, rank: Int): Column =
+    aggregate(collect_list(vec), array_repeat(lit(0.0d), rank),
+      (acc, v) => zip_with(acc, v, (a, x) => a + x))
+
+  private def initFactors(ids: DataFrame, rank: Int, seed: Long): DataFrame =
+    ids.select(col("id"),
+      transform(sequence(lit(0), lit(rank - 1)),
+        k => (pmod(xxhash64(col("id"), k, lit(seed)), lit(1000000L))
+          .cast("double") / 1e7) - 0.05).as("f"))
+
+  def train(ratings: DataFrame, rank: Int = 8, iterations: Int = 5,
+            lr: Double = 0.01, reg: Double = 0.05, seed: Long = 42L): Model = {
+    val r = ratings.select(col("user"), col("item"), col("rating").cast("double"))
+      .repartition(col("user")).transform(graft.graph.Iterate.ckpt)
+    val mu = r.agg(avg("rating")).collect()(0).getDouble(0)
+    // |N(u)|^-1/2 per user, fixed for the run.
+    val nu = r.groupBy("user").agg(pow(count(lit(1)), -0.5).as("ninv"))
+      .transform(graft.graph.Iterate.ckpt)
+
+    var uf = initFactors(r.select(col("user").as("id")).distinct(), rank, seed)
+      .select(col("id").as("user"), col("f").as("pu"), lit(0.0d).as("bu"))
+      .transform(graft.graph.Iterate.ckpt)
+    var vf = initFactors(r.select(col("item").as("id")).distinct(), rank, seed + 1)
+      .select(col("id").as("item"), col("f").as("qi"), lit(0.0d).as("bi"))
+      .transform(graft.graph.Iterate.ckpt)
+    var yf = initFactors(r.select(col("item").as("id")).distinct(), rank, seed + 2)
+      .select(col("id").as("item"), col("f").as("yj"))
+      .transform(graft.graph.Iterate.ckpt)
+
+    var rmses = Vector.empty[Double]
+    for (_ <- 1 to iterations) {
+      // (1) implicit user vector: |N(u)|^-1/2 · Σ y_j over rated items
+      val impl = r.join(yf, "item").groupBy("user")
+        .agg(vecSum(col("yj"), rank).as("ysum"))
+        .join(nu, "user")
+        .select(col("user"), transform(col("ysum"), v => v * col("ninv")).as("imp"))
+      // (2) per-rating error
+      val joined = r.join(uf, "user").join(vf, "item").join(impl, "user")
+        .withColumn("puimp", zip_with(col("pu"), col("imp"), (p, m) => p + m))
+        .withColumn("err", col("rating") -
+          (lit(mu) + col("bu") + col("bi") + dotArr(col("puimp"), col("qi"))))
+        .transform(graft.graph.Iterate.ckpt)
+      rmses :+= joined.agg(sqrt(avg(pow(col("err"), 2)))).collect()(0).getDouble(0)
+      // (3) gradients
+      val gu = joined.groupBy("user").agg(
+        vecSum(transform(col("qi"), q => q * col("err")), rank).as("gp"),
+        sum("err").as("gb"))
+      val newUf = uf.join(gu, Seq("user"), "left").select(
+        col("user"),
+        when(col("gp").isNotNull, zip_with(col("pu"), col("gp"),
+          (p, g) => p + lit(lr) * (g - lit(reg) * p))).otherwise(col("pu")).as("pu"),
+        when(col("gb").isNotNull,
+          col("bu") + lit(lr) * (col("gb") - lit(reg) * col("bu")))
+          .otherwise(col("bu")).as("bu"))
+      val gi = joined.groupBy("item").agg(
+        vecSum(transform(col("puimp"), p => p * col("err")), rank).as("gq"),
+        sum("err").as("gb"))
+      val newVf = vf.join(gi, Seq("item"), "left").select(
+        col("item"),
+        when(col("gq").isNotNull, zip_with(col("qi"), col("gq"),
+          (q, g) => q + lit(lr) * (g - lit(reg) * q))).otherwise(col("qi")).as("qi"),
+        when(col("gb").isNotNull,
+          col("bi") + lit(lr) * (col("gb") - lit(reg) * col("bi")))
+          .otherwise(col("bi")).as("bi"))
+      // y_j gradient: Σ_{u: j∈N(u)} ninv_u · (Σ_i err_ui q_i) − reg·y_j
+      val su = joined.groupBy("user")
+        .agg(vecSum(transform(col("qi"), q => q * col("err")), rank).as("s"))
+        .join(nu, "user")
+        .select(col("user"), transform(col("s"), v => v * col("ninv")).as("s"))
+      val gy = r.join(su, "user").groupBy("item").agg(vecSum(col("s"), rank).as("gy"))
+      val newYf = yf.join(gy, Seq("item"), "left").select(
+        col("item"),
+        when(col("gy").isNotNull, zip_with(col("yj"), col("gy"),
+          (y, g) => y + lit(lr) * (g - lit(reg) * y))).otherwise(col("yj")).as("yj"))
+      uf = newUf.transform(graft.graph.Iterate.ckpt)
+      vf = newVf.transform(graft.graph.Iterate.ckpt)
+      yf = newYf.transform(graft.graph.Iterate.ckpt)
+    }
+    Model(uf, vf, yf, mu, rmses)
+  }
+
+  /** Predict for (user, item) pairs with the implicit term. */
+  def predict(model: Model, ratings: DataFrame, pairs: DataFrame): DataFrame = {
+    val rank = model.userFactors.select(size(col("pu"))).first().getInt(0)
+    val nu = ratings.groupBy("user").agg(pow(count(lit(1)), -0.5).as("ninv"))
+    val impl = ratings
+      .join(model.implicitFactors, "item").groupBy("user")
+      .agg(vecSum(col("yj"), rank).as("ysum"))
+      .join(nu, "user")
+      .select(col("user"), transform(col("ysum"), v => v * col("ninv")).as("imp"))
+    pairs.join(model.userFactors, "user").join(model.itemFactors, "item")
+      .join(impl, Seq("user"), "left")
+      .withColumn("puimp",
+        when(col("imp").isNotNull, zip_with(col("pu"), col("imp"), (p, m) => p + m))
+          .otherwise(col("pu")))
+      .withColumn("pred",
+        lit(model.mu) + col("bu") + col("bi") + dotArr(col("puimp"), col("qi")))
+      .drop("pu", "qi", "bu", "bi", "imp", "puimp")
+  }
+}

