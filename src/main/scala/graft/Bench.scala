@@ -11,15 +11,41 @@ object Bench {
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(10).count()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // A failing query is recorded as an error, never as a fast success.
+      val err = try { fn(spark, sfDir).count(); None } catch {
+        case e: Throwable => Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+      }
       val dt = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name%-28s $dt%8.2f s")
-      name -> dt
+      System.err.println(f"[bench] $name%-28s $dt%8.2f s" +
+        err.map(m => s"  ERROR: $m").getOrElse(""))
+      (name, dt, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def jstr(s: String): String =
+      "\"" + s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString } + "\""
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, Some(m)) => s"\"" + k + "\":" + jstr(m) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Throughput probe at a larger edge scale (synthetic, deterministic):
+    // per-edge-iteration PageRank rate, comparable to BASELINE.md's
+    // published edge-throughput numbers (README.md:118).
+    val thr = try {
+      val n = sys.env.getOrElse("SPARK_GRAFT_THROUGHPUT_N", "500000").toLong
+      val g = graft.graph.Generators.erdosRenyiSparse(spark, n, 16)
+        .transform(graft.graph.Iterate.ckpt)
+      val nEdges = g.count()
+      val iters = 4
+      val t0 = System.nanoTime()
+      graft.graph.Algorithms.pageRank(g, iterations = iters)
+        .agg(org.apache.spark.sql.functions.sum("pr")).collect()
+      val dt = (System.nanoTime() - t0) / 1e9
+      val rate = nEdges.toDouble * iters / dt
+      System.err.println(f"[bench] pagerank_throughput $nEdges%d edges x $iters iters = $dt%.2f s (${rate / 1e6}%.2f M edge-iters/s)")
+      s""","pr_edges":$nEdges,"pr_iters":$iters,"pr_sec":$dt,"pr_edge_iters_per_sec":$rate"""
+    } catch { case _: Throwable => "" }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"$thr}""")
     spark.stop()
   }
 }

@@ -170,7 +170,12 @@ object SparkEntry {
     // §2.11 itemcf: co-rating pair counts with min-intersection pruning,
     // top-5 similar items per item by Jaccard.
     "q17_itemcf_jaccard" -> ((s, d) => {
-      val r = ratings(s, d).select("user", "item")
+      // user-degree cap (power-law skew guard; see
+      // CollaborativeFiltering.itemSimilarity maxUserDegree)
+      val r0 = ratings(s, d).select("user", "item")
+      val capped = r0.groupBy("user").agg(count(lit(1)).as("ud"))
+        .filter(col("ud") <= 500).select("user")
+      val r = r0.join(capped, "user")
       val cnt = r.groupBy("item").agg(count(lit(1)).as("n"))
       val co = r.select(col("user"), col("item").as("i1"))
         .join(r.select(col("user"), col("item").as("i2")), "user")
@@ -491,8 +496,10 @@ object SparkEntry {
          FROM r GROUP BY "user" ORDER BY "user" """,
 
     "q17_itemcf_jaccard" ->
-      """WITH r AS (SELECT DISTINCT o_custkey AS u, l_partkey AS item
+      """WITH r0 AS (SELECT DISTINCT o_custkey AS u, l_partkey AS item
                     FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+            capped AS (SELECT u FROM r0 GROUP BY u HAVING COUNT(*) <= 500),
+            r AS (SELECT r0.u, r0.item FROM r0 JOIN capped ON r0.u = capped.u),
             cnt AS (SELECT item, COUNT(*) AS n FROM r GROUP BY item),
             co AS (SELECT r1.item AS i1, r2.item AS i2, COUNT(*) AS co
                    FROM r r1 JOIN r r2 ON r1.u = r2.u AND r1.item < r2.item
@@ -539,9 +546,11 @@ object SparkEntry {
          ORDER BY r."user", r.item""",
 
     "q26_itemcf_aa" ->
-      """WITH r AS (SELECT DISTINCT o_custkey AS u, l_partkey AS item
+      """WITH r0 AS (SELECT DISTINCT o_custkey AS u, l_partkey AS item
                     FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-            ud AS (SELECT u, COUNT(*) AS udeg FROM r GROUP BY u),
+            ud0 AS (SELECT u, COUNT(*) AS udeg FROM r0 GROUP BY u),
+            ud AS (SELECT u, udeg FROM ud0 WHERE udeg <= 500),
+            r AS (SELECT r0.u, r0.item FROM r0 JOIN ud ON r0.u = ud.u),
             pairs AS (SELECT r1.item AS i1, r2.item AS i2, ud.udeg
                       FROM r r1 JOIN r r2 ON r1.u = r2.u AND r1.item < r2.item
                            JOIN ud ON ud.u = r1.u),
@@ -552,9 +561,11 @@ object SparkEntry {
     "q27_itemsim2rating" ->
       """WITH r AS (SELECT DISTINCT o_custkey AS u, l_partkey AS item
                     FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-            cnt AS (SELECT item, COUNT(*) AS n FROM r GROUP BY item),
+            capped AS (SELECT u FROM r GROUP BY u HAVING COUNT(*) <= 500),
+            rc AS (SELECT r.u, r.item FROM r JOIN capped ON r.u = capped.u),
+            cnt AS (SELECT item, COUNT(*) AS n FROM rc GROUP BY item),
             co AS (SELECT r1.item AS i1, r2.item AS i2, COUNT(*) AS co
-                   FROM r r1 JOIN r r2 ON r1.u = r2.u AND r1.item < r2.item
+                   FROM rc r1 JOIN rc r2 ON r1.u = r2.u AND r1.item < r2.item
                    GROUP BY 1, 2 HAVING COUNT(*) >= 3),
             sims AS (SELECT i1, i2,
                      ROUND(CAST(co AS DOUBLE) / (c1.n + c2.n - co), 6) AS sim

@@ -103,12 +103,22 @@ object CollaborativeFiltering {
     * For AA/RA the per-user weight 1/log(deg) / 1/deg is attached to
     * the shared user before pairing. Returns (i1, i2, sim).
     */
+  /** @param maxUserDegree users rating more than this many items are
+    *   excluded from pair generation — the standard cap on the quadratic
+    *   per-user pair explosion under power-law skew (the role the
+    *   reference's pivot memory bound plays). Item counts `n1`/`n2` are
+    *   computed AFTER the cap so Jaccard denominators stay consistent
+    *   with the numerators.
+    */
   def itemSimilarity(ratings: DataFrame, metric: ItemSimMetric,
                      minIntersection: Int = 1,
-                     alpha: Double = 0.5): DataFrame = {
-    val r = ratings.select("user", "item").distinct()
+                     alpha: Double = 0.5,
+                     maxUserDegree: Int = 500): DataFrame = {
+    val r0 = ratings.select("user", "item").distinct()
+    val userDeg = r0.groupBy("user").agg(count(lit(1)).as("udeg"))
+      .filter(col("udeg") <= maxUserDegree)
+    val r = r0.join(userDeg.select("user"), "user")
     val itemCnt = r.groupBy("item").agg(count(lit(1)).as("n"))
-    val userDeg = r.groupBy("user").agg(count(lit(1)).as("udeg"))
     val withW = r.join(userDeg, "user")
     val pairs = withW.select(col("user"), col("item").as("i1"), col("udeg"))
       .join(withW.select(col("user"), col("item").as("i2")), "user")

@@ -126,6 +126,7 @@ object Algorithms {
       .distinct().transform(graft.graph.Iterate.ckpt)
     var stable = false
     var iter = 0
+    var prevEdges = sym.count()
     while (!stable && iter < maxIter) {
       val deg = sym.groupBy("src").agg(count(lit(1)).as("d"))
       val keep = deg.filter(col("d") >= k).select(col("src").as("kid"))
@@ -133,7 +134,10 @@ object Algorithms {
         .join(keep, sym("src") === keep("kid"), "left_semi")
         .join(keep.withColumnRenamed("kid", "kid2"), sym("dst") === col("kid2"), "left_semi")
         .transform(graft.graph.Iterate.ckpt)
-      if (pruned.count() == sym.count()) stable = true
+      // one count per peel: compare against the previous round's count
+      val n = pruned.count()
+      if (n == prevEdges) stable = true
+      prevEdges = n
       sym = pruned
       iter += 1
     }
@@ -212,6 +216,10 @@ object Algorithms {
       walkers = moved
       visits = visits.union(
         moved.groupBy(col("cur").as("id")).agg(count(lit(1)).as("visits")))
+      // fold the union periodically so lineage stays O(1) in steps
+      if (step % 4 == 0)
+        visits = visits.groupBy("id").agg(sum("visits").as("visits"))
+          .transform(graft.graph.Iterate.ckpt)
     }
     visits.groupBy("id").agg(sum("visits").as("visits"))
   }

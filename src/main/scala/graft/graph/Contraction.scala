@@ -19,7 +19,7 @@ object Contraction {
     * confirmation within equal color, peel, repeat.
     * Returns (id, scc).
     */
-  def stronglyConnectedComponents(edges: DataFrame, maxPhases: Int = 20): DataFrame = {
+  def stronglyConnectedComponents(edges: DataFrame, maxPhases: Int = 10000): DataFrame = {
     val spark = edges.sparkSession
     var e = edges.select("src", "dst").filter(col("src") =!= col("dst"))
       .distinct().transform(graft.graph.Iterate.ckpt)
@@ -110,8 +110,15 @@ object Contraction {
       }
       phase += 1
     }
-    // anything left after maxPhases: its own id (shouldn't happen on test data)
-    assigned.union(remaining.select(col("id"), col("id").as("scc")))
+    // Every phase removes at least one SCC (the forward-flood roots are
+    // confirmed backward), so the loop always drains; the phase cap is a
+    // runaway guard only. Never fabricate labels — fail loudly instead
+    // (the reference iterates to empty too,
+    // stronglyconnectedcomponents.cpp:146-317).
+    if (live > 0)
+      throw new IllegalStateException(
+        s"SCC did not converge within $maxPhases phases ($live vertices left)")
+    assigned
   }
 
   /** Minimum spanning forest by Borůvka contraction — per-component
@@ -120,7 +127,7 @@ object Contraction {
     * (weight, src, dst) so the forest is deterministic. Returns the
     * forest edges (src, dst, weight).
     */
-  def minimumSpanningForest(edges: DataFrame, maxRounds: Int = 20): DataFrame = {
+  def minimumSpanningForest(edges: DataFrame, maxRounds: Int = 64): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     // undirected canonical edges
@@ -156,17 +163,46 @@ object Contraction {
           .transform(graft.graph.Iterate.ckpt)
         forest = forest.union(minEdge.select("src", "dst", "weight").distinct())
           .transform(graft.graph.Iterate.ckpt)
-        // contract: merge components along chosen edges (hash-min on the
-        // component merge graph, pointer-jump to fixpoint)
-        val mergeEdges = minEdge.select(col("c").as("src"), col("other").as("dst"))
-        val newComp = Algorithms.connectedComponents(mergeEdges)
-          .select(col("id").as("comp"), col("component").as("newcomp"))
-        comp = comp.join(newComp, Seq("comp"), "left")
-          .select(col("id"), coalesce(col("newcomp"), col("comp")).as("comp"))
+        // contract: merge components along chosen edges. The merge graph
+        // c → other is a pseudo-forest (one out-edge per component), and
+        // because min_by uses the total order (weight, src, dst), its only
+        // cycles are mutual pairs — so rooting the smaller endpoint of
+        // each mutual pair yields a forest, and pointer jumping reaches
+        // the roots in O(log depth) tiny supersteps. (Replaces a full CC
+        // fixpoint per round — the round-1 bench bottleneck.)
+        val p0 = minEdge.select(col("c"), col("other"))
+        val mutualRoots = p0.as("a")
+          .join(p0.as("b"),
+            col("a.other") === col("b.c") && col("b.other") === col("a.c") &&
+              col("a.c") < col("a.other"), "left_semi")
+          .select(col("c"))
+        var parent = p0.join(mutualRoots.withColumnRenamed("c", "r"),
+            col("c") === col("r"), "left")
+          .select(col("c"), when(col("r").isNotNull, col("c"))
+            .otherwise(col("other")).as("p"))
+          .transform(graft.graph.Iterate.ckpt)
+        var jumping = true
+        while (jumping) {
+          val jumped = parent.as("x")
+            .join(parent.select(col("c").as("pc"), col("p").as("pp")),
+              col("p") === col("pc"), "left")
+            .select(col("c"), coalesce(col("pp"), col("p")).as("np"),
+              (coalesce(col("pp"), col("p")) =!= col("p")).as("chg"))
+          val changed = jumped.filter(col("chg")).count()
+          parent = jumped.select(col("c"), col("np").as("p"))
+            .transform(graft.graph.Iterate.ckpt)
+          jumping = changed > 0
+        }
+        comp = comp.join(parent.select(col("c").as("comp"), col("p")), Seq("comp"), "left")
+          .select(col("id"), coalesce(col("p"), col("comp")).as("comp"))
           .transform(graft.graph.Iterate.ckpt)
         round += 1
       }
     }
+    // Borůvka at least halves the component count per round, so 64 rounds
+    // covers any graph; hitting the cap means a bug, not a big input.
+    if (!done)
+      throw new IllegalStateException(s"MSF did not converge in $maxRounds rounds")
     forest.groupBy("src", "dst").agg(min("weight").as("weight"))
   }
 }
