@@ -75,6 +75,21 @@ class TextSpec extends SparkSpec {
     assert(r.getInt(1) > 0 && r.getInt(1) <= 20)
   }
 
+  test("simHashDuplicatePairs: block LSH finds every brute-force pair with hamming <= 3") {
+    // pigeonhole completeness: with 4 blocks of 16 bits, any pair at
+    // hamming distance <= 3 shares at least one exact block
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val lsh = Dedup.simHashDuplicatePairs(docs, "doc_id", "text", maxHamming = 3)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sh = docs.select(col("doc_id"), Dedup.simHash(col("text")).as("h"))
+    val brute = sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .filter(Dedup.hamming(col("a.h"), col("b.h")) <= 3)
+      .select(col("a.doc_id"), col("b.doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == brute)
+  }
+
   test("ngramJaccardPairs computes exact jaccard on candidates") {
     val base = (1 to 30).map(i => s"t$i").mkString(" ")
     val docs = Seq((1L, base), (2L, base), (3L, "zz yy xx ww vv uu")).toDF("doc_id", "text")
