@@ -28,8 +28,8 @@ object AlsNormal {
     * rank is tiny, numerical profile matches the reference's
     * `ldlt().solve` closely enough for CF.
     */
-  private def solveOne(rows: Seq[(Seq[Double], Double, Double)], rank: Int,
-                       lambda: Double): Array[Double] = {
+  private[cf] def solveOne(rows: Seq[(Seq[Double], Double, Double)], rank: Int,
+                           lambda: Double): Array[Double] = {
     val a = Array.ofDim[Double](rank, rank + 1)
     val n = rows.size.toDouble
     rows.foreach { case (q, r, w) =>
@@ -74,8 +74,24 @@ object AlsNormal {
     x
   }
 
-  private def solver(rank: Int, lambda: Double): UserDefinedFunction =
-    udf { rows: Seq[(Seq[Double], Double, Double)] => solveOne(rows, rank, lambda) }
+  /** Keep the `s` largest-magnitude entries, zero the rest — the hard
+    * thresholding step of the reference's sparse ALS
+    * (`sparse_als.cpp` + `cosamp.hpp` CoSaMP pursuit).
+    */
+  private[cf] def hardThreshold(x: Array[Double], s: Int): Array[Double] = {
+    if (s >= x.length) x
+    else {
+      val keep = x.map(math.abs).zipWithIndex.sortBy(-_._1).take(s).map(_._2).toSet
+      x.zipWithIndex.map { case (v, i) => if (keep(i)) v else 0.0 }
+    }
+  }
+
+  private def solver(rank: Int, lambda: Double,
+                     sparsity: Option[Int] = None): UserDefinedFunction =
+    udf { rows: Seq[(Seq[Double], Double, Double)] =>
+      val x = solveOne(rows, rank, lambda)
+      sparsity.map(hardThreshold(x, _)).getOrElse(x)
+    }
 
   private def dotArr(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
@@ -89,15 +105,23 @@ object AlsNormal {
   /** Train (weighted) ALS. `ratings` needs `user`, `item`, `rating` and
     * optionally `weight` (absent → 1.0, plain ALS). λ follows the
     * reference's per-vertex `λ·n` regularization (weighted-λ ALS).
+    *
+    * @param warmStartItemFactors optional (id, f) item factors to resume
+    *   from — the reference's `load_factors_from_file` warm start
+    *   (`als.cpp:207-210`, `io.hpp:611-760`); absent → hash-seeded init.
     */
   def train(ratings: DataFrame, rank: Int = 8, iterations: Int = 5,
-            lambda: Double = 0.065, seed: Long = 42L): Model = {
+            lambda: Double = 0.065, seed: Long = 42L,
+            warmStartItemFactors: Option[DataFrame] = None,
+            sparsity: Option[Int] = None): Model = {
     val w = if (ratings.columns.contains("weight")) col("weight").cast("double") else lit(1.0d)
     val r = ratings.select(col("user"), col("item"), col("rating").cast("double"), w.as("w"))
       .repartition(col("user")).transform(graft.graph.Iterate.ckpt)
-    val solve = solver(rank, lambda)
+    val solve = solver(rank, lambda, sparsity)
 
-    var vf = initFactors(r.select(col("item").as("id")).distinct(), rank, seed)
+    var vf = warmStartItemFactors
+      .getOrElse(initFactors(r.select(col("item").as("id")).distinct(), rank, seed))
+      .select(col("id"), col("f"))
       .transform(graft.graph.Iterate.ckpt)
     var uf: DataFrame = null
     var rmses = Vector.empty[Double]

@@ -1,0 +1,215 @@
+package graft.cf
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.UserDefinedFunction
+
+/** Time-aware factorization — the reference's tensor CF programs.
+  *
+  *  - [[AlsTensor.train]]: 3-way PARAFAC ALS
+  *    (`toolkits/collaborative_filtering/als_tensor.cpp:81-132`):
+  *    r̂(u,i,t) = Σ_k pu_k·qi_k·zt_k, alternately solving each mode's
+  *    normal equations with the elementwise product of the other two
+  *    modes as the design vector (`als_tensor.cpp:127` `XY =
+  *    nbr.pvec ∘ time.pvec`).
+  *  - [[AlsTensor.trainTimeSvdPP]]: timeSVD++
+  *    (`timesvdpp.cpp:157-171`): r̂ = μ + b_u + b_i + b_t +
+  *    q_i·(p_u + |N(u)|^-½ Σ y_j) + x_u·z_t — the SVD++ implicit term
+  *    plus the reference's user-time interaction `x·z`
+  *    (`timesvdpp.cpp:165`), trained by deterministic full-batch GD.
+  *
+  * Each half-step is the standard two-shuffle join/groupBy shape, so the
+  * plans scale exactly like ALS/SGD.
+  */
+object AlsTensor {
+
+  final case class Model(userFactors: DataFrame, itemFactors: DataFrame,
+                         timeFactors: DataFrame, trainRmse: Seq[Double])
+
+  private def dotArr(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+
+  private def dot3(a: Column, b: Column, c: Column): Column =
+    aggregate(zip_with(zip_with(a, b, (x, y) => x * y), c, (xy, z) => xy * z),
+      lit(0.0d), (acc, v) => acc + v)
+
+  private def initFactors(ids: DataFrame, rank: Int, seed: Long): DataFrame =
+    ids.select(col("id"),
+      transform(sequence(lit(0), lit(rank - 1)),
+        k => pmod(xxhash64(col("id"), k, lit(seed)), lit(1000L)).cast("double") / 1000.0)
+        .as("f"))
+
+  private def solver(rank: Int, lambda: Double): UserDefinedFunction =
+    udf { rows: Seq[(Seq[Double], Double, Double)] =>
+      AlsNormal.solveOne(rows, rank, lambda)
+    }
+
+  /** PARAFAC ALS over (user, item, time, rating). One iteration = three
+    * mode solves; each solve joins the other two factor tables onto the
+    * ratings, forms the elementwise-product design vector, and solves
+    * the rank×rank normal equations per vertex (als_tensor.cpp:123-135).
+    */
+  def train(ratings: DataFrame, rank: Int = 4, iterations: Int = 5,
+            lambda: Double = 0.065, seed: Long = 42L): Model = {
+    val r = ratings.select(col("user"), col("item"), col("time"),
+        col("rating").cast("double"), lit(1.0d).as("w"))
+      .repartition(col("user")).transform(graft.graph.Iterate.ckpt)
+    val solve = solver(rank, lambda)
+
+    var uf = initFactors(r.select(col("user").as("id")).distinct(), rank, seed)
+      .transform(graft.graph.Iterate.ckpt)
+    var vf = initFactors(r.select(col("item").as("id")).distinct(), rank, seed + 1)
+      .transform(graft.graph.Iterate.ckpt)
+    var tf = initFactors(r.select(col("time").as("id")).distinct(), rank, seed + 2)
+      .transform(graft.graph.Iterate.ckpt)
+
+    def joined3 = r
+      .join(uf.select(col("id").as("user"), col("f").as("p")), "user")
+      .join(vf.select(col("id").as("item"), col("f").as("q")), "item")
+      .join(tf.select(col("id").as("time"), col("f").as("z")), "time")
+
+    var rmses = Vector.empty[Double]
+    for (_ <- 1 to iterations) {
+      // users: design = q∘z
+      uf = joined3.select(col("user").as("id"), col("rating"), col("w"),
+          zip_with(col("q"), col("z"), (x, y) => x * y).as("d"))
+        .groupBy("id")
+        .agg(collect_list(struct(col("d"), col("rating"), col("w"))).as("rows"))
+        .select(col("id"), solve(col("rows")).as("f"))
+        .transform(graft.graph.Iterate.ckpt)
+      // items: design = p∘z
+      vf = joined3.select(col("item").as("id"), col("rating"), col("w"),
+          zip_with(col("p"), col("z"), (x, y) => x * y).as("d"))
+        .groupBy("id")
+        .agg(collect_list(struct(col("d"), col("rating"), col("w"))).as("rows"))
+        .select(col("id"), solve(col("rows")).as("f"))
+        .transform(graft.graph.Iterate.ckpt)
+      // times: design = p∘q
+      tf = joined3.select(col("time").as("id"), col("rating"), col("w"),
+          zip_with(col("p"), col("q"), (x, y) => x * y).as("d"))
+        .groupBy("id")
+        .agg(collect_list(struct(col("d"), col("rating"), col("w"))).as("rows"))
+        .select(col("id"), solve(col("rows")).as("f"))
+        .transform(graft.graph.Iterate.ckpt)
+      val preds = joined3.select(col("rating"), dot3(col("p"), col("q"), col("z")).as("pred"))
+      rmses :+= preds.agg(sqrt(avg(pow(col("rating") - col("pred"), 2))))
+        .collect()(0).getDouble(0)
+    }
+    Model(uf, vf, tf, rmses)
+  }
+
+  /** Predict (user, item, time) triples with a PARAFAC model. */
+  def predict(model: Model, triples: DataFrame): DataFrame =
+    triples
+      .join(model.userFactors.select(col("id").as("user"), col("f").as("p")), "user")
+      .join(model.itemFactors.select(col("id").as("item"), col("f").as("q")), "item")
+      .join(model.timeFactors.select(col("id").as("time"), col("f").as("z")), "time")
+      .withColumn("pred", dot3(col("p"), col("q"), col("z")))
+      .drop("p", "q", "z")
+
+  final case class TimeSvdPPModel(userFactors: DataFrame, itemFactors: DataFrame,
+                                  implicitFactors: DataFrame, timeFactors: DataFrame,
+                                  mu: Double, trainRmse: Seq[Double])
+
+  private def vecSum(vec: Column, rank: Int): Column =
+    aggregate(collect_list(vec), array_repeat(lit(0.0d), rank),
+      (acc, v) => zip_with(acc, v, (a, x) => a + x))
+
+  private def initSmall(ids: DataFrame, rank: Int, seed: Long): DataFrame =
+    ids.select(col("id"),
+      transform(sequence(lit(0), lit(rank - 1)),
+        k => (pmod(xxhash64(col("id"), k, lit(seed)), lit(1000000L))
+          .cast("double") / 1e7) - 0.05).as("f"))
+
+  /** timeSVD++ by full-batch GD (the BSP re-expression of
+    * `timesvdpp.cpp:284-316`): user state (p_u, b_u, x_u), item state
+    * (q_i, b_i, y_i), time state (z_t, b_t).
+    */
+  def trainTimeSvdPP(ratings: DataFrame, rank: Int = 8, iterations: Int = 5,
+                     lr: Double = 0.01, reg: Double = 0.05,
+                     seed: Long = 42L): TimeSvdPPModel = {
+    val r = ratings.select(col("user"), col("item"), col("time"),
+        col("rating").cast("double"))
+      .repartition(col("user")).transform(graft.graph.Iterate.ckpt)
+    val mu = r.agg(avg("rating")).collect()(0).getDouble(0)
+    val nu = r.groupBy("user").agg(pow(count(lit(1)), -0.5).as("ninv"))
+      .transform(graft.graph.Iterate.ckpt)
+
+    var uf = initSmall(r.select(col("user").as("id")).distinct(), rank, seed)
+      .select(col("id").as("user"), col("f").as("pu"), lit(0.0d).as("bu"))
+      .withColumn("xu", col("pu"))
+      .transform(graft.graph.Iterate.ckpt)
+    var vf = initSmall(r.select(col("item").as("id")).distinct(), rank, seed + 1)
+      .select(col("id").as("item"), col("f").as("qi"), lit(0.0d).as("bi"))
+      .transform(graft.graph.Iterate.ckpt)
+    var yf = initSmall(r.select(col("item").as("id")).distinct(), rank, seed + 2)
+      .select(col("id").as("item"), col("f").as("yj"))
+      .transform(graft.graph.Iterate.ckpt)
+    var tf = initSmall(r.select(col("time").as("id")).distinct(), rank, seed + 3)
+      .select(col("id").as("time"), col("f").as("zt"), lit(0.0d).as("bt"))
+      .transform(graft.graph.Iterate.ckpt)
+
+    var rmses = Vector.empty[Double]
+    for (_ <- 1 to iterations) {
+      val impl = r.join(yf, "item").groupBy("user")
+        .agg(vecSum(col("yj"), rank).as("ysum"))
+        .join(nu, "user")
+        .select(col("user"), transform(col("ysum"), v => v * col("ninv")).as("imp"))
+      val joined = r.join(uf, "user").join(vf, "item").join(tf, "time")
+        .join(impl, "user")
+        .withColumn("puimp", zip_with(col("pu"), col("imp"), (p, m) => p + m))
+        .withColumn("err", col("rating") - (lit(mu) + col("bu") + col("bi") +
+          col("bt") + dotArr(col("puimp"), col("qi")) + dotArr(col("xu"), col("zt"))))
+        .transform(graft.graph.Iterate.ckpt)
+      rmses :+= joined.agg(sqrt(avg(pow(col("err"), 2)))).collect()(0).getDouble(0)
+
+      val gu = joined.groupBy("user").agg(
+        vecSum(transform(col("qi"), q => q * col("err")), rank).as("gp"),
+        vecSum(transform(col("zt"), z => z * col("err")), rank).as("gx"),
+        sum("err").as("gb"))
+      val newUf = uf.join(gu, Seq("user"), "left").select(
+        col("user"),
+        when(col("gp").isNotNull, zip_with(col("pu"), col("gp"),
+          (p, g) => p + lit(lr) * (g - lit(reg) * p))).otherwise(col("pu")).as("pu"),
+        when(col("gb").isNotNull,
+          col("bu") + lit(lr) * (col("gb") - lit(reg) * col("bu")))
+          .otherwise(col("bu")).as("bu"),
+        when(col("gx").isNotNull, zip_with(col("xu"), col("gx"),
+          (x, g) => x + lit(lr) * (g - lit(reg) * x))).otherwise(col("xu")).as("xu"))
+      val gi = joined.groupBy("item").agg(
+        vecSum(transform(col("puimp"), p => p * col("err")), rank).as("gq"),
+        sum("err").as("gb"))
+      val newVf = vf.join(gi, Seq("item"), "left").select(
+        col("item"),
+        when(col("gq").isNotNull, zip_with(col("qi"), col("gq"),
+          (q, g) => q + lit(lr) * (g - lit(reg) * q))).otherwise(col("qi")).as("qi"),
+        when(col("gb").isNotNull,
+          col("bi") + lit(lr) * (col("gb") - lit(reg) * col("bi")))
+          .otherwise(col("bi")).as("bi"))
+      val gt = joined.groupBy("time").agg(
+        vecSum(transform(col("xu"), x => x * col("err")), rank).as("gz"),
+        sum("err").as("gb"))
+      val newTf = tf.join(gt, Seq("time"), "left").select(
+        col("time"),
+        when(col("gz").isNotNull, zip_with(col("zt"), col("gz"),
+          (z, g) => z + lit(lr) * (g - lit(reg) * z))).otherwise(col("zt")).as("zt"),
+        when(col("gb").isNotNull,
+          col("bt") + lit(lr) * (col("gb") - lit(reg) * col("bt")))
+          .otherwise(col("bt")).as("bt"))
+      val su = joined.groupBy("user")
+        .agg(vecSum(transform(col("qi"), q => q * col("err")), rank).as("s"))
+        .join(nu, "user")
+        .select(col("user"), transform(col("s"), v => v * col("ninv")).as("s"))
+      val gy = r.join(su, "user").groupBy("item").agg(vecSum(col("s"), rank).as("gy"))
+      val newYf = yf.join(gy, Seq("item"), "left").select(
+        col("item"),
+        when(col("gy").isNotNull, zip_with(col("yj"), col("gy"),
+          (y, g) => y + lit(lr) * (g - lit(reg) * y))).otherwise(col("yj")).as("yj"))
+      uf = newUf.transform(graft.graph.Iterate.ckpt)
+      vf = newVf.transform(graft.graph.Iterate.ckpt)
+      tf = newTf.transform(graft.graph.Iterate.ckpt)
+      yf = newYf.transform(graft.graph.Iterate.ckpt)
+    }
+    TimeSvdPPModel(uf, vf, yf, tf, mu, rmses)
+  }
+}

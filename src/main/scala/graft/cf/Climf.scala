@@ -1,0 +1,121 @@
+package graft.cf
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** CLiMF — collaborative less-is-more filtering, maximizing a smoothed
+  * lower bound of the Mean Reciprocal Rank over each user's relevant
+  * items (`toolkits/collaborative_filtering/climf.cpp:26, 93-180`,
+  * objective accumulation `climf.cpp:158-175`).
+  *
+  * BSP full-batch re-expression of the reference's per-user gradient:
+  * for user u with relevant items j (k ranging over the other relevant
+  * items, g = sigmoid, g' its derivative):
+  *
+  *   dU  = Σ_j [ g(−f_j)·V_j + Σ_k g'(f_k−f_j)/(1−g(f_k−f_j))·(V_j−V_k) ] − λU
+  *   dV_j = [ g(−f_j) + Σ_k g'(f_j−f_k)·(1/(1−g(f_k−f_j)) − 1/(1−g(f_j−f_k))) ]·U − λV_j
+  *
+  * Execution shape per iteration: one self-join of each user's relevant
+  * items (bounded by `maxUserDegree`, the same guard as itemcf), one
+  * groupBy(user) and one groupBy(item) — three shuffles, payloads are
+  * rank-length arrays.
+  */
+object Climf {
+
+  final case class Model(userFactors: DataFrame, itemFactors: DataFrame,
+                         objectives: Seq[Double])
+
+  private def dotArr(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+
+  private def g(x: Column): Column = lit(1.0) / (lit(1.0) + exp(-x))
+  private def dg(x: Column): Column = {
+    val e = exp(x)
+    e / ((lit(1.0) + e) * (lit(1.0) + e))
+  }
+
+  private def vecSum(vec: Column, rank: Int): Column =
+    aggregate(collect_list(vec), array_repeat(lit(0.0d), rank),
+      (acc, v) => zip_with(acc, v, (a, x) => a + x))
+
+  private def initFactors(ids: DataFrame, rank: Int, seed: Long): DataFrame =
+    ids.select(col("id"),
+      transform(sequence(lit(0), lit(rank - 1)),
+        k => (pmod(xxhash64(col("id"), k, lit(seed)), lit(1000000L))
+          .cast("double") / 1e7) - 0.05).as("f"))
+
+  /** Train on binary relevance pairs `rel(user, item)` (the reference
+    * derives relevance from the rating threshold, `is_relevant`).
+    * Users need ≥ 2 relevant items (`climf.cpp:119`).
+    */
+  def train(rel: DataFrame, rank: Int = 5, iterations: Int = 5,
+            lr: Double = 0.005, lambda: Double = 0.001, seed: Long = 42L,
+            maxUserDegree: Int = 200): Model = {
+    val deg = rel.groupBy("user").agg(count(lit(1)).as("d"))
+      .filter(col("d") >= 2 && col("d") <= maxUserDegree).select("user")
+    val r = rel.select("user", "item").distinct().join(deg, "user")
+      .repartition(col("user")).transform(graft.graph.Iterate.ckpt)
+
+    var uf = initFactors(r.select(col("user").as("id")).distinct(), rank, seed)
+      .select(col("id").as("user"), col("f").as("u"))
+      .transform(graft.graph.Iterate.ckpt)
+    var vf = initFactors(r.select(col("item").as("id")).distinct(), rank, seed + 1)
+      .select(col("id").as("item"), col("f").as("v"))
+      .transform(graft.graph.Iterate.ckpt)
+
+    var objectives = Vector.empty[Double]
+    for (_ <- 1 to iterations) {
+      val f = r.join(uf, "user").join(vf, "item")
+        .select(col("user"), col("item"), col("u"), col("v"),
+          dotArr(col("u"), col("v")).as("f"))
+        .transform(graft.graph.Iterate.ckpt)
+      val pairs = f.select(col("user"), col("item").as("j"), col("f").as("fj"),
+          col("v").as("vj"), col("u"))
+        .join(f.select(col("user"), col("item").as("k"), col("f").as("fk"),
+          col("v").as("vk")), "user")
+        .filter(col("j") =!= col("k"))
+
+      // objective: Σ_j ln g(f_j) + Σ_{j,k} ln(1 − g(f_k − f_j)) − λ/2‖·‖²
+      val objPoint = f.agg(sum(log(g(col("f")))).as("o")).collect()(0).getDouble(0)
+      val objPair = pairs.agg(sum(log(lit(1.0) - g(col("fk") - col("fj")))).as("o"))
+        .collect()(0).getDouble(0)
+      val regU = uf.agg(sum(dotArr(col("u"), col("u")))).collect()(0).getDouble(0)
+      val regV = vf.agg(sum(dotArr(col("v"), col("v")))).collect()(0).getDouble(0)
+      objectives :+= objPoint + objPair - 0.5 * lambda * (regU + regV)
+
+      // pairwise contributions
+      val pairU = pairs.select(col("user"),
+        transform(zip_with(col("vj"), col("vk"), (a, b) => a - b),
+          x => x * (dg(col("fk") - col("fj")) /
+            (lit(1.0) - g(col("fk") - col("fj"))))).as("contrib"))
+      val pointU = f.select(col("user"),
+        transform(col("v"), x => x * g(-col("f"))).as("contrib"))
+      val gu = pointU.union(pairU).groupBy("user")
+        .agg(vecSum(col("contrib"), rank).as("du"))
+      uf = uf.join(gu, Seq("user"), "left").select(col("user"),
+          when(col("du").isNotNull,
+            zip_with(col("u"), col("du"),
+              (u, d) => u + lit(lr) * (d - lit(lambda) * u)))
+            .otherwise(col("u")).as("u"))
+        .transform(graft.graph.Iterate.ckpt)
+
+      val pairVScalar = pairs.groupBy(col("user"), col("j").as("item"))
+        .agg(sum(dg(col("fj") - col("fk")) *
+          (lit(1.0) / (lit(1.0) - g(col("fk") - col("fj"))) -
+           lit(1.0) / (lit(1.0) - g(col("fj") - col("fk"))))).as("s"))
+      val gv = f.join(pairVScalar, Seq("user", "item"), "left")
+        .select(col("item"),
+          transform(col("u"),
+            x => x * (g(-col("f")) + coalesce(col("s"), lit(0.0)))).as("contrib"))
+        .groupBy("item").agg(vecSum(col("contrib"), rank).as("dv"))
+      vf = vf.join(gv, Seq("item"), "left").select(col("item"),
+          when(col("dv").isNotNull,
+            zip_with(col("v"), col("dv"),
+              (v, d) => v + lit(lr) * (d - lit(lambda) * v)))
+            .otherwise(col("v")).as("v"))
+        .transform(graft.graph.Iterate.ckpt)
+    }
+    Model(uf.select(col("user").as("id"), col("u").as("f")),
+      vf.select(col("item").as("id"), col("v").as("f")), objectives)
+  }
+}

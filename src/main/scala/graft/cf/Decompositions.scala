@@ -32,6 +32,25 @@ object Decompositions {
     (s.s.toArray, u, v)
   }
 
+  /** One-sided SVD (`svd_onesided.cpp`): only the right singular
+    * vectors + singular values, skipping the U materialization — for
+    * matrices with far more rows than columns. Returns
+    * (singularValues, V rows).
+    */
+  def svdOneSided(ratings: DataFrame, k: Int): (Array[Double], DataFrame) = {
+    val spark = ratings.sparkSession
+    import spark.implicits._
+    val entries = ratings.select(col("user").cast("long"),
+        col("item").cast("long"), col("rating").cast("double"))
+      .rdd.map(r => MatrixEntry(r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val mat = new CoordinateMatrix(entries).toRowMatrix()
+    val s = mat.computeSVD(k, computeU = false)
+    val v = spark.sparkContext.parallelize(
+      s.V.rowIter.zipWithIndex.map { case (r, i) => (i.toLong, r.toArray) }.toSeq)
+      .toDF("col", "vec")
+    (s.s.toArray, v)
+  }
+
   /** Alternating non-negative MF by multiplicative updates (`nmf.cpp`):
     * W ← W ∘ (R·H / W·H·Hᵀ), H likewise — expressed as the same
     * join/groupBy shape as ALS/SGD, with non-negativity by construction.

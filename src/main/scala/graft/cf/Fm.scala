@@ -1,0 +1,99 @@
+package graft.cf
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Factorization machines — the reference's libfm/gensgd family
+  * (`toolkits/collaborative_filtering/gensgd.cpp` ~1,035 LoC,
+  * `libfm.cpp`): second-order FM over arbitrary hashed feature columns,
+  *
+  *   ŷ(x) = w₀ + Σ_f w_f + ½ Σ_d [ (Σ_f v_{f,d})² − Σ_f v_{f,d}² ]
+  *
+  * (features are one-hot, so x_f = 1), trained by deterministic
+  * full-batch gradient descent: ∂ŷ/∂v_f = S − v_f with S = Σ_g v_g the
+  * per-example factor sum (the classic O(k·|x|) FM trick).
+  *
+  * Execution shape per iteration: explode features → join weights →
+  * groupBy(example) for S/prediction → join back → groupBy(feature) for
+  * gradients. Two shuffles, rows carry rank-length arrays.
+  *
+  * [[featuresFromRatings]] mirrors gensgd's feature construction: each
+  * column value is hashed into its own id space (gensgd.cpp feature
+  * "rehash"), so (user, item[, time, …]) become distinct feature ids.
+  */
+object Fm {
+
+  final case class Model(w0: Double, weights: DataFrame, trainRmse: Seq[Double])
+
+  private def vecSum(vec: Column, rank: Int): Column =
+    aggregate(collect_list(vec), array_repeat(lit(0.0d), rank),
+      (acc, v) => zip_with(acc, v, (a, x) => a + x))
+
+  private def initV(ids: DataFrame, rank: Int, seed: Long): DataFrame =
+    ids.select(col("feature"),
+      transform(sequence(lit(0), lit(rank - 1)),
+        k => (pmod(xxhash64(col("feature"), k, lit(seed)), lit(1000000L))
+          .cast("double") / 1e7) - 0.05).as("v"))
+
+  /** gensgd-style feature builder: one feature id per (column, value),
+    * namespaced by column index so id spaces never collide.
+    */
+  def featuresFromRatings(ratings: DataFrame, cols: Seq[String]): DataFrame = {
+    val feats = cols.zipWithIndex.map { case (c, i) =>
+      xxhash64(lit(i), col(c))
+    }
+    ratings.select(
+      monotonically_increasing_id().as("example_id"),
+      array(feats: _*).as("features"),
+      col("rating").cast("double").as("y"))
+  }
+
+  /** Train on `examples(example_id, features: array<long>, y)`. */
+  def train(examples: DataFrame, rank: Int = 4, iterations: Int = 10,
+            lr: Double = 0.01, reg: Double = 0.01, seed: Long = 42L): Model = {
+    val ex = examples.repartition(col("example_id"))
+      .transform(graft.graph.Iterate.ckpt)
+    val flat = ex.select(col("example_id"), col("y"),
+        explode(col("features")).as("feature"))
+      .transform(graft.graph.Iterate.ckpt)
+    val w0 = ex.agg(avg("y")).collect()(0).getDouble(0)
+    var w = initV(flat.select("feature").distinct(), rank, seed)
+      .withColumn("w", lit(0.0d))
+      .transform(graft.graph.Iterate.ckpt)
+
+    var rmses = Vector.empty[Double]
+    for (_ <- 1 to iterations) {
+      val joined = flat.join(w, "feature")
+      val perEx = joined.groupBy("example_id", "y").agg(
+          vecSum(col("v"), rank).as("S"),
+          vecSum(transform(col("v"), x => x * x), rank).as("S2"),
+          sum("w").as("wsum"))
+        .withColumn("pred", lit(w0) + col("wsum") +
+          lit(0.5) * aggregate(zip_with(col("S"), col("S2"),
+            (s, s2) => s * s - s2), lit(0.0d), (acc, x) => acc + x))
+        .withColumn("err", col("y") - col("pred"))
+        .transform(graft.graph.Iterate.ckpt)
+      rmses :+= perEx.agg(sqrt(avg(pow(col("err"), 2)))).collect()(0).getDouble(0)
+      // feature gradients: ∂/∂w_f = err; ∂/∂v_f = err·(S − v_f)
+      val grads = joined
+        .join(perEx.select(col("example_id"), col("S"), col("err")), "example_id")
+        .select(col("feature"), col("err").as("gw"),
+          transform(zip_with(col("S"), col("v"), (s, vf) => s - vf),
+            x => x * col("err")).as("gv"))
+        .groupBy("feature")
+        .agg(sum("gw").as("gw"), vecSum(col("gv"), rank).as("gv"),
+          count(lit(1)).as("n"))
+      w = w.join(grads, Seq("feature"), "left").select(
+          col("feature"),
+          when(col("gv").isNotNull,
+            zip_with(col("v"), transform(col("gv"), x => x / col("n")),
+              (vv, g) => vv + lit(lr) * (g - lit(reg) * vv)))
+            .otherwise(col("v")).as("v"),
+          when(col("gw").isNotNull,
+            col("w") + lit(lr) * (col("gw") / col("n") - lit(reg) * col("w")))
+            .otherwise(col("w")).as("w"))
+        .transform(graft.graph.Iterate.ckpt)
+    }
+    Model(w0, w, rmses)
+  }
+}

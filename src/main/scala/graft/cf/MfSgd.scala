@@ -29,17 +29,40 @@ object MfSgd {
         k => (pmod(xxhash64(col("id"), k, lit(seed)), lit(1000000L))
           .cast("double") / 1e7) - 0.05).as("f"))
 
-  /** Train biased MF: r̂ = μ + bu + bi + pu·qi (biassgd.cpp objective).
-    * Full-batch GD with per-iteration training RMSE and halt-on-increase
-    * (`rmse_engine.hpp:93-99`).
+  /** Loss functions of the reference's `biassgd2.cpp` multi-loss SGD:
+    * square (∂ = err), absolute (∂ = sign(err)) and logistic (targets
+    * squashed to [0,1], ∂ = y − σ(pred)).
+    */
+  sealed trait Loss
+  case object SquareLoss extends Loss
+  case object AbsLoss extends Loss
+  case object LogisticLoss extends Loss
+
+  /** Train biased MF: r̂ = μ + bu + bi + pu·qi (biassgd.cpp objective;
+    * `biassgd2.cpp` for the non-square losses). Full-batch GD with
+    * per-iteration training RMSE and halt-on-increase
+    * (`rmse_engine.hpp:93-99`). For [[LogisticLoss]] ratings are
+    * min-max-scaled to [0,1] and the prediction passes through a
+    * sigmoid; the trace still reports RMSE on the scaled target.
     */
   def train(ratings: DataFrame, rank: Int = 8, iterations: Int = 10,
             lr: Double = 0.01, reg: Double = 0.05, seed: Long = 42L,
-            haltOnIncrease: Boolean = false): Model = {
+            haltOnIncrease: Boolean = false, loss: Loss = SquareLoss): Model = {
     val spark = ratings.sparkSession
-    val r = ratings.select(col("user"), col("item"), col("rating"))
-      .repartition(col("user")).transform(graft.graph.Iterate.ckpt)
-    val mu = r.agg(avg("rating")).collect()(0).getDouble(0)
+    val r0 = ratings.select(col("user"), col("item"), col("rating").cast("double"))
+    val r = (loss match {
+      case LogisticLoss =>
+        val mm = r0.agg(min("rating"), max("rating")).collect()(0)
+        val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
+        val span = if (hi > lo) hi - lo else 1.0
+        r0.select(col("user"), col("item"),
+          ((col("rating") - lo) / span).as("rating"))
+      case _ => r0
+    }).repartition(col("user")).transform(graft.graph.Iterate.ckpt)
+    val mu = loss match {
+      case LogisticLoss => 0.0 // score passes through a sigmoid instead
+      case _ => r.agg(avg("rating")).collect()(0).getDouble(0)
+    }
     var uf = initFactors(r.select(col("user").as("id")).distinct(), rank, seed)
       .withColumnRenamed("f", "pu").withColumnRenamed("id", "user")
       .withColumn("bu", lit(0.0)).transform(graft.graph.Iterate.ckpt)
@@ -53,18 +76,26 @@ object MfSgd {
     val verbose = sys.env.contains("GRAFT_DEBUG")
     while (it < iterations && !halted) {
       val itStart = System.currentTimeMillis
-      val joined = r.join(uf, "user").join(vf, "item")
-        .withColumn("err",
-          col("rating") - (lit(mu) + col("bu") + col("bi") + dotArr(col("pu"), col("qi"))))
-        .transform(graft.graph.Iterate.ckpt)
+      val score = lit(mu) + col("bu") + col("bi") + dotArr(col("pu"), col("qi"))
+      val pred = loss match {
+        case LogisticLoss => lit(1.0) / (lit(1.0) + exp(-score))
+        case _ => score
+      }
+      val joined0 = r.join(uf, "user").join(vf, "item")
+        .withColumn("err", col("rating") - pred)
+      // gradient signal g: err (square), sign(err) (abs), y−σ (logistic)
+      val joined = (loss match {
+        case AbsLoss => joined0.withColumn("g", signum(col("err")))
+        case _ => joined0.withColumn("g", col("err"))
+      }).transform(graft.graph.Iterate.ckpt)
       val rmse = joined.agg(sqrt(avg(pow(col("err"), 2)))).collect()(0).getDouble(0)
       if (haltOnIncrease && rmses.nonEmpty && rmse > rmses.last) halted = true
       else {
         rmses :+= rmse
-        // user-side gradient: Σ err·qi − reg·pu  (and bias)
+        // user-side gradient: Σ g·qi − reg·pu  (and bias)
         val gu = joined.groupBy("user").agg(
-          aggregateVecSum(col("err"), col("qi"), rank).as("gv"),
-          sum(col("err")).as("gb"), count(lit(1)).as("n"))
+          aggregateVecSum(col("g"), col("qi"), rank).as("gv"),
+          sum(col("g")).as("gb"), count(lit(1)).as("n"))
         uf = uf.join(gu, Seq("user"), "left").select(
           col("user"),
           when(col("gv").isNotNull,
@@ -76,8 +107,8 @@ object MfSgd {
             .otherwise(col("bu")).as("bu"))
           .transform(graft.graph.Iterate.ckpt)
         val gi = joined.groupBy("item").agg(
-          aggregateVecSum(col("err"), col("pu"), rank).as("gv"),
-          sum(col("err")).as("gb"))
+          aggregateVecSum(col("g"), col("pu"), rank).as("gv"),
+          sum(col("g")).as("gb"))
         vf = vf.join(gi, Seq("item"), "left").select(
           col("item"),
           when(col("gv").isNotNull,

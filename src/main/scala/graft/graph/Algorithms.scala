@@ -55,7 +55,17 @@ object Algorithms {
     * when no label changes, mirroring the reference's scheduler-driven
     * termination (`graphchi_engine.hpp:802-810`).
     */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame =
+    connectedComponentsWithDeltaLog(edges, maxIter)._1
+
+  /** Connected components plus the reference's per-iteration delta log
+    * (`src/engine/graphchi_engine.hpp:593-599`: iter, nupdates, work) —
+    * here (iter, nupdates) with nupdates = labels changed that round.
+    * The log is collected driver-side (one tiny row per superstep, same
+    * as the reference's CSV).
+    */
+  def connectedComponentsWithDeltaLog(edges: DataFrame,
+                                      maxIter: Int = 50): (DataFrame, DataFrame) = {
     // Undirected: symmetrize once.
     val fwd = edges.select("src", "dst")
     val sym = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
@@ -68,6 +78,7 @@ object Algorithms {
     var active = comp // vertices whose label changed last round
     var iter = 0
     var converged = false
+    val log = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
     while (iter < maxIter && !converged) {
       // Messages flow only out of vertices that changed (selective scheduling).
       val msgs = sym.join(active, sym("src") === active("id"))
@@ -76,16 +87,20 @@ object Algorithms {
         .filter(col("mcomp") < col("component"))
         .select(col("id").as("cid"), col("mcomp"))
         .transform(graft.graph.Iterate.ckpt)
-      if (joined.isEmpty) converged = true
+      val nupdates = joined.count()
+      if (nupdates == 0) converged = true
       else {
         comp = comp.join(joined, comp("id") === col("cid"), "left")
           .select(col("id"), coalesce(col("mcomp"), col("component")).as("component"))
           .transform(graft.graph.Iterate.ckpt)
         active = joined.select(col("cid").as("id"), col("mcomp").as("component"))
         iter += 1
+        log += ((iter, nupdates))
       }
     }
-    comp
+    val spark = edges.sparkSession
+    import spark.implicits._
+    (comp, log.toSeq.toDF("iter", "nupdates"))
   }
 
   /** Community detection by label propagation (most-frequent neighbor

@@ -129,6 +129,89 @@ object GraphReaders {
     base.copy(entries = entries)
   }
 
+  /** Cassovary/Twitter multi-file adjacency — `conversions.hpp:447-516`:
+    * each file holds blocks of `src n` header lines followed by `n`
+    * lines of one destination each; `#`/`%` comments. The block
+    * structure is line-order-dependent, so each file parses
+    * sequentially (the reference does the same); parallelism is across
+    * files, matching the format's sharding convention.
+    * `path` may be a glob over the multi-file set.
+    */
+  def cassovary(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.sparkContext.wholeTextFiles(path)
+      .flatMap { case (_, content) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        val it = content.linesIterator
+          .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#") && !l.startsWith("%"))
+        while (it.hasNext) {
+          val header = it.next().split("[\\s\\t]+")
+          val from = header(0).toLong
+          val n = if (header.length > 1) header(1).toLong else 0L
+          var i = 0L
+          while (i < n && it.hasNext) {
+            val to = it.next().split("[\\s\\t]+")(0).toLong
+            if (from != to) out += ((from, to))
+            i += 1
+          }
+        }
+        out.iterator
+      }.toDF("src", "dst")
+  }
+
+  /** Rating matrix ∪ item-item similarity edges in one graph — the
+    * reference's `convert_matrixmarket_and_item_similarity`
+    * (`io.hpp:371-497`): ratings become user→item edges, similarity
+    * triplets become item→item edges (both item ids offset by M), with
+    * a tag distinguishing the two edge kinds.
+    */
+  def matrixMarketWithItemSimilarity(spark: SparkSession, ratingsPath: String,
+                                     similarityPath: String): DataFrame = {
+    val r = matrixMarket(spark, ratingsPath, offsetItems = true)
+    val s = matrixMarket(spark, similarityPath, offsetItems = false)
+    val ratingEdges = r.entries.select(col("user").as("src"),
+      col("item").as("dst"), col("rating").as("value"),
+      lit("rating").as("kind"))
+    val simEdges = s.entries.select((col("user") + r.m).as("src"),
+      (col("item") + r.m).as("dst"), col("rating").as("value"),
+      lit("similarity").as("kind"))
+    ratingEdges.unionByName(simEdges)
+  }
+
+  /** Dense MatrixMarket array-format factor matrix (the inverse of
+    * `GraphWriters.writeMatrixMarket`) — the reference's warm-start
+    * factor load (`io.hpp:611-760`, used by `als.cpp:207-210`).
+    * Returns (row, f: array&lt;double&gt;) with `row` the 0-based row
+    * ordinal of the dense matrix.
+    */
+  def readMatrixMarketMatrix(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val lines = spark.read.textFile(path).rdd
+      .map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("%"))
+      .zipWithIndex()
+    // first surviving line is the `n k` size line; rest are rows
+    lines.filter(_._2 > 0)
+      .map { case (l, i) =>
+        (i - 1, l.split("\\s+").map(t => t.replace(",", "").toDouble))
+      }
+      .toDF("row", "f")
+  }
+
+  /** Dense MatrixMarket vector (one value per line after banner/size) —
+    * `io.hpp:611-686`. Returns (row, value).
+    */
+  def readMatrixMarketVector(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.textFile(path).rdd
+      .map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("%"))
+      .zipWithIndex()
+      .filter(_._2 > 0)
+      .map { case (l, i) => (i - 1, l.replace(",", "").toDouble) }
+      .toDF("row", "value")
+  }
+
   /** Binary fixed-record edge list (vid,vid[,value]) —
     * `conversions.hpp:523-602`. Records are little-endian uint32 pairs
     * (the reference's `vid_t`), optionally followed by a float value.

@@ -43,6 +43,32 @@ object GraphWriters {
       .write.mode(SaveMode.Overwrite).text(path)
   }
 
+  /** MatrixMarket array-format vector (one value per line) —
+    * `MMOutputter_vec` (`io.hpp:162-249`).
+    */
+  def writeMatrixMarketVector(df: DataFrame, idCol: String, valueCol: String,
+                              path: String, singleFile: Boolean = false): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val n = df.count()
+    val header = Seq("%%MatrixMarket matrix array real general", s"$n 1")
+      .toDF("value").withColumn("ord", lit(-1L))
+    val body = df.orderBy(col(idCol))
+      .select(format_number(col(valueCol), 6).as("value"),
+        col(idCol).cast("long").as("ord"))
+    val out = header.union(body).orderBy("ord").select("value")
+    (if (singleFile) out.coalesce(1) else out)
+      .write.mode(SaveMode.Overwrite).text(path)
+  }
+
+  /** MatrixMarket 1×1 scalar (global mean etc.) — `MMOutputter_scalar`. */
+  def writeMatrixMarketScalar(spark: org.apache.spark.sql.SparkSession,
+                              value: Double, path: String): Unit = {
+    import spark.implicits._
+    Seq("%%MatrixMarket matrix array real general", "1 1", f"$value%.6f")
+      .toDF("value").coalesce(1).write.mode(SaveMode.Overwrite).text(path)
+  }
+
   /** `label,count` histogram CSV — the `<graph>.components` sink. */
   def writeLabelHistogram(hist: DataFrame, path: String): Unit =
     hist.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)

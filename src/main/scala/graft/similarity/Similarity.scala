@@ -46,6 +46,48 @@ object Similarity {
     when(n > 0, transform(a, x => x / n)).otherwise(a)
   }
 
+  /** Σ aᵢ */
+  def sumArr(a: Column): Column =
+    aggregate(a, lit(0.0d), (acc, v) => acc + v)
+
+  private def safeLog(x: Column): Column =
+    when(x <= 0, lit(0.0d)).otherwise(log(x))
+
+  private def logL(p: Column, k: Column, n: Column): Column =
+    k * safeLog(p) + (n - k) * safeLog(lit(1.0) - p)
+
+  /** 2·log-λ likelihood-ratio statistic (`distance.hpp:18-21`). */
+  def twoLogLambda(k1: Column, k2: Column, n1: Column, n2: Column): Column = {
+    val p = (k1 + k2) / (n1 + n2)
+    lit(2.0) * (logL(k1 / n1, k1, n1) + logL(k2 / n2, k2, n2)
+      - logL(p, k1, n1) - logL(p, k2, n2))
+  }
+
+  /** Log-likelihood distance (`distance.hpp:23-30`): intersection mass
+    * via the dot product, then 1 − 1/(1 + 2logλ).
+    */
+  def logLikelihoodDistance(a: Column, b: Column): Column = {
+    val inter = dot(a, b)
+    val sqrB = dot(b, b)
+    val sqrA = dot(a, a)
+    val ll = twoLogLambda(inter, sqrB - inter, sqrA, size(a).cast("double") - sqrA)
+    lit(1.0) - lit(1.0) / (lit(1.0) + ll)
+  }
+
+  /** Weighted Jaccard (`calc_jaccard_weight_distance`,
+    * `distance.hpp:69-83`): intersection mass over the union mass.
+    */
+  def weightedJaccard(a: Column, b: Column): Column = {
+    val inter = dot(a, b)
+    inter / (sumArr(a) + sumArr(b) - inter)
+  }
+
+  /** Slope-one deviation Σ(aᵢ − bᵢ) (`calc_slope_one_distance`,
+    * `distance.hpp:151-157`; the caller divides by intersection size).
+    */
+  def slopeOne(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x - y), lit(0.0d), (acc, v) => acc + v)
+
   /** Brute-force cosine top-k: for each query vector, the k nearest
     * corpus vectors. The corpus side is broadcast when small; at scale
     * use [[lshTopK]]. Both inputs: (idCol, vecCol).
@@ -108,6 +150,54 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         round(cosine(col("qv"), col("cv")), 6).as("cos"))
       .groupBy("query_id", "neighbor_id").agg(max("cos").as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k).drop("rk")
+  }
+
+  /** IVF (inverted-file) approximate nearest neighbors — the
+    * deterministic scale path for similarity search. Coarse quantizer:
+    * `nlist` centroids seeded from hash partitions of the corpus (one
+    * Lloyd half-step: partition by id hash, average, round — rounding
+    * makes the centroids engine-reproducible); every vector is assigned
+    * to its nearest centroid (one broadcast pass); a query scans only
+    * its `nprobe` nearest centroid lists. At 100 TB the corpus shuffle
+    * is one repartition by list id and each query touches
+    * nprobe/nlist of the data instead of all of it.
+    *
+    * Fully deterministic (no RNG, no training noise) so it carries an
+    * exact SQL oracle, unlike sign-LSH.
+    */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
+              queryMaxId: Long, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val nv = df.select(col(idCol).as("vid"),
+      normalize(transform(col(vecCol), x => x.cast("double"))).as("v"))
+    // centroids: component-wise mean of each id-hash partition, rounded
+    // so both engines derive bit-identical values.
+    val cents = nv.select(pmod(col("vid"), lit(nlist)).as("cl"),
+        posexplode(col("v")))
+      .groupBy("cl", "pos").agg(avg("col").as("m"))
+      .groupBy("cl")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => round(s.getField("m"), 6)).as("cv"))
+    val c = broadcast(cents)
+    // assign every vector to its nearest centroid (max dot, ties → low cl)
+    val assigned = nv.crossJoin(c)
+      .select(col("vid"), col("v"), col("cl"),
+        round(dot(col("v"), col("cv")), 6).as("sim"))
+      .groupBy("vid", "v")
+      .agg(max_by(col("cl"), struct(col("sim"), -col("cl"))).as("cl"))
+    // queries probe their nprobe nearest lists
+    val probes = nv.filter(col("vid") < queryMaxId).crossJoin(c)
+      .select(col("vid").as("query_id"), col("v").as("qv"), col("cl"),
+        round(dot(col("v"), col("cv")), 6).as("sim"))
+    val w0 = Window.partitionBy("query_id").orderBy(desc("sim"), asc("cl"))
+    val probed = probes.withColumn("pk", row_number().over(w0))
+      .filter(col("pk") <= nprobe).select("query_id", "qv", "cl")
+    val scored = probed.join(assigned.select(col("cl"), col("vid").as("neighbor_id"),
+        col("v").as("cv2")), "cl")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(dot(col("qv"), col("cv2")), 6).as("cos"))
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k).drop("rk")
   }
