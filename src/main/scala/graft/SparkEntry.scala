@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.ml.functions.vector_to_array
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -49,6 +50,55 @@ object SparkEntry {
     li.join(o, li("l_orderkey") === o("o_orderkey"))
       .groupBy(col("o_custkey").as("user"), col("l_partkey").as("item"))
       .agg(round(avg("l_quantity"), 4).as("rating"))
+  }
+
+  /** Ratings with a small time dimension for the tensor CF programs. */
+  private def timeRatings(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey", "l_quantity")
+    val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_custkey").as("user"), col("l_partkey").as("item"),
+        (col("l_orderkey") % 4).as("time"))
+      .agg(round(avg("l_quantity"), 4).as("rating"))
+  }
+
+  /** (n_ratings, baseline_rmse, rmse_decreasing, beats_baseline) — the
+    * shared invariant row for iterative trainers (unittest.sh's
+    * convergence-smoke assertions made SQL-comparable).
+    */
+  private def trainerInvariantRow(s: SparkSession, r: DataFrame,
+                                  rmses: Seq[Double], tag: String): DataFrame = {
+    val mu = r.agg(avg("rating")).collect()(0).getDouble(0)
+    val base = r.agg(sqrt(avg(pow(col("rating") - mu, 2)))).collect()(0).getDouble(0)
+    import s.implicits._
+    Seq((r.count(), math.round(base * 10000).toDouble / 10000,
+        rmses.last < rmses.head, rmses.last < base))
+      .toDF("n_ratings", "baseline_rmse", "rmse_decreasing", "beats_baseline")
+  }
+
+  /** (n_ratings, baseline_rmse, beats_baseline) for one-shot predictors
+    * whose per-iteration trace isn't surfaced (NMF, PMF posterior mean).
+    */
+  private def baselineInvariantRow(s: SparkSession, r: DataFrame,
+                                   rmse: Double): DataFrame = {
+    val mu = r.agg(avg("rating")).collect()(0).getDouble(0)
+    val base = r.agg(sqrt(avg(pow(col("rating") - mu, 2)))).collect()(0).getDouble(0)
+    import s.implicits._
+    Seq((r.count(), math.round(base * 10000).toDouble / 10000, rmse < base))
+      .toDF("n_ratings", "baseline_rmse", "beats_baseline")
+  }
+
+  /** (k, monotone_decreasing, s1_le_frobenius, frobenius) for SVD-family
+    * outputs: singular values sorted, bounded by ‖A‖_F (SQL-computable).
+    */
+  private def svdInvariantRow(s: SparkSession, r: DataFrame,
+                              sv: Array[Double]): DataFrame = {
+    val frob = r.agg(sqrt(sum(pow(col("rating"), 2)))).collect()(0).getDouble(0)
+    val monotone = sv.zip(sv.tail).forall { case (a, b) => a >= b - 1e-9 }
+    import s.implicits._
+    Seq((sv.length.toLong, monotone, sv.head <= frob + 1e-6,
+        math.round(frob * 100).toDouble / 100))
+      .toDF("k", "monotone_decreasing", "s1_le_frobenius", "frobenius")
   }
 
   // ---- queries ----------------------------------------------------------
@@ -400,7 +450,200 @@ object SparkEntry {
         .select(col("vec_id"),
           round(Similarity.norm(col("embedding").cast("array<double>")), 4).as("l2"),
           size(col("embedding")).cast("long").as("dim"))
-        .orderBy("vec_id"))
+        .orderBy("vec_id")),
+
+    // ---- trainer invariants -------------------------------------------
+    // Factor values are solver-specific, so these oracles pin the
+    // SQL-derivable facts (counts, the global-mean predictor's RMSE) and
+    // the training invariants the reference's unittest.sh asserts
+    // (convergence smoke: objective improves, model beats the trivial
+    // predictor). The booleans are COMPUTED from the real training run.
+
+    // §2.11 sgd/biassgd (MfSgd.scala)
+    "q40_mf_sgd" -> ((s, d) => {
+      val r = ratings(s, d).transform(graft.graph.Iterate.ckpt)
+      val m = cf.MfSgd.train(r, rank = 8, iterations = 3)
+      trainerInvariantRow(s, r, m.trainRmse, "mfsgd")
+    }),
+
+    // §2.11 biassgd2 multi-loss (square / abs / logistic)
+    "q41_biassgd2_losses" -> ((s, d) => {
+      val r = ratings(s, d).transform(graft.graph.Iterate.ckpt)
+      val s2 = s
+      import s2.implicits._
+      Seq(("abs", cf.MfSgd.AbsLoss: cf.MfSgd.Loss),
+          ("logistic", cf.MfSgd.LogisticLoss),
+          ("square", cf.MfSgd.SquareLoss))
+        .map { case (name, loss) =>
+          val m = cf.MfSgd.train(r, rank = 8, iterations = 3, loss = loss)
+          (name, m.trainRmse.last < m.trainRmse.head)
+        }.toDF("loss", "improved").orderBy("loss")
+    }),
+
+    // §2.11 svdpp (SvdPP.scala)
+    "q42_svdpp" -> ((s, d) => {
+      val r = ratings(s, d).transform(graft.graph.Iterate.ckpt)
+      val m = cf.SvdPP.train(r, rank = 8, iterations = 3)
+      trainerInvariantRow(s, r, m.trainRmse, "svdpp")
+    }),
+
+    // §2.11 als/wals by per-vertex normal equations (AlsNormal.scala),
+    // weighted: confidence w = 1 + rating/10 (wals.cpp tensor weights)
+    "q43_wals_normal" -> ((s, d) => {
+      val r = ratings(s, d)
+        .withColumn("weight", lit(1.0) + col("rating") / 10.0)
+        .transform(graft.graph.Iterate.ckpt)
+      val m = cf.AlsNormal.train(r, rank = 8, iterations = 3)
+      trainerInvariantRow(s, r, m.trainRmse, "wals")
+    }),
+
+    // §2.11 nmf (Decompositions.nmf)
+    "q44_nmf" -> ((s, d) => {
+      val r = ratings(s, d).transform(graft.graph.Iterate.ckpt)
+      val (wf, hf) = cf.Decompositions.nmf(r, rank = 8, iterations = 5)
+      val preds = r
+        .join(wf.select(col("id").as("user"), col("f").as("p")), "user")
+        .join(hf.select(col("id").as("item"), col("f").as("q")), "item")
+        .select(col("rating"), Similarity.dot(col("p"), col("q")).as("pred"))
+      val rmse = preds.agg(sqrt(avg(pow(col("rating") - col("pred"), 2))))
+        .collect()(0).getDouble(0)
+      baselineInvariantRow(s, r, rmse)
+    }),
+
+    // §2.11 svd (Lanczos → RowMatrix.computeSVD)
+    "q45_svd" -> ((s, d) => {
+      val r = ratings(s, d)
+      val (sv, _, _) = cf.Decompositions.svd(r, 5)
+      svdInvariantRow(s, r, sv)
+    }),
+
+    // LDA over documents (cgs_lda port → ml.clustering.LDA)
+    "q46_lda" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val topics = cf.Decompositions.lda(docs, "doc_id", "text", k = 5, maxIter = 3)
+      val s2 = s
+      import s2.implicits._
+      val bad = topics.select(
+        abs(aggregate(transform(vector_to_array(col("topicDistribution")),
+          x => x), lit(0.0d), (a, x) => a + x) - 1.0).as("dev"))
+        .filter(col("dev") > 1e-6).count()
+      Seq((topics.count(), bad == 0)).toDF("n_docs", "rows_sum_to_one")
+    }),
+
+    // AdPredictor Bayesian CTR (classification/AdPredictor.scala):
+    // labels = above-user-mean rating, features = (user, item) ids
+    "q47_adpredictor" -> ((s, d) => {
+      val r = ratings(s, d)
+      val um = r.groupBy("user").agg(avg("rating").as("um"))
+      val ex = r.join(um, "user").select(
+          monotonically_increasing_id().as("example_id"),
+          when(col("rating") > col("um"), 1.0).otherwise(-1.0).as("label"),
+          array(xxhash64(lit(0), col("user")), xxhash64(lit(1), col("item")))
+            .as("features"))
+        .transform(graft.graph.Iterate.ckpt)
+      val w = classification.AdPredictor.train(ex, sweeps = 2)
+      val labels = ex.select(col("example_id").as("eid"), col("label"))
+      val preds = classification.AdPredictor.predict(ex, w)
+        .join(labels, col("example_id") === col("eid"))
+      val agg = preds.agg(
+        avg(when(col("label") === 1.0, col("p_click"))).as("pos"),
+        avg(when(col("label") === -1.0, col("p_click"))).as("neg"),
+        sum(when(col("p_click") <= 0 || col("p_click") >= 1, 1).otherwise(0)).as("bad"),
+        count(lit(1)).as("n")).collect()(0)
+      val s2 = s
+      import s2.implicits._
+      Seq((agg.getLong(3), agg.getDouble(0) > agg.getDouble(1), agg.getLong(2) == 0L))
+        .toDF("n_examples", "pos_mean_gt_neg_mean", "probs_in_unit_interval")
+    }),
+
+    // §2.11 als_tensor PARAFAC over (user, item, time) — time = order month
+    "q48_als_tensor" -> ((s, d) => {
+      val r = timeRatings(s, d).transform(graft.graph.Iterate.ckpt)
+      val m = cf.AlsTensor.train(r, rank = 4, iterations = 3)
+      trainerInvariantRow(s, r, m.trainRmse, "als_tensor")
+    }),
+
+    // §2.11 timesvdpp
+    "q49_timesvdpp" -> ((s, d) => {
+      val r = timeRatings(s, d).transform(graft.graph.Iterate.ckpt)
+      val m = cf.AlsTensor.trainTimeSvdPP(r, rank = 8, iterations = 3)
+      val s2 = s
+      import s2.implicits._
+      Seq((r.count(), m.trainRmse.last < m.trainRmse.head))
+        .toDF("n_ratings", "rmse_decreasing")
+    }),
+
+    // §2.11 climf (smoothed-MRR ascent on relevant items)
+    "q50_climf" -> ((s, d) => {
+      val r = ratings(s, d)
+      val um = r.groupBy("user").agg(avg("rating").as("um"))
+      val rel = r.join(um, "user").filter(col("rating") > col("um"))
+        .select("user", "item").transform(graft.graph.Iterate.ckpt)
+      val m = cf.Climf.train(rel, rank = 5, iterations = 3)
+      val nUsers = rel.groupBy("user").agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 2 && col("n") <= 200).count()
+      val s2 = s
+      import s2.implicits._
+      Seq((nUsers, m.objectives.last > m.objectives.head))
+        .toDF("n_trainable_users", "objective_increasing")
+    }),
+
+    // §2.11 pmf (Gibbs posterior mean)
+    "q51_pmf" -> ((s, d) => {
+      val r = ratings(s, d).transform(graft.graph.Iterate.ckpt)
+      val m = cf.Pmf.train(r, rank = 8, burnIn = 1, samples = 2)
+      val rmse = r.join(m.meanPrediction, Seq("user", "item"))
+        .agg(sqrt(avg(pow(col("rating") - col("pred"), 2))))
+        .collect()(0).getDouble(0)
+      baselineInvariantRow(s, r, rmse)
+    }),
+
+    // §2.11 rbm (mean-field CD)
+    "q52_rbm" -> ((s, d) => {
+      val r = ratings(s, d).transform(graft.graph.Iterate.ckpt)
+      val m = cf.Rbm.train(r, nHidden = 8, iterations = 3)
+      val s2 = s
+      import s2.implicits._
+      Seq((r.count(), m.reconRmse.last < m.reconRmse.head))
+        .toDF("n_ratings", "recon_rmse_decreasing")
+    }),
+
+    // §2.11 libfm/gensgd factorization machine
+    "q53_fm" -> ((s, d) => {
+      val r = ratings(s, d).transform(graft.graph.Iterate.ckpt)
+      val ex = cf.Fm.featuresFromRatings(r, Seq("user", "item"))
+      val m = cf.Fm.train(ex, rank = 4, iterations = 6, lr = 0.05)
+      trainerInvariantRow(s, r, m.trainRmse, "fm")
+    }),
+
+    // §2.11 als_coord (CCD++)
+    "q54_als_coord" -> ((s, d) => {
+      val r = ratings(s, d).transform(graft.graph.Iterate.ckpt)
+      val m = cf.AlsCoord.train(r, rank = 4, iterations = 2)
+      trainerInvariantRow(s, r, m.trainRmse, "als_coord")
+    }),
+
+    // §2.11 sparse_als (CoSaMP hard thresholding)
+    "q55_sparse_als" -> ((s, d) => {
+      val r = ratings(s, d).transform(graft.graph.Iterate.ckpt)
+      val m = cf.AlsNormal.train(r, rank = 8, iterations = 3, sparsity = Some(4))
+      val maxNnz = m.userFactors
+        .select(size(filter(col("f"), x => abs(x) > 1e-12)).as("nnz"))
+        .agg(max("nnz")).collect()(0).getInt(0)
+      val mu = r.agg(avg("rating")).collect()(0).getDouble(0)
+      val base = r.agg(sqrt(avg(pow(col("rating") - mu, 2)))).collect()(0).getDouble(0)
+      val s2 = s
+      import s2.implicits._
+      Seq((r.count(), maxNnz <= 4, m.trainRmse.last < base))
+        .toDF("n_ratings", "factors_are_sparse", "beats_baseline")
+    }),
+
+    // §2.11 svd_onesided
+    "q56_svd_onesided" -> ((s, d) => {
+      val r = ratings(s, d)
+      val (sv, _) = cf.Decompositions.svdOneSided(r, 5)
+      svdInvariantRow(s, r, sv)
+    })
   )
 
   // ---- oracles ----------------------------------------------------------
@@ -893,6 +1136,171 @@ object SparkEntry {
                 ROUND(sqrt(list_sum(list_transform(
                   CAST(embedding AS DOUBLE[]), x -> x * x))), 4) AS l2,
                 CAST(len(embedding) AS BIGINT) AS dim
-         FROM embeddings ORDER BY vec_id"""
+         FROM embeddings ORDER BY vec_id""",
+
+    // ---- trainer invariant oracles ------------------------------------
+    // shared shape: n_ratings + global-mean-predictor RMSE are derived
+    // from the raw tables; the booleans assert the training invariants.
+
+    "q40_mf_sgd" ->
+      """WITH r AS (SELECT o_custkey AS u, l_partkey AS item,
+                    ROUND(AVG(l_quantity), 4) AS rating
+                    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                    GROUP BY 1, 2),
+            mu AS (SELECT AVG(rating) AS mu FROM r)
+         SELECT COUNT(*) AS n_ratings,
+                ROUND(sqrt(AVG(pow(rating - (SELECT mu FROM mu), 2))), 4)
+                  AS baseline_rmse,
+                true AS rmse_decreasing, true AS beats_baseline
+         FROM r""",
+
+    "q41_biassgd2_losses" ->
+      """SELECT * FROM (VALUES ('abs', true), ('logistic', true),
+           ('square', true)) AS t(loss, improved) ORDER BY loss""",
+
+    "q42_svdpp" ->
+      """WITH r AS (SELECT o_custkey AS u, l_partkey AS item,
+                    ROUND(AVG(l_quantity), 4) AS rating
+                    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                    GROUP BY 1, 2),
+            mu AS (SELECT AVG(rating) AS mu FROM r)
+         SELECT COUNT(*) AS n_ratings,
+                ROUND(sqrt(AVG(pow(rating - (SELECT mu FROM mu), 2))), 4)
+                  AS baseline_rmse,
+                true AS rmse_decreasing, true AS beats_baseline
+         FROM r""",
+
+    "q43_wals_normal" ->
+      """WITH r AS (SELECT o_custkey AS u, l_partkey AS item,
+                    ROUND(AVG(l_quantity), 4) AS rating
+                    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                    GROUP BY 1, 2),
+            mu AS (SELECT AVG(rating) AS mu FROM r)
+         SELECT COUNT(*) AS n_ratings,
+                ROUND(sqrt(AVG(pow(rating - (SELECT mu FROM mu), 2))), 4)
+                  AS baseline_rmse,
+                true AS rmse_decreasing, true AS beats_baseline
+         FROM r""",
+
+    "q44_nmf" ->
+      """WITH r AS (SELECT o_custkey AS u, l_partkey AS item,
+                    ROUND(AVG(l_quantity), 4) AS rating
+                    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                    GROUP BY 1, 2),
+            mu AS (SELECT AVG(rating) AS mu FROM r)
+         SELECT COUNT(*) AS n_ratings,
+                ROUND(sqrt(AVG(pow(rating - (SELECT mu FROM mu), 2))), 4)
+                  AS baseline_rmse,
+                true AS beats_baseline
+         FROM r""",
+
+    "q45_svd" ->
+      """WITH r AS (SELECT o_custkey AS u, l_partkey AS item,
+                    ROUND(AVG(l_quantity), 4) AS rating
+                    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                    GROUP BY 1, 2)
+         SELECT 5 AS k, true AS monotone_decreasing, true AS s1_le_frobenius,
+                ROUND(sqrt(SUM(rating * rating)), 2) AS frobenius FROM r""",
+
+    "q46_lda" ->
+      """SELECT COUNT(*) AS n_docs, true AS rows_sum_to_one FROM documents""",
+
+    "q47_adpredictor" ->
+      """WITH r AS (SELECT o_custkey AS u, l_partkey AS item,
+                    ROUND(AVG(l_quantity), 4) AS rating
+                    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                    GROUP BY 1, 2)
+         SELECT COUNT(*) AS n_examples, true AS pos_mean_gt_neg_mean,
+                true AS probs_in_unit_interval FROM r""",
+
+    "q48_als_tensor" ->
+      """WITH r AS (SELECT o_custkey AS u, l_partkey AS item,
+                    l_orderkey % 4 AS t,
+                    ROUND(AVG(l_quantity), 4) AS rating
+                    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                    GROUP BY 1, 2, 3),
+            mu AS (SELECT AVG(rating) AS mu FROM r)
+         SELECT COUNT(*) AS n_ratings,
+                ROUND(sqrt(AVG(pow(rating - (SELECT mu FROM mu), 2))), 4)
+                  AS baseline_rmse,
+                true AS rmse_decreasing, true AS beats_baseline
+         FROM r""",
+
+    "q49_timesvdpp" ->
+      """WITH r AS (SELECT o_custkey AS u, l_partkey AS item,
+                    l_orderkey % 4 AS t,
+                    ROUND(AVG(l_quantity), 4) AS rating
+                    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                    GROUP BY 1, 2, 3)
+         SELECT COUNT(*) AS n_ratings, true AS rmse_decreasing FROM r""",
+
+    "q50_climf" ->
+      """WITH r AS (SELECT o_custkey AS u, l_partkey AS item,
+                    ROUND(AVG(l_quantity), 4) AS rating
+                    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                    GROUP BY 1, 2),
+            um AS (SELECT u, AVG(rating) AS um FROM r GROUP BY u),
+            rel AS (SELECT r.u, r.item FROM r JOIN um ON r.u = um.u
+                    WHERE r.rating > um.um),
+            cnt AS (SELECT u, COUNT(*) AS n FROM rel GROUP BY u)
+         SELECT COUNT(*) AS n_trainable_users, true AS objective_increasing
+         FROM cnt WHERE n >= 2 AND n <= 200""",
+
+    "q51_pmf" ->
+      """WITH r AS (SELECT o_custkey AS u, l_partkey AS item,
+                    ROUND(AVG(l_quantity), 4) AS rating
+                    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                    GROUP BY 1, 2),
+            mu AS (SELECT AVG(rating) AS mu FROM r)
+         SELECT COUNT(*) AS n_ratings,
+                ROUND(sqrt(AVG(pow(rating - (SELECT mu FROM mu), 2))), 4)
+                  AS baseline_rmse,
+                true AS beats_baseline
+         FROM r""",
+
+    "q52_rbm" ->
+      """WITH r AS (SELECT o_custkey AS u, l_partkey AS item
+                    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                    GROUP BY 1, 2)
+         SELECT COUNT(*) AS n_ratings, true AS recon_rmse_decreasing FROM r""",
+
+    "q53_fm" ->
+      """WITH r AS (SELECT o_custkey AS u, l_partkey AS item,
+                    ROUND(AVG(l_quantity), 4) AS rating
+                    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                    GROUP BY 1, 2),
+            mu AS (SELECT AVG(rating) AS mu FROM r)
+         SELECT COUNT(*) AS n_ratings,
+                ROUND(sqrt(AVG(pow(rating - (SELECT mu FROM mu), 2))), 4)
+                  AS baseline_rmse,
+                true AS rmse_decreasing, true AS beats_baseline
+         FROM r""",
+
+    "q54_als_coord" ->
+      """WITH r AS (SELECT o_custkey AS u, l_partkey AS item,
+                    ROUND(AVG(l_quantity), 4) AS rating
+                    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                    GROUP BY 1, 2),
+            mu AS (SELECT AVG(rating) AS mu FROM r)
+         SELECT COUNT(*) AS n_ratings,
+                ROUND(sqrt(AVG(pow(rating - (SELECT mu FROM mu), 2))), 4)
+                  AS baseline_rmse,
+                true AS rmse_decreasing, true AS beats_baseline
+         FROM r""",
+
+    "q55_sparse_als" ->
+      """WITH r AS (SELECT o_custkey AS u, l_partkey AS item
+                    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                    GROUP BY 1, 2)
+         SELECT COUNT(*) AS n_ratings, true AS factors_are_sparse,
+                true AS beats_baseline FROM r""",
+
+    "q56_svd_onesided" ->
+      """WITH r AS (SELECT o_custkey AS u, l_partkey AS item,
+                    ROUND(AVG(l_quantity), 4) AS rating
+                    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                    GROUP BY 1, 2)
+         SELECT 5 AS k, true AS monotone_decreasing, true AS s1_le_frobenius,
+                ROUND(sqrt(SUM(rating * rating)), 2) AS frobenius FROM r"""
   )
 }

@@ -186,9 +186,14 @@ object AlsTensor {
         when(col("gb").isNotNull,
           col("bi") + lit(lr) * (col("gb") - lit(reg) * col("bi")))
           .otherwise(col("bi")).as("bi"))
+      // time buckets aggregate FAR more ratings than any user/item, so
+      // the time-side gradient is averaged, not summed — a summed
+      // gradient over ~n/|T| ratings diverges at any fixed step size
       val gt = joined.groupBy("time").agg(
-        vecSum(transform(col("xu"), x => x * col("err")), rank).as("gz"),
-        sum("err").as("gb"))
+          vecSum(transform(col("xu"), x => x * col("err")), rank).as("gzsum"),
+          avg("err").as("gb"), count(lit(1)).as("gn"))
+        .select(col("time"), transform(col("gzsum"), g => g / col("gn")).as("gz"),
+          col("gb"))
       val newTf = tf.join(gt, Seq("time"), "left").select(
         col("time"),
         when(col("gz").isNotNull, zip_with(col("zt"), col("gz"),

@@ -72,7 +72,7 @@ object AdPredictor {
         .withColumn("t", col("label") * col("mu") / col("stot"))
         .withColumn("v", vFn(col("t")))
         .withColumn("w", col("v") * (col("v") + col("t")))
-        .select(col("example_id"), col("label"), col("stot"), col("v"), col("w"))
+        .select(col("example_id"), col("stot"), col("v"), col("w"))
       // per-feature update terms, averaged over the examples touching it
       weights = joined.join(perExample, Seq("example_id"))
         .select(col("feature"), col("mean"), col("variance"),

@@ -83,6 +83,22 @@ class CfProgramsSpec extends SparkSpec {
     assert(m.trainRmse.last < baseline)
   }
 
+  test("adpredictor: separates positive from negative examples") {
+    val ex = ratings.select(
+      monotonically_increasing_id().as("example_id"),
+      when(col("rating") >= 4, 1.0).otherwise(-1.0).as("label"),
+      array(xxhash64(lit(0), col("user")), xxhash64(lit(1), col("item")))
+        .as("features"))
+    val w = graft.classification.AdPredictor.train(ex, sweeps = 2)
+    val labels = ex.select(col("example_id").as("eid"), col("label"))
+    val p = graft.classification.AdPredictor.predict(ex, w)
+      .join(labels, col("example_id") === col("eid"))
+      .agg(avg(when(col("label") === 1.0, col("p_click"))).as("pos"),
+           avg(when(col("label") === -1.0, col("p_click"))).as("neg"))
+      .collect()(0)
+    assert(p.getDouble(0) > p.getDouble(1))
+  }
+
   test("svd_onesided: singular values match two-sided svd") {
     val (s1, _) = Decompositions.svdOneSided(ratings, 3)
     val (s2, _, _) = Decompositions.svd(ratings, 3)
