@@ -643,7 +643,315 @@ object SparkEntry {
       val r = ratings(s, d)
       val (sv, _) = cf.Decompositions.svdOneSided(r, 5)
       svdInvariantRow(s, r, sv)
-    })
+    }),
+
+    // §2.10 community detection by label propagation (sync, 2 rounds —
+    // exactly unrollable in SQL; ties to larger label like the ref).
+    "q57_label_propagation" -> ((s, d) =>
+      Algorithms.labelPropagation(triEdges(s, d), iterations = 2).orderBy("id")),
+
+    // §2.10 k-core: peel to fixpoint (k=10 peels twice at sf0.001 and
+    // is stable at larger SFs; the oracle unrolls 4 idempotent peels).
+    "q58_kcore" -> ((s, d) =>
+      Algorithms.kCore(spEdges(s, d), k = 10).orderBy("id")),
+
+    // §2.10 random walks over a layered DAG built from supplier→part
+    // edges (layer offsets prevent id collisions, so every walk takes
+    // exactly 2 steps then parks — total visit mass is deterministic
+    // even though the per-vertex routes are random).
+    "q59_random_walks" -> ((s, d) => {
+      val base = spEdges(s, d)
+      val l1 = base.select(col("src"), (col("dst") + 100000L).as("dst"))
+      val l2 = base.select((col("dst") + 100000L).as("src"),
+        (col("dst") + 200000L).as("dst")).distinct()
+      val sources = base.select("src").distinct()
+      val visits = Algorithms.randomWalks(l1.union(l2), sources,
+        nWalks = 3, steps = 3)
+      val nS = sources.count()
+      val total = visits.agg(sum("visits")).collect()(0).getLong(0)
+      val s2 = s
+      import s2.implicits._
+      Seq((nS, total)).toDF("n_sources", "total_visits")
+    }),
+
+    // §2.10 seeded damped label propagation: seeds stay fixed, every
+    // distribution stays normalized (both SQL-assertable invariants).
+    "q60_seeded_lpa" -> ((s, d) => {
+      val e = triEdges(s, d)
+      val seeds = e.select(col("src").as("id")).filter(col("id") < 5).distinct()
+        .withColumn("label", (col("id") % 3).cast("int"))
+      val res = Algorithms.seededLabelPropagation(e, seeds, numLabels = 3,
+        iterations = 3)
+      val nV = res.count()
+      val nSeeds = seeds.count()
+      val seedsKeep = res.join(seeds.withColumnRenamed("label", "slabel"), "id")
+        .filter(col("label") =!= col("slabel")).count() == 0
+      val maxDrift = res.agg(max(abs(
+          aggregate(col("dist"), lit(0.0d), (a, x) => a + x) - 1.0)))
+        .collect()(0).getDouble(0)
+      val s2 = s
+      import s2.implicits._
+      Seq((nV, nSeeds, seedsKeep, maxDrift < 1e-6))
+        .toDF("n_vertices", "n_seeds", "seeds_keep_labels", "dists_normalized")
+    }),
+
+    // §2.10 union-find CC — must agree exactly with the distributed
+    // min-label variant, so it shares q18's recursive-CTE oracle.
+    "q61_unionfind_cc" -> ((s, d) =>
+      Algorithms.unionFindConnectedComponents(spEdges(s, d)).orderBy("id")),
+
+    // §2.1 4-column tensor MatrixMarket reader: write the time-ratings
+    // tensor as an MM4 file, read it back, aggregate (item ids carry the
+    // reference's +M bipartite offset).
+    "q62_mm4_reader" -> ((s, d) => {
+      val r = timeRatings(s, d)
+      val m = r.agg(max("user")).collect()(0).getLong(0)
+      val n = r.agg(max("item")).collect()(0).getLong(0)
+      val nnz = r.count()
+      val s2 = s
+      import s2.implicits._
+      val header = Seq("%%MatrixMarket tensor coordinate real general",
+        s"$m $n $nnz").toDF("value").withColumn("ord", lit(-1L))
+      val body = r.select(concat_ws(" ", col("user"), col("item"), col("time"),
+          col("rating")).as("value"),
+        monotonically_increasing_id().as("ord"))
+      header.union(body).orderBy("ord").select("value").coalesce(1)
+        .write.mode("overwrite").text("/tmp/graft_q62_mm4")
+      val mm = graft.io.GraphReaders.matrixMarket4(s, "/tmp/graft_q62_mm4")
+      mm.entries.agg(count(lit(1)).as("nnz"), sum("user").as("sum_user"),
+        sum("item").as("sum_item"), sum("time").as("sum_time"),
+        round(sum("rating"), 2).as("sum_rating"))
+    }),
+
+    // §2.9 functional bulk-sync kernel (initial/value_to_neighbor/plus/
+    // compute) running PageRank — same fixpoint as q19, same oracle.
+    "q63_functional_pagerank" -> ((s, d) => {
+      val e = Tables.customerSupplierEdges(s, d).select("src", "dst")
+      val outDeg = e.groupBy("src").agg(count(lit(1)).as("odeg"))
+      val ew = e.join(outDeg, "src")
+        .select(col("src"), col("dst"), (lit(1.0) / col("odeg")).as("w"))
+      val kernel = graft.graph.FunctionalKernel(
+        initialValue = lit(1.0),
+        valueToNeighbor = col("src_value") * col("w"),
+        plus = sum(col("msg")),
+        compute = lit(0.15) + lit(0.85) * coalesce(col("msg"), lit(0.0)))
+      graft.graph.Functional.bulkSync(ew, kernel, iterations = 4)
+        .select(col("id"), round(col("value"), 6).as("pr"))
+        .orderBy(desc("pr"), asc("id")).limit(100)
+    }),
+
+    // §2.4 token PMI (parsers/mi.cpp) — fully SQL-expressible.
+    "q64_token_pmi" -> ((s, d) =>
+      TextAnalysis.tokenPmi(Tables.documents(s, d), "doc_id", "text",
+        minDf = 25L, topPairs = 100)),
+
+    // Training-pipeline ANN: IVF top-k — the deterministic scale path
+    // (coarse quantizer from hash partitions, nprobe lists per query),
+    // with an exact SQL oracle. q23's brute force is the cross-check.
+    "q65_knn_ivf" -> ((s, d) =>
+      Similarity.ivfTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+          k = 5, queryMaxId = 100L, nlist = 8, nprobe = 3)
+        .orderBy("query_id", "neighbor_id")),
+
+    // Training-pipeline ANN: sign-LSH top-k (hash-seeded, so the oracle
+    // asserts the invariant: recall@5 vs brute force ≥ 0.6).
+    "q66_knn_lsh" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val dim = emb.select(size(col("embedding"))).limit(1).collect()(0).getInt(0)
+      val approx = Similarity.lshTopK(emb, "vec_id", "embedding", dim, k = 5,
+        numPlanes = 4, numTables = 16).filter(col("query_id") < 100)
+      val exact = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 100), emb,
+        "vec_id", "embedding", 5)
+      val hits = exact.join(approx.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("h"))
+      val nQ = exact.select("query_id").distinct().count()
+      val recall = hits.agg(sum("h")).collect()(0).getLong(0).toDouble / (5.0 * nQ)
+      val s2 = s
+      import s2.implicits._
+      Seq((nQ, recall >= 0.6)).toDF("n_queries", "recall_ok")
+    }),
+
+    // Training-pipeline: embedding near-duplicate pairs via LSH buckets.
+    // Planted exact duplicates (identical vectors hash to identical
+    // buckets in every table → recall 1.0), so the exact-cosine oracle
+    // is the complete answer.
+    "q67_embedding_dups" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val dim = emb.select(size(col("embedding"))).limit(1).collect()(0).getInt(0)
+      val doubled = emb.union(
+        emb.select((col("vec_id") + 10000L).as("vec_id"), col("embedding")))
+      Similarity.embeddingDuplicatePairs(doubled, "vec_id", "embedding", dim,
+        threshold = 0.95).orderBy("id1", "id2")
+    }),
+
+    // §2.8 distance library over consecutive embedding pairs (abs values
+    // so the occurrence-style measures stay in-domain).
+    "q68_distances" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d).select(col("vec_id"),
+        transform(col("embedding"), x => abs(x.cast("double"))).as("v"))
+      val nxt = emb.select((col("vec_id") - 1).as("vec_id"), col("v").as("w"))
+      emb.join(nxt, "vec_id")
+        .select(col("vec_id"),
+          round(Similarity.euclidean(col("v"), col("w")), 6).as("euclidean"),
+          round(Similarity.manhattan(col("v"), col("w")), 6).as("manhattan"),
+          round(Similarity.chebyshev(col("v"), col("w")), 6).as("chebyshev"),
+          round(Similarity.tanimoto(col("v"), col("w")), 6).as("tanimoto"),
+          round(Similarity.weightedJaccard(col("v"), col("w")), 6).as("weighted_jaccard"),
+          round(Similarity.slopeOne(col("v"), col("w")), 6).as("slope_one"))
+        .orderBy("vec_id")
+    }),
+
+    // §2.12 cdr parser: timestamp parse → per-day interaction graph.
+    "q69_cdr" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+      val o = Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_orderdate")
+      val calls = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .select(col("o_custkey").as("caller"), col("l_suppkey").as("callee"),
+          col("o_orderdate").as("ts"))
+      graft.text.Parsers.cdr(calls, "caller", "callee", "ts")
+        .orderBy("day", "src", "dst")
+    }),
+
+    // §2.12 nbayes prep: per-(class, token) counts + priors.
+    "q70_nbayes" -> ((s, d) =>
+      graft.text.Parsers.nbayesPrep(Tables.documents(s, d), "lang", "text")
+        .select(col("label"), col("token"), col("cnt"), col("class_total"),
+          round(col("prior"), 6).as("prior"))
+        .orderBy("label", "token")),
+
+    // §2.1 Cassovary/Twitter block-format reader round-trip.
+    "q71_cassovary" -> ((s, d) => {
+      val e = spEdges(s, d).filter(col("src") =!= col("dst"))
+      val adj = e.groupBy("src").agg(sort_array(collect_list("dst")).as("ds"))
+      val blocks = adj.select(col("src"),
+        concat(
+          array(concat_ws(" ", col("src").cast("string"),
+            size(col("ds")).cast("string"))),
+          transform(col("ds"), x => x.cast("string"))).as("lines"))
+      blocks.select(col("src"), posexplode(col("lines")))
+        .orderBy("src", "pos").select("col").coalesce(1)
+        .write.mode("overwrite").text("/tmp/graft_q71_cassovary")
+      graft.io.GraphReaders.cassovary(s, "/tmp/graft_q71_cassovary/part-*")
+        .orderBy("src", "dst")
+    }),
+
+    // §2.1 warm-start factor round-trip: MMOutputter_mat →
+    // load_matrix_market_matrix (io.hpp:611-760), values must survive.
+    "q72_warmstart_matrix" -> ((s, d) => {
+      val um = ratings(s, d).groupBy("user")
+        .agg(round(avg("rating"), 4).as("um"),
+          count(lit(1)).cast("double").as("n"))
+      val factors = um.select(col("user"), array(col("um"), col("n")).as("f"))
+      graft.io.GraphWriters.writeMatrixMarket(factors, "user", "f",
+        "/tmp/graft_q72_mm", singleFile = true)
+      graft.io.GraphReaders.readMatrixMarketMatrix(s, "/tmp/graft_q72_mm")
+        .select(col("row"), round(element_at(col("f"), 1), 4).as("user_mean"),
+          element_at(col("f"), 2).cast("long").as("n_items"))
+        .orderBy("row")
+    }),
+
+    // §2.1 MMOutputter_vec round-trip (item-mean vector).
+    "q73_warmstart_vector" -> ((s, d) => {
+      val im = ratings(s, d).groupBy("item").agg(round(avg("rating"), 4).as("iv"))
+      graft.io.GraphWriters.writeMatrixMarketVector(im, "item", "iv",
+        "/tmp/graft_q73_mmvec", singleFile = true)
+      graft.io.GraphReaders.readMatrixMarketVector(s, "/tmp/graft_q73_mmvec")
+        .select(col("row"), round(col("value"), 4).as("item_mean"))
+        .orderBy("row")
+    }),
+
+    // §2.1 per-iteration delta log (graphchi_engine.hpp:593-599): CC's
+    // (iter, nupdates) trace is deterministic → unrolled SQL oracle.
+    "q74_cc_delta_log" -> ((s, d) =>
+      Algorithms.connectedComponentsWithDeltaLog(spEdges(s, d))._2
+        .orderBy("iter")),
+
+    // §2.1 MM ∪ item-similarity input (io.hpp:371-497): ratings +
+    // similarity files merge into one tagged edge set.
+    "q75_mm_itemsim" -> ((s, d) => {
+      val r = ratings(s, d)
+      val m = r.agg(max("user")).collect()(0).getLong(0)
+      val n = r.agg(max("item")).collect()(0).getLong(0)
+      val s2 = s
+      import s2.implicits._
+      def writeMm(df: DataFrame, sizeLine: String, path: String): Unit = {
+        val header = Seq("%%MatrixMarket matrix coordinate real general",
+          sizeLine).toDF("value").withColumn("ord", lit(-1L))
+        val body = df.select(concat_ws(" ", df.columns.map(col): _*).as("value"),
+          monotonically_increasing_id().as("ord"))
+        header.union(body).orderBy("ord").select("value").coalesce(1)
+          .write.mode("overwrite").text(path)
+      }
+      writeMm(r.select(col("user"), col("item"), col("rating")),
+        s"$m $n ${r.count()}", "/tmp/graft_q75_ratings")
+      val sims = Tables.part(s, d)
+        .select(col("p_partkey").as("i"), (col("p_partkey") + 1).as("j"),
+          lit(0.5).as("sim"))
+      writeMm(sims, s"$n $n ${sims.count()}", "/tmp/graft_q75_sims")
+      graft.io.GraphReaders.matrixMarketWithItemSimilarity(s,
+          "/tmp/graft_q75_ratings", "/tmp/graft_q75_sims")
+        .groupBy("kind")
+        .agg(count(lit(1)).as("n_edges"), sum("src").as("sum_src"),
+          sum("dst").as("sum_dst"), round(sum("value"), 2).as("sum_value"))
+        .orderBy("kind")
+    }),
+
+    // §2.1 text-format reader round-trips: edge list, adjacency list,
+    // multi-value (chivector) edge list.
+    "q76_reader_roundtrips" -> ((s, d) => {
+      val e = Tables.supplierPartEdges(s, d)
+      graft.io.GraphWriters.writeEdgesText(
+        e.select("src", "dst", "weight"), "/tmp/graft_q76_el")
+      val r1 = graft.io.GraphReaders.edgeList(s, "/tmp/graft_q76_el")
+      val adj = e.groupBy("src").agg(sort_array(collect_list("dst")).as("ds"))
+      adj.select(concat_ws(" ", col("src").cast("string"),
+          size(col("ds")).cast("string"),
+          concat_ws(" ", col("ds"))).as("value"))
+        .write.mode("overwrite").text("/tmp/graft_q76_adj")
+      val r2 = graft.io.GraphReaders.adjList(s, "/tmp/graft_q76_adj")
+      e.select(concat_ws(" ", col("src"), col("dst"),
+          concat_ws(":", col("weight"), col("weight"))).as("value"))
+        .write.mode("overwrite").text("/tmp/graft_q76_mv")
+      val r3 = graft.io.GraphReaders.multiValueEdgeList(s, "/tmp/graft_q76_mv")
+      def statsOf(df: DataFrame, fmt: String, v: org.apache.spark.sql.Column) =
+        df.agg(count(lit(1)).as("n_edges"), sum("src").as("sum_src"),
+            sum("dst").as("sum_dst"), round(sum(v), 2).as("sum_val"))
+          .select(lit(fmt).as("format"), col("n_edges"), col("sum_src"),
+            col("sum_dst"), col("sum_val"))
+      statsOf(r2, "adjlist", lit(0.0d))
+        .unionByName(statsOf(r1, "edgelist", col("value")))
+        .unionByName(statsOf(r3, "multivalue", element_at(col("values"), 1)))
+        .orderBy("format")
+    }),
+
+    // §2.8 document fingerprint: rolling-hash min-shingle. Invariant:
+    // identical normalized token sequences always fingerprint alike
+    // (distinct texts MAY share a min-shingle — a 31-token vocabulary
+    // makes that common — so group counts are not comparable).
+    "q77_fingerprint" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val norm = docs.select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"),
+        concat_ws(" ", transform(TextAnalysis.wsTokens(col("text")),
+          t => lower(t))).as("nt"))
+      val nDocs = norm.count()
+      val nTextGroups = norm.select("nt").distinct().count()
+      val consistent = norm.groupBy("nt").agg(countDistinct("fp").as("k"))
+        .filter(col("k") > 1).count() == 0
+      val s2 = s
+      import s2.implicits._
+      Seq((nDocs, nTextGroups, consistent))
+        .toDF("n_docs", "n_text_groups", "fp_consistent")
+    }),
+
+    // §2.8 configurable tokenizer (topk.cpp:68 separator set).
+    "q78_tokens_by_separators" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(explode(TextAnalysis.tokensBySeparators(lower(col("text")),
+          "\\s.,;:!?")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), asc("token")).limit(50))
   )
 
   // ---- oracles ----------------------------------------------------------
@@ -1301,6 +1609,366 @@ object SparkEntry {
                     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
                     GROUP BY 1, 2)
          SELECT 5 AS k, true AS monotone_decreasing, true AS s1_le_frobenius,
-                ROUND(sqrt(SUM(rating * rating)), 2) AS frobenius FROM r"""
+                ROUND(sqrt(SUM(rating * rating)), 2) AS frobenius FROM r""",
+
+    // Sync LPA, 2 rounds unrolled; most-frequent neighbor label, ties to
+    // the larger label (communitydetection.cpp:150-153).
+    "q57_label_propagation" ->
+      """WITH e0 AS (SELECT DISTINCT l_suppkey AS src, l_partkey % 100 AS dst
+                     FROM lineitem WHERE l_suppkey <> l_partkey % 100),
+            sym AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+            l0 AS (SELECT DISTINCT src AS id, src AS label FROM sym),
+            f1 AS (SELECT sym.dst AS id, l0.label, COUNT(*) AS n
+                   FROM sym JOIN l0 ON sym.src = l0.id GROUP BY 1, 2),
+            b1 AS (SELECT id, label FROM (
+                     SELECT id, label, ROW_NUMBER() OVER (PARTITION BY id
+                       ORDER BY n DESC, label DESC) AS rk FROM f1) WHERE rk = 1),
+            l1 AS (SELECT l0.id, COALESCE(b1.label, l0.label) AS label
+                   FROM l0 LEFT JOIN b1 ON l0.id = b1.id),
+            f2 AS (SELECT sym.dst AS id, l1.label, COUNT(*) AS n
+                   FROM sym JOIN l1 ON sym.src = l1.id GROUP BY 1, 2),
+            b2 AS (SELECT id, label FROM (
+                     SELECT id, label, ROW_NUMBER() OVER (PARTITION BY id
+                       ORDER BY n DESC, label DESC) AS rk FROM f2) WHERE rk = 1),
+            l2 AS (SELECT l1.id, COALESCE(b2.label, l1.label) AS label
+                   FROM l1 LEFT JOIN b2 ON l1.id = b2.id)
+         SELECT id, label FROM l2 ORDER BY id""",
+
+    // k=10 core: 4 unrolled peels (idempotent once stable).
+    "q58_kcore" ->
+      """WITH e0 AS (SELECT DISTINCT l_suppkey AS src, l_partkey AS dst
+                     FROM lineitem WHERE l_suppkey <> l_partkey),
+            s0 AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+            k1 AS (SELECT src FROM s0 GROUP BY src HAVING COUNT(*) >= 10),
+            s1 AS (SELECT s0.src, s0.dst FROM s0
+                   JOIN k1 a ON s0.src = a.src JOIN k1 b ON s0.dst = b.src),
+            k2 AS (SELECT src FROM s1 GROUP BY src HAVING COUNT(*) >= 10),
+            s2 AS (SELECT s1.src, s1.dst FROM s1
+                   JOIN k2 a ON s1.src = a.src JOIN k2 b ON s1.dst = b.src),
+            k3 AS (SELECT src FROM s2 GROUP BY src HAVING COUNT(*) >= 10),
+            s3 AS (SELECT s2.src, s2.dst FROM s2
+                   JOIN k3 a ON s2.src = a.src JOIN k3 b ON s2.dst = b.src),
+            k4 AS (SELECT src FROM s3 GROUP BY src HAVING COUNT(*) >= 10),
+            s4 AS (SELECT s3.src, s3.dst FROM s3
+                   JOIN k4 a ON s3.src = a.src JOIN k4 b ON s3.dst = b.src)
+         SELECT DISTINCT src AS id FROM s4 ORDER BY id""",
+
+    // Layered-DAG walk: every walker takes exactly 2 steps (layer-1 has
+    // one out-edge, layer-2 is a sink), so total visits = 3 rounds ×
+    // nWalks × nSources.
+    "q59_random_walks" ->
+      """SELECT CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_sources,
+                CAST(9 * COUNT(DISTINCT l_suppkey) AS BIGINT) AS total_visits
+         FROM lineitem""",
+
+    "q60_seeded_lpa" ->
+      """WITH e0 AS (SELECT DISTINCT l_suppkey AS src, l_partkey % 100 AS dst
+                     FROM lineitem WHERE l_suppkey <> l_partkey % 100),
+            v AS (SELECT src AS id FROM e0 UNION SELECT dst FROM e0)
+         SELECT (SELECT COUNT(*) FROM v) AS n_vertices,
+                (SELECT COUNT(DISTINCT src) FROM e0 WHERE src < 5) AS n_seeds,
+                true AS seeds_keep_labels, true AS dists_normalized""",
+
+    // Union-find must agree exactly with distributed CC → q18's oracle.
+    "q61_unionfind_cc" ->
+      """WITH RECURSIVE e AS (SELECT DISTINCT l_suppkey AS src, l_partkey AS dst
+                              FROM lineitem),
+            sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+            reach(id, r) AS (
+              SELECT src, src FROM sym
+              UNION
+              SELECT sym.src, reach.r FROM sym
+              JOIN reach ON sym.dst = reach.id WHERE reach.r < sym.src)
+         SELECT id, MIN(r) AS component FROM reach GROUP BY id ORDER BY id""",
+
+    "q62_mm4_reader" ->
+      """WITH r AS (SELECT o_custkey AS u, l_partkey AS i, l_orderkey % 4 AS t,
+                    ROUND(AVG(l_quantity), 4) AS rating
+                    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                    GROUP BY 1, 2, 3)
+         SELECT COUNT(*) AS nnz, CAST(SUM(u) AS BIGINT) AS sum_user,
+                CAST(SUM(i) + COUNT(*) * (SELECT MAX(u) FROM r) AS BIGINT)
+                  AS sum_item,
+                CAST(SUM(t) AS BIGINT) AS sum_time,
+                ROUND(SUM(rating), 2) AS sum_rating
+         FROM r""",
+
+    // Functional-kernel PageRank reaches q19's fixpoint → same oracle.
+    "q63_functional_pagerank" ->
+      """WITH e AS (SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
+                    FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+            v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+            od AS (SELECT src, COUNT(*) AS odeg FROM e GROUP BY src),
+            c AS (SELECT e.src, e.dst, 1.0 / od.odeg AS w
+                  FROM e JOIN od ON e.src = od.src),
+            p0 AS (SELECT id, 1.0 AS pr FROM v),
+            p1 AS (SELECT v.id, 0.15 + 0.85 * COALESCE(m.mass, 0) AS pr FROM v
+                   LEFT JOIN (SELECT c.dst, SUM(p0.pr * c.w) AS mass
+                              FROM c JOIN p0 ON c.src = p0.id GROUP BY c.dst) m
+                   ON v.id = m.dst),
+            p2 AS (SELECT v.id, 0.15 + 0.85 * COALESCE(m.mass, 0) AS pr FROM v
+                   LEFT JOIN (SELECT c.dst, SUM(p1.pr * c.w) AS mass
+                              FROM c JOIN p1 ON c.src = p1.id GROUP BY c.dst) m
+                   ON v.id = m.dst),
+            p3 AS (SELECT v.id, 0.15 + 0.85 * COALESCE(m.mass, 0) AS pr FROM v
+                   LEFT JOIN (SELECT c.dst, SUM(p2.pr * c.w) AS mass
+                              FROM c JOIN p2 ON c.src = p2.id GROUP BY c.dst) m
+                   ON v.id = m.dst),
+            p4 AS (SELECT v.id, 0.15 + 0.85 * COALESCE(m.mass, 0) AS pr FROM v
+                   LEFT JOIN (SELECT c.dst, SUM(p3.pr * c.w) AS mass
+                              FROM c JOIN p3 ON c.src = p3.id GROUP BY c.dst) m
+                   ON v.id = m.dst)
+         SELECT id, round(pr, 6) AS pr FROM p4
+         ORDER BY round(pr, 6) DESC, id LIMIT 100""",
+
+    "q64_token_pmi" ->
+      """WITH tok AS (SELECT DISTINCT doc_id, t.token FROM documents,
+                        UNNEST(string_split_regex(trim(lower(text)), '\s+'))
+                          AS t(token)
+                      WHERE t.token <> ''),
+            df AS (SELECT token, COUNT(*) AS df FROM tok GROUP BY token
+                   HAVING COUNT(*) >= 25),
+            f AS (SELECT tok.doc_id, tok.token, df.df
+                  FROM tok JOIN df USING (token)),
+            pairs AS (SELECT a.token AS t1, b.token AS t2,
+                      a.df AS df1, b.df AS df2, COUNT(*) AS co
+                      FROM f a JOIN f b
+                        ON a.doc_id = b.doc_id AND a.token < b.token
+                      GROUP BY 1, 2, 3, 4)
+         SELECT t1, t2, co,
+                ROUND(LN(co * (SELECT COUNT(*) FROM documents) /
+                  (df1 * df2)), 4) AS pmi
+         FROM pairs ORDER BY co DESC, t1, t2 LIMIT 100""",
+
+    // IVF is deterministic algebra (hash-partition centroids, rounded) —
+    // the oracle replays it exactly.
+    "q65_knn_ivf" ->
+      """WITH e AS (SELECT vec_id,
+                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v0
+                    FROM embeddings),
+            nr AS (SELECT vec_id, v0,
+                   sqrt(list_sum(list_transform(v0, x -> x * x))) AS nm FROM e),
+            nv AS (SELECT vec_id, CASE WHEN nm > 0
+                     THEN list_transform(v0, x -> x / nm) ELSE v0 END AS v
+                   FROM nr),
+            pe AS (SELECT vec_id % 8 AS cl, i AS pos, v[i] AS val
+                   FROM nv, UNNEST(range(1, len(v) + 1)) AS t(i)),
+            cm AS (SELECT cl, pos, AVG(val) AS m FROM pe GROUP BY 1, 2),
+            cent AS (SELECT cl, list(ROUND(m, 6) ORDER BY pos) AS cv
+                     FROM cm GROUP BY cl),
+            sims AS (SELECT nv.vec_id, nv.v, cent.cl,
+                     ROUND(list_sum(list_transform(range(1, len(nv.v) + 1),
+                       i -> nv.v[i] * cent.cv[i])), 6) AS sim
+                     FROM nv CROSS JOIN cent),
+            asg AS (SELECT vec_id, v, cl FROM (
+                      SELECT vec_id, v, cl, ROW_NUMBER() OVER (
+                        PARTITION BY vec_id ORDER BY sim DESC, cl) AS rk
+                      FROM sims) WHERE rk = 1),
+            probes AS (SELECT vec_id AS query_id, v AS qv, cl FROM (
+                         SELECT vec_id, v, cl, ROW_NUMBER() OVER (
+                           PARTITION BY vec_id ORDER BY sim DESC, cl) AS pk
+                         FROM sims WHERE vec_id < 100) WHERE pk <= 3),
+            scored AS (SELECT p.query_id, g.vec_id AS neighbor_id,
+                       ROUND(list_sum(list_transform(range(1, len(p.qv) + 1),
+                         i -> p.qv[i] * g.v[i])), 6) AS cos
+                       FROM probes p JOIN asg g USING (cl)
+                       WHERE p.query_id <> g.vec_id)
+         SELECT query_id, neighbor_id, cos FROM (
+           SELECT query_id, neighbor_id, cos, ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+           FROM scored) WHERE rk <= 5
+         ORDER BY query_id, neighbor_id""",
+
+    "q66_knn_lsh" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, true AS recall_ok
+         FROM embeddings WHERE vec_id < 100""",
+
+    // Planted exact duplicates: the full ≥0.95 pair set is exactly the
+    // 500 planted (i, i+10000) pairs — LSH recall on identical vectors
+    // is 1.0 by construction.
+    "q67_embedding_dups" ->
+      """WITH e AS (SELECT vec_id,
+                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                    FROM embeddings),
+            dbl AS (SELECT vec_id, v FROM e
+                    UNION ALL SELECT vec_id + 10000, v FROM e),
+            pr AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
+                   list_sum(list_transform(range(1, len(a.v) + 1),
+                     i -> a.v[i] * b.v[i])) AS ab,
+                   sqrt(list_sum(list_transform(a.v, x -> x * x))) *
+                   sqrt(list_sum(list_transform(b.v, x -> x * x))) AS den
+                   FROM dbl a JOIN dbl b ON a.vec_id < b.vec_id)
+         SELECT id1, id2,
+                ROUND(CASE WHEN den > 0 THEN ab / den ELSE 0 END, 6) AS cos
+         FROM pr
+         WHERE ROUND(CASE WHEN den > 0 THEN ab / den ELSE 0 END, 6) >= 0.95
+         ORDER BY id1, id2""",
+
+    "q68_distances" ->
+      """WITH e AS (SELECT vec_id,
+                    list_transform(embedding, x -> abs(CAST(x AS DOUBLE))) AS v
+                    FROM embeddings),
+            p AS (SELECT a.vec_id, a.v AS va, b.v AS vb FROM e a
+                  JOIN e b ON b.vec_id = a.vec_id + 1),
+            s AS (SELECT vec_id, va, vb,
+                  list_sum(list_transform(range(1, len(va) + 1),
+                    i -> va[i] * vb[i])) AS dab,
+                  list_sum(list_transform(va, x -> x * x)) AS daa,
+                  list_sum(list_transform(vb, x -> x * x)) AS dbb,
+                  list_sum(va) AS sa, list_sum(vb) AS sb
+                  FROM p)
+         SELECT vec_id,
+                ROUND(sqrt(list_sum(list_transform(range(1, len(va) + 1),
+                  i -> (va[i] - vb[i]) * (va[i] - vb[i])))), 6) AS euclidean,
+                ROUND(list_sum(list_transform(range(1, len(va) + 1),
+                  i -> abs(va[i] - vb[i]))), 6) AS manhattan,
+                ROUND(list_max(list_transform(range(1, len(va) + 1),
+                  i -> abs(va[i] - vb[i]))), 6) AS chebyshev,
+                ROUND(CASE WHEN daa + dbb - dab > 0
+                  THEN dab / (daa + dbb - dab) ELSE 0 END, 6) AS tanimoto,
+                ROUND(dab / (sa + sb - dab), 6) AS weighted_jaccard,
+                ROUND(list_sum(list_transform(range(1, len(va) + 1),
+                  i -> va[i] - vb[i])), 6) AS slope_one
+         FROM s ORDER BY vec_id""",
+
+    "q69_cdr" ->
+      """SELECT CAST(o_orderdate AS DATE) AS day, o_custkey AS src,
+                l_suppkey AS dst, COUNT(*) AS n_calls
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY 1, 2, 3 ORDER BY day, src, dst""",
+
+    "q70_nbayes" ->
+      """WITH tok AS (SELECT lang AS label, t.token FROM documents,
+                        UNNEST(string_split_regex(trim(lower(text)), '\s+'))
+                          AS t(token)
+                      WHERE t.token <> ''),
+            c AS (SELECT label, token, COUNT(*) AS cnt FROM tok GROUP BY 1, 2),
+            ct AS (SELECT label, COUNT(*) AS class_total FROM tok GROUP BY 1),
+            pr AS (SELECT lang AS label,
+                   CAST(COUNT(*) AS DOUBLE) /
+                     (SELECT COUNT(*) FROM documents) AS prior
+                   FROM documents GROUP BY 1)
+         SELECT c.label, c.token, c.cnt, ct.class_total,
+                ROUND(pr.prior, 6) AS prior
+         FROM c JOIN ct USING (label) JOIN pr USING (label)
+         ORDER BY label, token""",
+
+    "q71_cassovary" ->
+      """SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem
+         WHERE l_suppkey <> l_partkey ORDER BY src, dst""",
+
+    "q72_warmstart_matrix" ->
+      """WITH r AS (SELECT o_custkey AS u, l_partkey AS item,
+                    ROUND(AVG(l_quantity), 4) AS rating
+                    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                    GROUP BY 1, 2),
+            um AS (SELECT u, ROUND(AVG(rating), 4) AS um, COUNT(*) AS n
+                   FROM r GROUP BY u)
+         SELECT ROW_NUMBER() OVER (ORDER BY u) - 1 AS "row",
+                um AS user_mean, n AS n_items
+         FROM um ORDER BY "row"""",
+
+    "q73_warmstart_vector" ->
+      """WITH r AS (SELECT o_custkey AS u, l_partkey AS item,
+                    ROUND(AVG(l_quantity), 4) AS rating
+                    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                    GROUP BY 1, 2),
+            im AS (SELECT item, ROUND(AVG(rating), 4) AS iv FROM r
+                   GROUP BY item)
+         SELECT ROW_NUMBER() OVER (ORDER BY item) - 1 AS "row",
+                iv AS item_mean
+         FROM im ORDER BY "row"""",
+
+    // CC delta log: change-counts per superstep, unrolled 4 rounds
+    // (active-set and full flooding provably count the same changes).
+    "q74_cc_delta_log" ->
+      """WITH e AS (SELECT DISTINCT l_suppkey AS src, l_partkey AS dst
+                    FROM lineitem),
+            sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+            l0 AS (SELECT DISTINCT src AS id, src AS comp FROM sym),
+            m1 AS (SELECT sym.dst AS id, MIN(l0.comp) AS mc FROM sym
+                   JOIN l0 ON sym.src = l0.id GROUP BY 1),
+            c1 AS (SELECT l0.id,
+                   CASE WHEN m1.mc < l0.comp THEN m1.mc ELSE l0.comp END AS comp,
+                   CASE WHEN m1.mc < l0.comp THEN 1 ELSE 0 END AS chg
+                   FROM l0 LEFT JOIN m1 ON l0.id = m1.id),
+            m2 AS (SELECT sym.dst AS id, MIN(c1.comp) AS mc FROM sym
+                   JOIN c1 ON sym.src = c1.id GROUP BY 1),
+            c2 AS (SELECT c1.id,
+                   CASE WHEN m2.mc < c1.comp THEN m2.mc ELSE c1.comp END AS comp,
+                   CASE WHEN m2.mc < c1.comp THEN 1 ELSE 0 END AS chg
+                   FROM c1 LEFT JOIN m2 ON c1.id = m2.id),
+            m3 AS (SELECT sym.dst AS id, MIN(c2.comp) AS mc FROM sym
+                   JOIN c2 ON sym.src = c2.id GROUP BY 1),
+            c3 AS (SELECT c2.id,
+                   CASE WHEN m3.mc < c2.comp THEN m3.mc ELSE c2.comp END AS comp,
+                   CASE WHEN m3.mc < c2.comp THEN 1 ELSE 0 END AS chg
+                   FROM c2 LEFT JOIN m3 ON c2.id = m3.id),
+            m4 AS (SELECT sym.dst AS id, MIN(c3.comp) AS mc FROM sym
+                   JOIN c3 ON sym.src = c3.id GROUP BY 1),
+            c4 AS (SELECT c3.id,
+                   CASE WHEN m4.mc < c3.comp THEN m4.mc ELSE c3.comp END AS comp,
+                   CASE WHEN m4.mc < c3.comp THEN 1 ELSE 0 END AS chg
+                   FROM c3 LEFT JOIN m4 ON c3.id = m4.id),
+            lg AS (SELECT 1 AS iter, (SELECT SUM(chg) FROM c1) AS nupdates
+                   UNION ALL SELECT 2, (SELECT SUM(chg) FROM c2)
+                   UNION ALL SELECT 3, (SELECT SUM(chg) FROM c3)
+                   UNION ALL SELECT 4, (SELECT SUM(chg) FROM c4))
+         SELECT iter, CAST(nupdates AS BIGINT) AS nupdates FROM lg
+         WHERE nupdates > 0 ORDER BY iter""",
+
+    "q75_mm_itemsim" ->
+      """WITH r AS (SELECT o_custkey AS u, l_partkey AS item,
+                    ROUND(AVG(l_quantity), 4) AS rating
+                    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                    GROUP BY 1, 2),
+            m AS (SELECT MAX(u) AS m FROM r),
+            rk AS (SELECT COUNT(*) AS n, CAST(SUM(u) AS BIGINT) AS ss,
+                   CAST(SUM(item) + COUNT(*) * (SELECT m FROM m) AS BIGINT) AS sd,
+                   ROUND(SUM(rating), 2) AS sv FROM r),
+            sk AS (SELECT COUNT(*) AS n,
+                   CAST(SUM(p_partkey) + COUNT(*) * (SELECT m FROM m) AS BIGINT)
+                     AS ss,
+                   CAST(SUM(p_partkey + 1) + COUNT(*) * (SELECT m FROM m)
+                     AS BIGINT) AS sd,
+                   ROUND(CAST(COUNT(*) * 0.5 AS DOUBLE), 2) AS sv FROM part)
+         SELECT 'rating' AS kind, n AS n_edges, ss AS sum_src, sd AS sum_dst,
+                sv AS sum_value FROM rk
+         UNION ALL
+         SELECT 'similarity', n, ss, sd, sv FROM sk
+         ORDER BY kind""",
+
+    "q76_reader_roundtrips" ->
+      """WITH e AS (SELECT l_suppkey AS src, l_partkey AS dst,
+                    SUM(l_quantity) AS w
+                    FROM lineitem GROUP BY 1, 2),
+            ns AS (SELECT src, dst, w FROM e WHERE src <> dst),
+            st AS (SELECT COUNT(*) AS n_edges,
+                   CAST(SUM(src) AS BIGINT) AS sum_src,
+                   CAST(SUM(dst) AS BIGINT) AS sum_dst,
+                   ROUND(SUM(w), 2) AS sw FROM ns)
+         SELECT 'adjlist' AS format, n_edges, sum_src, sum_dst,
+                CAST(0.0 AS DOUBLE) AS sum_val FROM st
+         UNION ALL SELECT 'edgelist', n_edges, sum_src, sum_dst, sw FROM st
+         UNION ALL SELECT 'multivalue', n_edges, sum_src, sum_dst, sw FROM st
+         ORDER BY format""",
+
+    // Same normalized text ⟹ same fingerprint (Spark-checked boolean);
+    // the text-group count is the SQL-computable anchor.
+    "q77_fingerprint" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(COUNT(DISTINCT array_to_string(list_filter(
+                  string_split_regex(trim(lower(text)), '\s+'),
+                  x -> x <> ''), ' ')) AS BIGINT) AS n_text_groups,
+                true AS fp_consistent
+         FROM documents""",
+
+    "q78_tokens_by_separators" ->
+      """WITH tok AS (SELECT t.token FROM documents,
+                        UNNEST(string_split_regex(lower(text), '[\s.,;:!?]+'))
+                          AS t(token)
+                      WHERE t.token <> '')
+         SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token
+         ORDER BY cnt DESC, token LIMIT 50"""
   )
 }

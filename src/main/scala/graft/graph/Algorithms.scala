@@ -215,8 +215,12 @@ object Algorithms {
                   steps: Int, seed: Long = 42L): DataFrame = {
     val e = edges.select("src", "dst").repartition(col("src"))
       .transform(graft.graph.Iterate.ckpt)
+    // Walk ids are globally unique (source*nWalks + k), never just the
+    // per-vertex index: two walkers meeting at a vertex must keep moving
+    // independently, not merge (randomwalks.cpp moves each walker).
     var walkers = sources.select(col(sources.columns.head).as("cur"))
       .withColumn("w", explode(array((0 until nWalks).map(lit): _*)))
+      .select(col("cur"), (col("cur") * nWalks + col("w")).as("w"))
     var visits = walkers.groupBy(col("cur").as("id")).agg(count(lit(1)).as("visits"))
     for (step <- 1 to steps) {
       // Pick a uniform random out-edge per walker: join to out-edges,
