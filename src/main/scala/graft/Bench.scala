@@ -9,7 +9,11 @@ object Bench {
     // so the first measured query doesn't absorb JVM startup.
     spark.range(1000000L).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(10).count()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional comma-separated name-prefix filter for local tuning runs.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSeq)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       // A failing query is recorded as an error, never as a fast success.
       val err = try { fn(spark, sfDir).count(); None } catch {

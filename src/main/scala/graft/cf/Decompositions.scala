@@ -1,8 +1,6 @@
 package graft.cf
 
-import org.apache.spark.mllib.linalg.{Vectors => OldVectors}
-import org.apache.spark.mllib.linalg.distributed.{CoordinateMatrix, MatrixEntry}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Matrix decompositions — the reference's Lanczos SVD (`svd.cpp:94-140`)
@@ -11,25 +9,97 @@ import org.apache.spark.sql.functions._
   */
 object Decompositions {
 
-  /** Truncated SVD of the sparse ratings matrix via mllib RowMatrix
-    * (ARPACK-style iteration — the distributed counterpart of the
-    * reference's restarted Lanczos). Returns (singularValues, U rows as
-    * (id, vector) DataFrame, V rows).
+  /** k×k Gram matrix VᵀV of a (…, vec: array&lt;double&gt;[k]) frame —
+    * one aggregation pass, k² sum columns, only k² doubles ever reach
+    * the driver (scale-safe at any row count).
     */
-  def svd(ratings: DataFrame, k: Int): (Array[Double], DataFrame, DataFrame) = {
-    val spark = ratings.sparkSession
-    import spark.implicits._
-    val entries = ratings.select(col("user").cast("long"),
-        col("item").cast("long"), col("rating").cast("double"))
-      .rdd.map(r => MatrixEntry(r.getLong(0), r.getLong(1), r.getDouble(2)))
-    val mat = new CoordinateMatrix(entries).toRowMatrix()
-    val s = mat.computeSVD(k, computeU = true)
-    val u = s.U.rows.zipWithIndex().map { case (v, i) => (i, v.toArray) }
-      .toDF("row", "vec")
-    val v = spark.sparkContext.parallelize(
-      s.V.rowIter.zipWithIndex.map { case (r, i) => (i.toLong, r.toArray) }.toSeq)
-      .toDF("col", "vec")
-    (s.s.toArray, u, v)
+  private def gram(df: DataFrame, k: Int): Array[Array[Double]] = {
+    val exprs = for (i <- 0 until k; j <- 0 until k) yield
+      sum(element_at(col("vec"), i + 1) * element_at(col("vec"), j + 1))
+        .as(s"g_${i}_$j")
+    val row = df.agg(exprs.head, exprs.tail: _*).collect()(0)
+    Array.tabulate(k, k)((i, j) => row.getDouble(i * k + j))
+  }
+
+  /** vec ← vec · M for a small broadcast k×k matrix (codegen'd algebra,
+    * no UDF).
+    */
+  private def rotate(df: DataFrame, m: Array[Array[Double]], k: Int): DataFrame =
+    df.withColumn("vec", array((0 until k).map(j =>
+      (0 until k).map(i => element_at(col("vec"), i + 1) * lit(m(i)(j)))
+        .reduce(_ + _)): _*))
+
+  /** Symmetric eigendecomposition of a tiny k×k matrix (driver-side
+    * Jacobi rotations — k ≤ a few dozen). Returns (eigenvalues desc,
+    * eigenvectors as columns in matching order).
+    */
+  private def eigSymSmall(a0: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val k = a0.length
+    val a = Array.tabulate(k, k)((i, j) => a0(i)(j))
+    val q = Array.tabulate(k, k)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < 100 && off > 1e-14) {
+      off = 0.0
+      for (p <- 0 until k; r <- p + 1 until k) {
+        off += a(p)(r) * a(p)(r)
+        if (math.abs(a(p)(r)) > 1e-18) {
+          val theta = (a(r)(r) - a(p)(p)) / (2.0 * a(p)(r))
+          val t = math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+          val c = 1.0 / math.sqrt(t * t + 1.0)
+          val s = t * c
+          for (i <- 0 until k) {
+            val aip = a(i)(p); val air = a(i)(r)
+            a(i)(p) = c * aip - s * air
+            a(i)(r) = s * aip + c * air
+          }
+          for (i <- 0 until k) {
+            val api = a(p)(i); val ari = a(r)(i)
+            a(p)(i) = c * api - s * ari
+            a(r)(i) = s * api + c * ari
+          }
+          for (i <- 0 until k) {
+            val qip = q(i)(p); val qir = q(i)(r)
+            q(i)(p) = c * qip - s * qir
+            q(i)(r) = s * qip + c * qir
+          }
+        }
+      }
+      sweep += 1
+    }
+    val order = (0 until k).sortBy(i => -a(i)(i))
+    (order.map(i => a(i)(i)).toArray,
+     Array.tabulate(k, k)((i, j) => q(i)(order(j))))
+  }
+
+  /** G^(-1/2) of a k×k Gram (eig-based; small eigenvalues floored). */
+  private def invSqrt(g: Array[Array[Double]]): Array[Array[Double]] = {
+    val k = g.length
+    val (lam, q) = eigSymSmall(g)
+    val d = lam.map(l => if (l > 1e-12) 1.0 / math.sqrt(l) else 0.0)
+    Array.tabulate(k, k)((i, j) =>
+      (0 until k).map(t => q(i)(t) * d(t) * q(j)(t)).sum)
+  }
+
+  /** Σ over a group of k-vectors (map-side-combinable array sum). */
+  private def sumVecs(c: Column, k: Int): Column =
+    aggregate(collect_list(c), array_repeat(lit(0.0d), k),
+      (acc, x) => zip_with(acc, x, (p, q) => p + q))
+
+  /** Truncated SVD of the sparse ratings matrix by deterministic block
+    * power (subspace) iteration — the distributed counterpart of the
+    * reference's restarted Lanczos (`svd.cpp:94-140`), chosen over
+    * ARPACK because each iteration is exactly two join+agg shuffles over
+    * the coordinate table and the only driver-side state is k×k Grams
+    * (ARPACK holds full n-dim basis vectors on the driver — not viable
+    * when the column count is web-scale). Hash-seeded start block, so
+    * results are reproducible run to run. Returns (singularValues ≈ top
+    * k of A, U rows (row, vec), V rows (col, vec)).
+    */
+  def svd(ratings: DataFrame, k: Int,
+          iterations: Int = 6, seed: Long = 42L): (Array[Double], DataFrame, DataFrame) = {
+    val (sv, u, v) = subspaceSvd(ratings, k, iterations, seed)
+    (sv, u.withColumnRenamed("id", "row"), v.withColumnRenamed("id", "col"))
   }
 
   /** One-sided SVD (`svd_onesided.cpp`): only the right singular
@@ -37,18 +107,51 @@ object Decompositions {
     * matrices with far more rows than columns. Returns
     * (singularValues, V rows).
     */
-  def svdOneSided(ratings: DataFrame, k: Int): (Array[Double], DataFrame) = {
-    val spark = ratings.sparkSession
-    import spark.implicits._
-    val entries = ratings.select(col("user").cast("long"),
-        col("item").cast("long"), col("rating").cast("double"))
-      .rdd.map(r => MatrixEntry(r.getLong(0), r.getLong(1), r.getDouble(2)))
-    val mat = new CoordinateMatrix(entries).toRowMatrix()
-    val s = mat.computeSVD(k, computeU = false)
-    val v = spark.sparkContext.parallelize(
-      s.V.rowIter.zipWithIndex.map { case (r, i) => (i.toLong, r.toArray) }.toSeq)
-      .toDF("col", "vec")
-    (s.s.toArray, v)
+  def svdOneSided(ratings: DataFrame, k: Int,
+                  iterations: Int = 6, seed: Long = 42L): (Array[Double], DataFrame) = {
+    val (sv, _, v) = subspaceSvd(ratings, k, iterations, seed, needU = false)
+    (sv, v.withColumnRenamed("id", "col"))
+  }
+
+  private def subspaceSvd(ratings: DataFrame, k: Int, iterations: Int,
+                          seed: Long, needU: Boolean = true)
+      : (Array[Double], DataFrame, DataFrame) = {
+    val a = ratings.select(col("user").cast("long").as("user"),
+        col("item").cast("long").as("item"),
+        col("rating").cast("double").as("rating"))
+      .repartition(col("item")).transform(graft.graph.Iterate.ckpt)
+    // V₀: hash-seeded item×k block in [-0.5, 0.5)
+    var v = a.select(col("item")).distinct().select(col("item"),
+      transform(sequence(lit(0), lit(k - 1)), j =>
+        (pmod(xxhash64(col("item"), j, lit(seed)), lit(1000000L)).cast("double")
+          / 1000000.0d) - 0.5d).as("vec"))
+      .transform(graft.graph.Iterate.ckpt)
+    var u: DataFrame = null
+    for (t <- 1 to iterations) {
+      // U ← orth(A·V): join on item, k-vector sum per user, Gram-orthonorm.
+      val uRaw = a.join(v, "item")
+        .select(col("user"), transform(col("vec"), x => x * col("rating")).as("w"))
+        .groupBy("user").agg(sumVecs(col("w"), k).as("vec"))
+      u = rotate(uRaw, invSqrt(gram(uRaw, k)), k)
+        .transform(graft.graph.Iterate.ckpt)
+      // V ← Aᵀ·U (unnormalized: carries the singular-value scaling)
+      v = a.join(u, "user")
+        .select(col("item"), transform(col("vec"), x => x * col("rating")).as("w"))
+        .groupBy("item").agg(sumVecs(col("w"), k).as("vec"))
+        .transform(graft.graph.Iterate.ckpt)
+    }
+    // M = VᵀV = Uᵀ·A·Aᵀ·U with U orthonormal → eig(M) ≈ σ², rotate into
+    // the singular basis.
+    val m = gram(v, k)
+    val (lam, q) = eigSymSmall(m)
+    val sv = lam.map(l => math.sqrt(math.max(l, 0.0)))
+    val sInv = Array.tabulate(k, k)((i, j) =>
+      if (sv(j) > 1e-12) q(i)(j) / sv(j) else q(i)(j))
+    val vOut = rotate(v, sInv, k).select(col("item").as("id"), col("vec"))
+    val uOut = if (needU)
+      rotate(u, q, k).select(col("user").as("id"), col("vec"))
+    else null
+    (sv, uOut, vOut)
   }
 
   /** Alternating non-negative MF by multiplicative updates (`nmf.cpp`):

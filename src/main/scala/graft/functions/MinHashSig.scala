@@ -1,0 +1,95 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftShims}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native MinHash-signature kernel: word `k`-shingling, xxhash64 of each
+  * shingle, and the `numHashes` per-seed minima, all in one compiled
+  * pass over the token array.
+  *
+  * Exists because Spark's higher-order functions (`transform` /
+  * `aggregate`) evaluate their lambdas interpreted, outside whole-stage
+  * codegen — the HOF formulation of this signature costs
+  * O(shingles × numHashes) boxed lambda calls per document and
+  * dominated the near-dup pipeline's runtime. Per-seed hashes derive
+  * from the shingle's xxhash64 via a splitmix64 finalizer (no string
+  * re-hash per seed), mirroring the single-pass design of the HOF
+  * version it replaces (reference semantics: the minhash sketch of
+  * `toolkits/collaborative_filtering/../parsers` pipelines; SURVEY.md
+  * LLM-pipeline dedup).
+  */
+object MinHashKernel {
+  private val Space = UTF8String.fromString(" ")
+
+  /** Fills `mins` with the signature of the shingle stream. */
+  def compute(tokens: ArrayData, numHashes: Int, k: Int): ArrayData = {
+    val n = tokens.numElements()
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+
+    def update(s: UTF8String): Unit = {
+      val base = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
+        s.numBytes, 42L)
+      var i = 0
+      while (i < numHashes) {
+        var z = base ^ (0x9e3779b97f4a7c15L * (i + 1))
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        z ^= (z >>> 31)
+        if (z < mins(i)) mins(i) = z
+        i += 1
+      }
+    }
+
+    if (n < k) {
+      // fewer tokens than the shingle width → one shingle of everything
+      // (matches TextAnalysis.shingles' short-document special case)
+      val parts = new Array[UTF8String](n)
+      var i = 0
+      while (i < n) { parts(i) = tokens.getUTF8String(i); i += 1 }
+      update(UTF8String.concatWs(Space, parts: _*))
+    } else {
+      var i = 0
+      while (i + k <= n) {
+        val parts = new Array[UTF8String](k)
+        var j = 0
+        while (j < k) { parts(j) = tokens.getUTF8String(i + j); j += 1 }
+        update(UTF8String.concatWs(Space, parts: _*))
+        i += 1
+      }
+    }
+    new GenericArrayData(mins)
+  }
+}
+
+/** Expression wrapper: `MinHashSig(tokens, numHashes, shingleK)` over an
+  * `array<string>` token column. Codegen emits a single static kernel
+  * call — no interpreted lambdas, no per-seed string hashing.
+  */
+case class MinHashSig(child: Expression, numHashes: Int, shingleK: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashKernel.compute(input.asInstanceOf[ArrayData], numHashes, shingleK)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MinHashKernel.compute($c, $numHashes, $shingleK);")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+
+  override def prettyName: String = "minhash_sig"
+}
+
+object MinHashSig {
+  /** Column API: signature of an `array<string>` token column. */
+  def of(tokens: Column, numHashes: Int, shingleK: Int): Column =
+    GraftShims.column(
+      MinHashSig(GraftShims.expression(tokens), numHashes, shingleK))
+}

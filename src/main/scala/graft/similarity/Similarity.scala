@@ -11,9 +11,11 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Σ aᵢ·bᵢ */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+  /** Σ aᵢ·bᵢ — native codegen'd kernel (graft.functions.VecDot): the
+    * HOF fold evaluates interpreted and dominated every ANN operator.
+    * Same left-to-right double accumulation as the fold it replaced.
+    */
+  def dot(a: Column, b: Column): Column = graft.functions.VecDot.of(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

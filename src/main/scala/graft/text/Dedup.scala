@@ -46,16 +46,13 @@ object Dedup {
     * codegen (transform/aggregate over the shingle array, no UDF).
     */
   def minHashSignature(text: Column, numHashes: Int = 16, shingleK: Int = 3): Column = {
-    // Single pass over the shingles: hash each shingle string once, then
-    // derive the per-seed minima from the (cheap) long hash. Higher-order
-    // functions are interpreted (no codegen/CSE), so a naive
-    // "transform(seeds, i => min(transform(shingles, ...)))" would
-    // re-evaluate the shingle pipeline numHashes times per row.
-    val baseHashes = transform(TextAnalysis.shingles(text, shingleK),
-      s => xxhash64(s))
-    val seeds = array((0 until numHashes).map(lit): _*)
-    aggregate(baseHashes, array_repeat(lit(Long.MaxValue), numHashes),
-      (acc, h) => zip_with(acc, seeds, (a, i) => least(a, xxhash64(h, i))))
+    // Native Catalyst expression: shingling + hashing + per-seed minima
+    // in one compiled pass (graft.functions.MinHashSig). The HOF
+    // formulation (aggregate/zip_with over shingles) evaluates its
+    // lambdas interpreted — O(shingles × numHashes) boxed calls per doc
+    // — and dominated the pipeline's runtime.
+    val toks = transform(TextAnalysis.wsTokens(text), t => lower(t))
+    graft.functions.MinHashSig.of(toks, numHashes, shingleK)
   }
 
   /** MinHash + LSH near-duplicate pairs: signatures are cut into `bands`
@@ -85,12 +82,15 @@ object Dedup {
       col("doc_id").as("id1"), col("sig").as("sig1"))
     val b = banded.select(col("band"), col("bucket"),
       col("doc_id").as("id2"), col("sig").as("sig2"))
+    // Dedupe pairs BEFORE scoring: a pair colliding in many bands would
+    // otherwise be scored once per collision and deduped at the end.
     a.join(b, Seq("band", "bucket")).filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), col("sig1"), col("sig2"))
+      .dropDuplicates("id1", "id2")
       .select(col("id1"), col("id2"),
         (size(filter(zip_with(col("sig1"), col("sig2"), (x, y) => x === y),
           b => b)) / lit(numHashes.toDouble)).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
-      .distinct()
   }
 
   /** 64-bit SimHash over whitespace tokens: per-bit majority vote of
@@ -135,8 +135,9 @@ object Dedup {
     val b = blocked.select(col("block"), col("key"),
       col("doc_id").as("id2"), col("sh").as("sh2"))
     a.join(b, Seq("block", "key")).filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), col("sh1"), col("sh2"))
+      .dropDuplicates("id1", "id2")
       .select(col("id1"), col("id2"), hamming(col("sh1"), col("sh2")).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
   }
 
@@ -146,10 +147,26 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         shingleK: Int = 3, threshold: Double = 0.5,
                         numHashes: Int = 16, bands: Int = 8): DataFrame = {
+    // Candidates are pre-filtered by the signature-estimated Jaccard at
+    // a conservative margin (threshold/4): a true pair at j ≥ threshold
+    // matching fewer than numHashes·threshold/4 of its minhashes is a
+    // ≤ 0.03% binomial tail (and fixed, since hashes are seeded) —
+    // while a small-vocab corpus generates ~1000× spurious one-hash
+    // collisions that would otherwise all reach exact verification.
     val cands = minHashDuplicatePairs(docs, idCol, textCol, numHashes, bands,
-      shingleK, threshold = 0.0)
-    val sh = docs.select(col(idCol).as("sid"),
-        array_distinct(TextAnalysis.shingles(col(textCol), shingleK)).as("sset"))
+        shingleK, threshold = threshold / 4)
+      .select("id1", "id2")
+      .transform(graft.graph.Iterate.ckpt) // reused twice below
+    // Shingle SETS are the expensive projection — build them only for
+    // documents that actually appear in a candidate pair (semi-join
+    // first), not for the whole corpus, and as 8-byte shingle hashes,
+    // not strings (exact Jaccard up to 64-bit collisions).
+    val candIds = cands.select(explode(array(col("id1"), col("id2"))).as("cid"))
+      .distinct()
+    val sh = docs.join(candIds, docs(idCol) === col("cid"), "left_semi")
+      .select(col(idCol).as("sid"),
+        array_distinct(transform(TextAnalysis.shingles(col(textCol), shingleK),
+          s => xxhash64(s))).as("sset"))
       .repartition(col("sid"))  // barrier: shingle sets materialized once
     cands.join(sh, cands("id1") === sh("sid")).withColumnRenamed("sset", "s1").drop("sid")
       .join(sh.withColumnRenamed("sset", "s2"), cands("id2") === col("sid")).drop("sid")

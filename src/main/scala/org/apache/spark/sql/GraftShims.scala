@@ -21,6 +21,14 @@ import org.apache.spark.sql.execution.LogicalRDD
   * selection is unaffected at execution time.
   */
 object GraftShims {
+  /** Column ↔ Expression bridges (the classic helpers are private[sql];
+    * graft's native expressions need them to surface as Columns).
+    */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+  def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+
   def freshCheckpoint(df: DataFrame): DataFrame = {
     val cdf = df.asInstanceOf[CDataset[Row]]
     val spark = cdf.sparkSession.asInstanceOf[CSparkSession]
