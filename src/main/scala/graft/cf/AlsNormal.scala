@@ -94,7 +94,7 @@ object AlsNormal {
     }
 
   private def dotArr(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+    graft.functions.VecDot.of(a, b)
 
   private def initFactors(ids: DataFrame, rank: Int, seed: Long): DataFrame =
     ids.select(col("id"),

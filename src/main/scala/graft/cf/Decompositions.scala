@@ -83,8 +83,7 @@ object Decompositions {
 
   /** Σ over a group of k-vectors (map-side-combinable array sum). */
   private def sumVecs(c: Column, k: Int): Column =
-    aggregate(collect_list(c), array_repeat(lit(0.0d), k),
-      (acc, x) => zip_with(acc, x, (p, q) => p + q))
+    graft.functions.VecSum.of(c, k)
 
   /** Truncated SVD of the sparse ratings matrix by deterministic block
     * power (subspace) iteration — the distributed counterpart of the
@@ -173,7 +172,7 @@ object Decompositions {
       .withColumnRenamed("id", "item").withColumnRenamed("f", "hi")
       .transform(graft.graph.Iterate.ckpt)
     val dot = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+      graft.functions.VecDot.of(a, b)
     for (_ <- 1 to iterations) {
       // numerator Σ_i r_ui · h_i ; denominator Σ_i (w·h_i) · h_i  per user
       val ju = r.join(w, "user").join(h, "item")
@@ -181,10 +180,8 @@ object Decompositions {
           transform(col("hi"), x => x * col("rating")).as("num"),
           transform(col("hi"), x => x * dot(col("wu"), col("hi"))).as("den"))
         .groupBy("user")
-        .agg(aggregate(collect_list("num"), array_repeat(lit(0.0d), rank),
-            (acc, v) => zip_with(acc, v, (a, x) => a + x)).as("nsum"),
-          aggregate(collect_list("den"), array_repeat(lit(0.0d), rank),
-            (acc, v) => zip_with(acc, v, (a, x) => a + x)).as("dsum"))
+        .agg(graft.functions.VecSum.of(col("num"), rank).as("nsum"),
+          graft.functions.VecSum.of(col("den"), rank).as("dsum"))
       w = w.join(ju, Seq("user"), "left").select(col("user"),
         when(col("nsum").isNotNull,
           zip_with(col("wu"), zip_with(col("nsum"), col("dsum"),
@@ -196,10 +193,8 @@ object Decompositions {
           transform(col("wu"), x => x * col("rating")).as("num"),
           transform(col("wu"), x => x * dot(col("wu"), col("hi"))).as("den"))
         .groupBy("item")
-        .agg(aggregate(collect_list("num"), array_repeat(lit(0.0d), rank),
-            (acc, v) => zip_with(acc, v, (a, x) => a + x)).as("nsum"),
-          aggregate(collect_list("den"), array_repeat(lit(0.0d), rank),
-            (acc, v) => zip_with(acc, v, (a, x) => a + x)).as("dsum"))
+        .agg(graft.functions.VecSum.of(col("num"), rank).as("nsum"),
+          graft.functions.VecSum.of(col("den"), rank).as("dsum"))
       h = h.join(ji, Seq("item"), "left").select(col("item"),
         when(col("nsum").isNotNull,
           zip_with(col("hi"), zip_with(col("nsum"), col("dsum"),

@@ -26,8 +26,7 @@ object Fm {
   final case class Model(w0: Double, weights: DataFrame, trainRmse: Seq[Double])
 
   private def vecSum(vec: Column, rank: Int): Column =
-    aggregate(collect_list(vec), array_repeat(lit(0.0d), rank),
-      (acc, v) => zip_with(acc, v, (a, x) => a + x))
+    graft.functions.VecSum.of(vec, rank)
 
   private def initV(ids: DataFrame, rank: Int, seed: Long): DataFrame =
     ids.select(col("feature"),

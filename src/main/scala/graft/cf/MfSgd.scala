@@ -20,7 +20,7 @@ object MfSgd {
                          mu: Double, trainRmse: Seq[Double])
 
   private def dotArr(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+    graft.functions.VecDot.of(a, b)
 
   /** Deterministic pseudo-random init in [-0.05, 0.05). */
   private def initFactors(ids: DataFrame, rank: Int, seed: Long): DataFrame =

@@ -19,7 +19,7 @@ object Pmf {
   final case class Model(meanPrediction: DataFrame, trainRmse: Seq[Double])
 
   private def dotArr(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+    graft.functions.VecDot.of(a, b)
 
   /** Deterministic N(0,1) per (id, dim, sweep): Box–Muller over two
     * xxhash64-derived uniforms in (0,1].

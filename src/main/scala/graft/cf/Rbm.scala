@@ -23,8 +23,7 @@ object Rbm {
                          reconRmse: Seq[Double])
 
   private def vecSum(vec: Column, nHidden: Int): Column =
-    aggregate(collect_list(vec), array_repeat(lit(0.0d), nHidden),
-      (acc, v) => zip_with(acc, v, (a, x) => a + x))
+    graft.functions.VecSum.of(vec, nHidden)
 
   private def initW(ids: DataFrame, nHidden: Int, seed: Long): DataFrame =
     ids.select(col("id"),

@@ -24,11 +24,10 @@ object SvdPP {
                          trainRmse: Seq[Double])
 
   private def dotArr(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+    graft.functions.VecDot.of(a, b)
 
   private def vecSum(vec: Column, rank: Int): Column =
-    aggregate(collect_list(vec), array_repeat(lit(0.0d), rank),
-      (acc, v) => zip_with(acc, v, (a, x) => a + x))
+    graft.functions.VecSum.of(vec, rank)
 
   private def initFactors(ids: DataFrame, rank: Int, seed: Long): DataFrame =
     ids.select(col("id"),

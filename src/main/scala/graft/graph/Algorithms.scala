@@ -273,8 +273,7 @@ object Algorithms {
         .select(col("dst").as("mid"),
           transform(col("dist"), p => p * col("w")).as("wd"), col("w"))
         .groupBy("mid")
-        .agg(aggregate(collect_list(col("wd")), array_repeat(lit(0.0d), numLabels),
-            (acc, v) => zip_with(acc, v, (a, x) => a + x)).as("sumd"),
+        .agg(graft.functions.VecSum.of(col("wd"), numLabels).as("sumd"),
           sum("w").as("sw"))
         .select(col("mid"), transform(col("sumd"), x => x / col("sw")).as("avg"))
       val updated = state.join(msgs, state("id") === col("mid"), "left")
