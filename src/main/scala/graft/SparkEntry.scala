@@ -269,14 +269,25 @@ object SparkEntry {
 
     // Training-pipeline: SimHash near-dup pairs. Hamming distance over a
     // 64-bit frequency-weighted fingerprint is not expressible against
-    // the raw tables in ANSI SQL (and unigram Jaccard is a genuinely
-    // different criterion — 9k pairs at j≥0.9 vs 122 at hamming≤6 on the
-    // oracle corpus), so this stays rows-only; completeness of the block
-    // LSH vs brute-force hamming is asserted in TextSpec.
-    "q21_simhash_dups" -> ((s, d) =>
-      Dedup.simHashDuplicatePairs(Tables.documents(s, d), "doc_id", "text",
-          maxHamming = 6)
-        .orderBy("id1", "id2")),
+    // the raw tables in ANSI SQL, so the oracle anchors on planted
+    // duplicates: every doc is doubled under a shifted id; identical
+    // token streams hash to identical simhashes (hamming 0), and the
+    // 4×16-bit block LSH finds every pair within hamming ≤ 3 by
+    // pigeonhole — so exactly n_docs planted pairs MUST be reported.
+    // Completeness vs brute-force hamming is additionally asserted in
+    // TextSpec on adversarial fixtures.
+    "q21_simhash_dups" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val doubled = docs.union(
+        docs.select((col("doc_id") + 10000L).as("doc_id"), col("text")))
+      val pairs = Dedup.simHashDuplicatePairs(doubled, "doc_id", "text",
+        maxHamming = 3)
+      val planted = pairs.filter(col("id2") === col("id1") + 10000L &&
+        col("id1") < 10000L && col("hamming") === 0).count()
+      val s2 = s
+      import s2.implicits._
+      Seq((docs.count(), planted)).toDF("n_docs", "planted_found")
+    }),
 
     // Training-pipeline: language id + quality score distribution.
     "q22_lang_quality" -> ((s, d) =>
@@ -1155,6 +1166,13 @@ object SparkEntry {
               FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
          SELECT id1, id2, round(j, 6) AS jaccard FROM pairs
          WHERE j >= 0.5 ORDER BY id1, id2""",
+
+    // Planted-duplicate completeness: the doubled corpus must yield
+    // exactly one hamming-0 pair per original document.
+    "q21_simhash_dups" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(COUNT(*) AS BIGINT) AS planted_found
+         FROM documents""",
 
     "q22_lang_quality" ->
       """WITH base AS (SELECT doc_id, text,

@@ -33,8 +33,19 @@ object GraftShims {
     val cdf = df.asInstanceOf[CDataset[Row]]
     val spark = cdf.sparkSession.asInstanceOf[CSparkSession]
     val ck = cdf.localCheckpoint(true).asInstanceOf[CDataset[Row]]
-    val out = ck.queryExecution.analyzed.output
-    CDataset.ofRows(spark,
-      LogicalRDD(out, ck.queryExecution.toRdd)(spark))
+    // localCheckpoint's own LogicalRDD carries the materialized plan's
+    // output partitioning/ordering (attribute-rewritten). Keep those —
+    // they let EnsureRequirements elide one exchange per superstep when
+    // the loop re-joins on the same key — while still dropping the
+    // inherited stats (the blowup documented above).
+    ck.queryExecution.analyzed match {
+      case lr: LogicalRDD =>
+        CDataset.ofRows(spark,
+          LogicalRDD(lr.output, lr.rdd, lr.outputPartitioning,
+            lr.outputOrdering, lr.isStreaming)(spark))
+      case other =>
+        CDataset.ofRows(spark,
+          LogicalRDD(other.output, ck.queryExecution.toRdd)(spark))
+    }
   }
 }
