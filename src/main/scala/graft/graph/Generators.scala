@@ -13,8 +13,10 @@ object Generators {
 
   /** Erdős–Rényi G(n, p), seeded. Generated distributively: each vertex
     * samples its out-neighborhood from `spark.range(n)` via a hash-based
-    * Bernoulli (no n² cross join materialized — the filter prunes inside
-    * codegen off a range cross; for large n prefer expectedDegree form).
+    * Bernoulli. The plan still enumerates n² candidate pairs (the filter
+    * runs inside codegen off a range cross, nothing is materialized) —
+    * NEVER use this form past n ≈ 10⁵; [[erdosRenyiSparse]] is the
+    * O(n·d) generator for every larger graph.
     */
   def erdosRenyi(spark: SparkSession, n: Long, p: Double, seed: Long = 42L): DataFrame = {
     val v = spark.range(n).toDF("src")
