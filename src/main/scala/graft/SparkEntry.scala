@@ -962,7 +962,30 @@ object SparkEntry {
         .select(explode(TextAnalysis.tokensBySeparators(lower(col("text")),
           "\\s.,;:!?")).as("token"))
         .groupBy("token").agg(count(lit(1)).as("cnt"))
-        .orderBy(desc("cnt"), asc("token")).limit(50))
+        .orderBy(desc("cnt"), asc("token")).limit(50)),
+
+    // §2.1 METIS round-trip: 1-indexed line-per-vertex format with blank
+    // lines for isolated vertices (ids absent from the edge set still
+    // occupy their slot).
+    "q79_metis_roundtrip" -> ((s, d) => {
+      val e = spEdges(s, d)
+        .select((col("src") + 1).as("src"), (col("dst") + 1).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      val n = e.agg(greatest(max("src"), max("dst"))).collect()(0).getLong(0)
+      val m = e.count()
+      val adj = e.groupBy("src").agg(
+        concat_ws(" ", sort_array(collect_list(col("dst").cast("string")))).as("nbrs"))
+      val s2 = s
+      import s2.implicits._
+      val lines = s.range(1, n + 1).toDF("v")
+        .join(adj, col("v") === adj("src"), "left")
+        .select(col("v"), coalesce(col("nbrs"), lit("")).as("value"))
+      val header = Seq((0L, s"$n $m")).toDF("v", "value")
+      header.union(lines).orderBy("v").select("value").coalesce(1)
+        .write.mode("overwrite").text("/tmp/graft_q79_metis")
+      graft.io.GraphReaders.metis(s, "/tmp/graft_q79_metis")
+        .orderBy("src", "dst")
+    })
   )
 
   // ---- oracles ----------------------------------------------------------
@@ -1987,6 +2010,11 @@ object SparkEntry {
                           AS t(token)
                       WHERE t.token <> '')
          SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token
-         ORDER BY cnt DESC, token LIMIT 50"""
+         ORDER BY cnt DESC, token LIMIT 50""",
+
+    "q79_metis_roundtrip" ->
+      """SELECT DISTINCT l_suppkey + 1 AS src, l_partkey + 1 AS dst
+         FROM lineitem WHERE l_suppkey + 1 <> l_partkey + 1
+         ORDER BY src, dst"""
   )
 }

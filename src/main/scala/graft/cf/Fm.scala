@@ -63,7 +63,12 @@ object Fm {
     var rmses = Vector.empty[Double]
     for (_ <- 1 to iterations) {
       val joined = flat.join(w, "feature")
-      val perEx = joined.groupBy("example_id", "y").agg(
+      // group on example_id alone (y is constant per example): the
+      // grouping key then matches flat's partitioning, so when AQE
+      // broadcasts the small weight side the 600k-row re-shuffle per
+      // iteration disappears.
+      val perEx = joined.groupBy("example_id").agg(
+          first("y").as("y"),
           vecSum(col("v"), rank).as("S"),
           vecSum(transform(col("v"), x => x * x), rank).as("S2"),
           sum("w").as("wsum"))

@@ -62,17 +62,25 @@ object GraphReaders {
   /** METIS format: header `n m [fmt]`, then line i (1-indexed) lists the
     * neighbors of vertex i — `conversions.hpp:381-440`. Line order is
     * load-bearing, so this uses zipWithIndex (two distributed passes),
-    * not a driver collect.
+    * not a driver collect. Empty lines are kept THROUGH the indexing —
+    * an isolated vertex's blank line still occupies its slot (dropping
+    * it would shift every later vertex id) — and only excluded from the
+    * neighbor explode afterwards.
     */
   def metis(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     val indexed = spark.read.textFile(path).rdd
       .map(_.trim)
-      .filter(l => l.nonEmpty && !l.startsWith("%"))
+      .filter(l => !l.startsWith("%"))
       .zipWithIndex()
       .toDF("line", "idx")
-    indexed.filter(col("idx") > 0)  // drop the `n m` header
-      .select(col("idx").as("src"), explode(split(col("line"), "\\s+")).as("d"))
+    // The header is the first non-blank line; vertex i's line sits i
+    // positions after it (blank = isolated vertex, still a slot).
+    val headerIdx = indexed.filter(length(col("line")) > 0)
+      .agg(min("idx")).collect()(0).getLong(0)
+    indexed.filter(col("idx") > headerIdx && length(col("line")) > 0)
+      .select((col("idx") - headerIdx).as("src"),
+        explode(split(col("line"), "\\s+")).as("d"))
       .select(col("src"), col("d").cast(LongType).as("dst"))
       .filter(col("dst").isNotNull && col("dst") > 0)
       .filter(col("src") =!= col("dst"))

@@ -51,6 +51,15 @@ class IoSpec extends SparkSpec {
     assert(es == Set((1L, 2L), (1L, 3L), (2L, 1L), (2L, 3L), (3L, 1L), (3L, 2L)))
   }
 
+  test("metis: blank line = isolated vertex, slot preserved") {
+    // vertex 3 isolated; vertex 4 links to 1 — a dropped blank line
+    // would shift vertex 4's edges onto vertex 3.
+    val p = tmpWrite("mi.graph", "4 2\n2\n1\n\n1\n")
+    val es = GraphReaders.metis(spark, p).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(es == Set((1L, 2L), (2L, 1L), (4L, 1L)))
+  }
+
   test("matrixMarket: banner, size line, 1-indexed entries, item offset") {
     val p = tmpWrite("r.mtx",
       """%%MatrixMarket matrix coordinate real general
