@@ -985,6 +985,26 @@ object SparkEntry {
         .write.mode("overwrite").text("/tmp/graft_q79_metis")
       graft.io.GraphReaders.metis(s, "/tmp/graft_q79_metis")
         .orderBy("src", "dst")
+    }),
+
+    // §2.13 Structured Streaming end-to-end: the events table streamed
+    // through a watermarked windowed aggregation (AvailableNow trigger,
+    // memory sink) must equal the batch/SQL answer exactly.
+    "q80_stream_windowed" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      ev.write.mode("overwrite").parquet("/tmp/graft_q80_src")
+      val src = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 2).parquet("/tmp/graft_q80_src")
+      val q = graft.streaming.EdgeStream.windowedEventCounts(src)
+        .writeStream.outputMode("complete").format("memory")
+        .queryName("graft_q80")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("graft_q80")
+        .select(col("window.start").as("hour"), col("event_type"), col("n"),
+          round(col("sum_value"), 2).as("sum_value"))
+        .orderBy("hour", "event_type")
     })
   )
 
@@ -2015,6 +2035,11 @@ object SparkEntry {
     "q79_metis_roundtrip" ->
       """SELECT DISTINCT l_suppkey + 1 AS src, l_partkey + 1 AS dst
          FROM lineitem WHERE l_suppkey + 1 <> l_partkey + 1
-         ORDER BY src, dst"""
+         ORDER BY src, dst""",
+
+    "q80_stream_windowed" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+                COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY hour, event_type"""
   )
 }
