@@ -104,4 +104,29 @@ class IoSpec extends SparkSpec {
     assert(mm(1) == "2 2")
     assert(mm.length == 4)
   }
+
+  test("label-histogram CSV and phase-edge parquet sinks round-trip") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graftsink")
+    val hist = Seq((1L, 10L), (2L, 5L)).toDF("label", "count")
+    GraphWriters.writeLabelHistogram(hist, s"$dir/hist")
+    val back = spark.read.option("header", "true").csv(s"$dir/hist")
+      .select(col("label").cast("long"), col("count").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(back == Set((1L, 10L), (2L, 5L)))
+    val edges = Seq((1L, 2L, 0.5), (2L, 3L, 1.5)).toDF("src", "dst", "w")
+    GraphWriters.writePhaseEdges(edges, s"$dir/phase")
+    val pe = spark.read.parquet(s"$dir/phase").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pe == Set((1L, 2L, 0.5), (2L, 3L, 1.5)))
+  }
+
+  test("MMOutputter_scalar writes a 1x1 matrix the vector reader loads back") {
+    val dir = Files.createTempDirectory("graftscalar")
+    GraphWriters.writeMatrixMarketScalar(spark, 3.716, s"$dir/mu")
+    val back = GraphReaders.readMatrixMarketVector(spark, s"$dir/mu").collect()
+    assert(back.length == 1 && back(0).getLong(0) == 0L)
+    assert(math.abs(back(0).getDouble(1) - 3.716) < 1e-9)
+  }
 }
