@@ -107,34 +107,18 @@ object Similarity {
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k).drop("rk")
   }
 
-  /** Deterministic pseudo-random hyperplane for sign-LSH: component j of
-    * plane p is a hash-derived value in [-0.5, 0.5).
-    */
-  private def hyperplaneSign(vec: Column, plane: Int, dim: Int): Column = {
-    val proj = aggregate(
-      zip_with(vec, transform(sequence(lit(0), lit(dim - 1)),
-          j => (pmod(xxhash64(lit(plane), j), lit(1000000L)).cast("double") / 1000000.0d) - 0.5d),
-        (x, r) => x * r),
-      lit(0.0d), (acc, v) => acc + v)
-    when(proj >= 0, lit(1)).otherwise(lit(0))
-  }
-
   /** Random-hyperplane LSH bucket id: `numPlanes` sign bits packed into
     * an int. Vectors in the same bucket are near-duplicates/neighbors
     * with high probability; `numTables` independent tables raise recall.
+    * Plane projections run in the native `SignLsh` kernel (hash-derived
+    * deterministic planes, cached per dim) — the HOF formulation paid
+    * O(tables × planes × dim) interpreted lambda calls per row.
     */
   def lshBuckets(df: DataFrame, idCol: String, vecCol: String, dim: Int,
-                 numPlanes: Int = 8, numTables: Int = 4): DataFrame = {
-    val tables = (0 until numTables).map { t =>
-      val bits = (0 until numPlanes).map(p =>
-        hyperplaneSign(col(vecCol), t * numPlanes + p, dim) * lit(1 << p))
-      struct(lit(t).as("table"), bits.reduce(_ + _).as("bucket"))
-    }
+                 numPlanes: Int = 8, numTables: Int = 4): DataFrame =
     df.select(col(idCol).as("vid"), col(vecCol).as("vec"),
-      explode(array(tables: _*)).as("tb"))
-      .select(col("vid"), col("vec"),
-        col("tb.table").as("table"), col("tb.bucket").as("bucket"))
-  }
+        posexplode(graft.functions.SignLsh.of(col(vecCol), numPlanes, numTables)))
+      .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
 
   /** LSH-bucketed approximate top-k cosine neighbors — the scale path:
     * candidates only form within (table, bucket) groups, so the pairwise
