@@ -99,22 +99,11 @@ object Dedup {
     * generation by block permutation (split into 4 16-bit blocks; dups
     * within `maxHamming ≤ 3` must share one block — pigeonhole).
     */
-  def simHash(text: Column): Column = {
-    val hashes = transform(TextAnalysis.wsTokens(text), t => xxhash64(lower(t)))
-    // Single pass over the token hashes: fold into 64 per-bit vote
-    // counters (zip_with over a static bit-extraction array), then fold
-    // the counter array into the 64-bit signature. Bit positions are
-    // compile-time constants so shiftright stays a literal shift.
-    val counts = aggregate(hashes, array_repeat(lit(0L), 64),
-      (acc, h) => zip_with(acc,
-        array((0 until 64).map(b =>
-          when(shiftright(h, b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)): _*),
-        (a, d) => a + d))
-    val powers = array((0 until 64).map(b => lit(1L << b)): _*)
-    aggregate(zip_with(counts, powers,
-        (c, p) => when(c > 0, p).otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
-  }
+  def simHash(text: Column): Column =
+    // Native kernel (graft.functions.SimHash64): lowercase + hash +
+    // 64-bit majority vote in one compiled pass. Bit-identical to the
+    // HOF fold it replaced (same xxhash64-of-lowercased-token base).
+    graft.functions.SimHash64.of(TextAnalysis.wsTokens(text))
 
   /** Hamming distance between two 64-bit simhashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
