@@ -24,6 +24,14 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
   def withoutSelfEdges: PropertyGraph =
     copy(edges = edges.filter(col("src") =!= col("dst")))
 
+  /** Clamp to a declared max vertex id — the reference's
+    * `set_max_vertex_id` / `maxvertex` option (`sharder.hpp:353-355`,
+    * `conversions.hpp:644-647`): edges touching a vertex above the
+    * bound are dropped.
+    */
+  def clampMaxVertexId(maxId: Long): PropertyGraph =
+    copy(edges = edges.filter(col("src") <= maxId && col("dst") <= maxId))
+
   /** Keep one edge per (src,dst), choosing the row minimizing `by` — the
     * reference's `DuplicateEdgeFilter` / `AcceptMinimum`
     * (`src/preprocessing/sharder.hpp:76-80`,

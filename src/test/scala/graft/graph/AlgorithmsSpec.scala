@@ -104,4 +104,11 @@ class AlgorithmsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(dd == Set((1L, 2L, 3.0), (2L, 3L, 1.0)))
   }
+
+  test("clampMaxVertexId drops edges past the declared bound") {
+    val e = Seq((1L, 2L), (2L, 9L), (10L, 1L)).toDF("src", "dst")
+    val kept = PropertyGraph.fromEdges(e).clampMaxVertexId(5L).edges.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(kept == Set((1L, 2L)))
+  }
 }
