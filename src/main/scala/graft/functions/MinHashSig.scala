@@ -25,6 +25,35 @@ import org.apache.spark.unsafe.types.UTF8String
 object MinHashKernel {
   private val Space = UTF8String.fromString(" ")
 
+  /** Min of the raw shingle xxhash64 values (the document fingerprint —
+    * bit-identical to `array_min(transform(shingles, xxhash64))`).
+    */
+  def minShingleHash(tokens: ArrayData, k: Int): Long = {
+    val n = tokens.numElements()
+    var min = Long.MaxValue
+    def visit(s: UTF8String): Unit = {
+      val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
+        s.numBytes, 42L)
+      if (h < min) min = h
+    }
+    if (n < k) {
+      val parts = new Array[UTF8String](n)
+      var i = 0
+      while (i < n) { parts(i) = tokens.getUTF8String(i); i += 1 }
+      visit(UTF8String.concatWs(Space, parts: _*))
+    } else {
+      var i = 0
+      while (i + k <= n) {
+        val parts = new Array[UTF8String](k)
+        var j = 0
+        while (j < k) { parts(j) = tokens.getUTF8String(i + j); j += 1 }
+        visit(UTF8String.concatWs(Space, parts: _*))
+        i += 1
+      }
+    }
+    min
+  }
+
   /** Fills `mins` with the signature of the shingle stream. */
   def compute(tokens: ArrayData, numHashes: Int, k: Int): ArrayData = {
     val n = tokens.numElements()
@@ -92,4 +121,28 @@ object MinHashSig {
   def of(tokens: Column, numHashes: Int, shingleK: Int): Column =
     GraftShims.column(
       MinHashSig(GraftShims.expression(tokens), numHashes, shingleK))
+}
+
+/** Document fingerprint: min shingle hash in one compiled pass. */
+case class ShingleMinHash(child: Expression, shingleK: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashKernel.minShingleHash(input.asInstanceOf[ArrayData], shingleK)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MinHashKernel.minShingleHash($c, $shingleK);")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleMinHash =
+    copy(child = newChild)
+
+  override def prettyName: String = "shingle_min_hash"
+}
+
+object ShingleMinHash {
+  def of(tokens: Column, shingleK: Int): Column =
+    GraftShims.column(ShingleMinHash(GraftShims.expression(tokens), shingleK))
 }

@@ -87,10 +87,12 @@ object TextAnalysis {
 
   /** Document fingerprint: min rolling-shingle hash (Rabin-Karp style
     * winnowing reduced to its min-hash special case) — stable under
-    * whitespace normalization.
+    * whitespace normalization. Runs in the native shingle kernel,
+    * bit-identical to `array_min(transform(shingles, xxhash64))`.
     */
   def fingerprint(text: Column, k: Int = 3): Column =
-    array_min(transform(shingles(text, k), s => xxhash64(s)))
+    graft.functions.ShingleMinHash.of(
+      transform(wsTokens(text), t => lower(t)), k)
 
   /** Per-token document frequency table: (token, docs) — the reference's
     * `texttokens` word-count prep (`toolkits/parsers/texttokens.cpp`).
