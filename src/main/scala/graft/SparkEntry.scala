@@ -1005,6 +1005,16 @@ object SparkEntry {
         .select(col("window.start").as("hour"), col("event_type"), col("n"),
           round(col("sum_value"), 2).as("sum_value"))
         .orderBy("hour", "event_type")
+    }),
+
+    // §2.10 per-component edge counts (subgraph.cpp's per-CC stats):
+    // every edge attributed to its (single) component.
+    "q81_cc_edge_counts" -> ((s, d) => {
+      val e = spEdges(s, d)
+      val cc = Algorithms.connectedComponents(e)
+      e.join(cc, e("src") === cc("id"))
+        .groupBy("component").agg(count(lit(1)).as("n_edges"))
+        .orderBy("component")
     })
   )
 
@@ -2040,6 +2050,20 @@ object SparkEntry {
     "q80_stream_windowed" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
                 COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
-         FROM events GROUP BY 1, 2 ORDER BY hour, event_type"""
+         FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
+
+    "q81_cc_edge_counts" ->
+      """WITH RECURSIVE e AS (SELECT DISTINCT l_suppkey AS src, l_partkey AS dst
+                              FROM lineitem),
+            sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+            reach(id, r) AS (
+              SELECT src, src FROM sym
+              UNION
+              SELECT sym.src, reach.r FROM sym
+              JOIN reach ON sym.dst = reach.id WHERE reach.r < sym.src),
+            cc AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+         SELECT cc.component, COUNT(*) AS n_edges
+         FROM e JOIN cc ON e.src = cc.id
+         GROUP BY cc.component ORDER BY cc.component"""
   )
 }
