@@ -1015,6 +1015,43 @@ object SparkEntry {
       e.join(cc, e("src") === cc("id"))
         .groupBy("component").agg(count(lit(1)).as("n_edges"))
         .orderBy("component")
+    }),
+
+    // §2.12 twitter parser (twitter.cpp): synthesize a T/U/W tweet
+    // stream from orders (author = customer, @mentions = the order's
+    // suppliers, RT every 3rd order), parse it back to the
+    // mention/retweet edge list with dense-id dictionary.
+    "q82_twitter" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+      val o = Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+      val tweets = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+        .agg(sort_array(collect_set(col("l_suppkey"))).as("supps"))
+      tweets.select(concat(
+          lit("T  "),
+          date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss"), lit("\n"),
+          lit("U  http://twitter.com/cust"),
+          col("o_custkey").cast("string"), lit("\n"),
+          lit("W  hello "),
+          concat_ws(" ", transform(col("supps"),
+            k => concat(lit("@supp"), k.cast("string")))),
+          when(col("o_orderkey") % 3 === 0,
+            concat(lit(" RT cust"), (col("o_custkey") % 100).cast("string")))
+            .otherwise(lit("")),
+          lit("\n")).as("value"))
+        .coalesce(1).write.mode("overwrite").text("/tmp/graft_q82_twitter")
+      val edges = graft.text.Parsers.twitter(s, "/tmp/graft_q82_twitter/part-*")
+      val dict = graft.text.Parsers.twitterDictionary(edges)
+      val df = dict.select(col("name").as("fn"), col("id").as("from_id"))
+      val dt = dict.select(col("name").as("tn"), col("id").as("to_id"))
+      edges.join(df, col("from_name") === col("fn"))
+        .join(dt, col("to_name") === col("tn"))
+        .select(col("from_name"), col("from_id"), col("to_name"),
+          col("to_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+          col("link_type"))
+        .orderBy("from_name", "to_name", "ts", "link_type")
     })
   )
 
@@ -2064,6 +2101,33 @@ object SparkEntry {
             cc AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
          SELECT cc.component, COUNT(*) AS n_edges
          FROM e JOIN cc ON e.src = cc.id
-         GROUP BY cc.component ORDER BY cc.component"""
+         GROUP BY cc.component ORDER BY cc.component""",
+
+    "q82_twitter" ->
+      """WITH t AS (SELECT o_orderkey, o_custkey,
+                    strftime(CAST(o_orderdate AS TIMESTAMP),
+                             '%Y-%m-%d %H:%M:%S') AS ts
+                    FROM orders),
+            m AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+            edges AS (
+              SELECT 'cust' || t.o_custkey AS from_name,
+                     'supp' || m.l_suppkey AS to_name, t.ts,
+                     1 AS link_type
+              FROM m JOIN t ON m.l_orderkey = t.o_orderkey
+              UNION ALL
+              SELECT 'cust' || o_custkey, 'cust' || (o_custkey % 100), ts, 2
+              FROM t WHERE o_orderkey % 3 = 0
+                AND EXISTS (SELECT 1 FROM m
+                            WHERE m.l_orderkey = t.o_orderkey)),
+            names AS (SELECT from_name AS name FROM edges
+                      UNION SELECT to_name FROM edges),
+            dict AS (SELECT name,
+                     CAST(ROW_NUMBER() OVER (ORDER BY name) - 1 AS BIGINT)
+                       AS id FROM names)
+         SELECT e.from_name, df.id AS from_id, e.to_name, dt.id AS to_id,
+                e.ts, e.link_type
+         FROM edges e JOIN dict df ON e.from_name = df.name
+         JOIN dict dt ON e.to_name = dt.name
+         ORDER BY from_name, to_name, ts, link_type"""
   )
 }

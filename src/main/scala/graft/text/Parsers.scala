@@ -1,15 +1,95 @@
 package graft.text
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** ETL parser programs — the reference's `toolkits/parsers/` tools not
   * already covered by TextAnalysis/Generators (SURVEY.md §2.12):
   * `cdr.cpp` (call-detail records → per-day graphs with date parsing,
-  * `cdr.cpp:49-70`) and `nbayes.cpp` (naive-bayes training prep:
-  * per-class token counts + class priors).
+  * `cdr.cpp:49-70`), `nbayes.cpp` (naive-bayes training prep:
+  * per-class token counts + class priors) and `twitter.cpp` (tweet
+  * stream → mention/retweet graph with a username dictionary).
   */
 object Parsers {
+
+  /** Token-delimiter class of the reference twitter parser
+    * (`twitter.cpp:48` `user_chars_tokens`): space, CR, LF, tab and
+    * `,."!?#%^&*()|-'+$/:`. Kept as a regex character class so Spark's
+    * `split` produces exactly the reference's `strtok_r` tokens.
+    */
+  private val TwitterDelims = """[ \r\n\t,.\"!?#%^&*()|\-'+$/:]+"""
+
+  /** Twitter social-graph export parser (`twitter.cpp:229-300`). Input
+    * is a stream of blank-line-separated three-line records:
+    * {{{
+    * T  2009-06-11 16:56:42
+    * U  http://twitter.com/tiffnic85
+    * W  @carolinesweatt There are no orphans...of God! :)
+    * }}}
+    * Emits one edge per link found in the tweet body:
+    * `@name` mentions → link_type 1, `RT name` retweets → link_type 2
+    * (`twitter.cpp:196-222` `parse_links`), timestamped with the `T`
+    * line's epoch seconds (`twitter.cpp:156-194`). Usernames are
+    * lowercased, `@`-stripped and dropped when empty or longer than 15
+    * chars (`twitter.cpp:103-110` `assign_id`; `/` and `:` can't occur —
+    * they are delimiters).
+    *
+    * Spark-first shape: records are parsed with `lineSep="\n\n"` so each
+    * row is one self-contained record — no cross-row state, fully
+    * parallel at any scale (the reference threads one file per core;
+    * here every record is independent). Returns
+    * (from_name, to_name, ts, link_type) with names, not ids — compose
+    * with [[twitterDictionary]] for the reference's dense-id output.
+    */
+  def twitter(spark: SparkSession, path: String): DataFrame = {
+    val recs = spark.read.option("lineSep", "\n\n").text(path)
+      .withColumn("ls", split(col("value"), "\n"))
+    // Per record: the T line yields the timestamp, the U line the author,
+    // the W line the link tokens. get() is 0-based and null on a miss, so
+    // malformed records degrade to null and are filtered, never error.
+    val tLine = get(filter(col("ls"), l => l.startsWith("T")), lit(0))
+    val uLine = get(filter(col("ls"), l => l.startsWith("U")), lit(0))
+    val wLine = get(filter(col("ls"), l => l.startsWith("W")), lit(0))
+    val parsed = recs.select(
+      to_timestamp(regexp_extract(coalesce(tLine, lit("")),
+        """^T\s+(\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2})""", 1)).as("ts"),
+      lower(regexp_extract(coalesce(uLine, lit("")),
+        """twitter\.com/([^ \r\n\t,."!?#%^&*()|\-'+$/:]+)""", 1)).as("author"),
+      split(coalesce(wLine, lit("")), TwitterDelims).as("toks"))
+      .filter(length(col("author")).between(1, 15))
+    // Mentions: any token starting with '@' (all '@'s stripped,
+    // twitter.cpp:112-113). Retweets: the token AFTER a literal "RT"
+    // (twitter.cpp:211-222) — zip each token with its successor; the
+    // final token's successor pads to null and drops out.
+    val mentions = filter(transform(col("toks"),
+      t => when(t.startsWith("@"),
+        lower(regexp_replace(t, "@", "")))), _.isNotNull)
+    val successors = slice(col("toks"), lit(2),
+      greatest(size(col("toks")) - 1, lit(0)))
+    val rts = filter(zip_with(col("toks"), successors,
+      (a, b) => when(a === "RT" && b.isNotNull,
+        lower(regexp_replace(b, "@", "")))), _.isNotNull)
+    val links = parsed.select(col("author"), col("ts"),
+      concat(
+        transform(mentions, m => struct(m.as("to_name"), lit(1).as("link_type"))),
+        transform(rts, m => struct(m.as("to_name"), lit(2).as("link_type"))))
+        .as("links"))
+      .select(col("author").as("from_name"), col("ts"),
+        explode(col("links")).as("l"))
+      .select(col("from_name"), col("l.to_name"), col("ts"), col("l.link_type"))
+    links.filter(length(col("to_name")).between(1, 15))
+  }
+
+  /** String→dense-id dictionary over every username seen in the parsed
+    * edge list (the reference's `string2nodeid` map, `twitter.cpp:117-131`).
+    * Ids are assigned 0..n-1 in sorted-name order — deterministic and
+    * distributed, where the reference uses first-seen order (a
+    * single-process artifact). Returns (name, id).
+    */
+  def twitterDictionary(edges: DataFrame): DataFrame =
+    graft.graph.Generators.stringDictionary(
+      edges.select(col("from_name").as("name"))
+        .union(edges.select(col("to_name").as("name"))), "name")
 
   /** CDR: parse a `YYYY-MM-DD hh:mm:ss` timestamp column and aggregate
     * the (src, dst) interaction graph per calendar day — the reference's
