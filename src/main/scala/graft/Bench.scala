@@ -20,6 +20,13 @@ object Bench {
         case e: Throwable => Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
       }
       val dt = (System.nanoTime() - t0) / 1e9
+      // Iterative queries leave localCheckpoint blocks pinned until the
+      // ContextCleaner notices the RDDs are unreachable; across 80+
+      // queries that lag accumulates gigabytes of dead blocks and the
+      // later queries degrade several-fold. Drop them deterministically.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      spark.catalog.clearCache()
       System.err.println(f"[bench] $name%-28s $dt%8.2f s" +
         err.map(m => s"  ERROR: $m").getOrElse(""))
       (name, dt, err)

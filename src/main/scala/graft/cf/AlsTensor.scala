@@ -114,6 +114,9 @@ object AlsTensor {
   private def vecSum(vec: Column, rank: Int): Column =
     graft.functions.VecSum.of(vec, rank)
 
+  private def vecScaleSum(s: Column, vec: Column, k: Int): Column =
+    graft.functions.VecScaleSum.of(s.cast("double"), vec, k)
+
   private def initSmall(ids: DataFrame, rank: Int, seed: Long): DataFrame =
     ids.select(col("id"),
       transform(sequence(lit(0), lit(rank - 1)),
@@ -163,8 +166,8 @@ object AlsTensor {
       rmses :+= joined.agg(sqrt(avg(pow(col("err"), 2)))).collect()(0).getDouble(0)
 
       val gu = joined.groupBy("user").agg(
-        vecSum(transform(col("qi"), q => q * col("err")), rank).as("gp"),
-        vecSum(transform(col("zt"), z => z * col("err")), rank).as("gx"),
+        vecScaleSum(col("err"), col("qi"), rank).as("gp"),
+        vecScaleSum(col("err"), col("zt"), rank).as("gx"),
         sum("err").as("gb"))
       val newUf = uf.join(gu, Seq("user"), "left").select(
         col("user"),
@@ -176,7 +179,7 @@ object AlsTensor {
         when(col("gx").isNotNull, zip_with(col("xu"), col("gx"),
           (x, g) => x + lit(lr) * (g - lit(reg) * x))).otherwise(col("xu")).as("xu"))
       val gi = joined.groupBy("item").agg(
-        vecSum(transform(col("puimp"), p => p * col("err")), rank).as("gq"),
+        vecScaleSum(col("err"), col("puimp"), rank).as("gq"),
         sum("err").as("gb"))
       val newVf = vf.join(gi, Seq("item"), "left").select(
         col("item"),
@@ -189,7 +192,7 @@ object AlsTensor {
       // the time-side gradient is averaged, not summed — a summed
       // gradient over ~n/|T| ratings diverges at any fixed step size
       val gt = joined.groupBy("time").agg(
-          vecSum(transform(col("xu"), x => x * col("err")), rank).as("gzsum"),
+          vecScaleSum(col("err"), col("xu"), rank).as("gzsum"),
           avg("err").as("gb"), count(lit(1)).as("gn"))
         .select(col("time"), transform(col("gzsum"), g => g / col("gn")).as("gz"),
           col("gb"))
@@ -201,7 +204,7 @@ object AlsTensor {
           col("bt") + lit(lr) * (col("gb") - lit(reg) * col("bt")))
           .otherwise(col("bt")).as("bt"))
       val su = joined.groupBy("user")
-        .agg(vecSum(transform(col("qi"), q => q * col("err")), rank).as("s"))
+        .agg(vecScaleSum(col("err"), col("qi"), rank).as("s"))
         .join(nu, "user")
         .select(col("user"), transform(col("s"), v => v * col("ninv")).as("s"))
       val gy = r.join(su, "user").groupBy("item").agg(vecSum(col("s"), rank).as("gy"))

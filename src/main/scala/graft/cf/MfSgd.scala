@@ -131,17 +131,13 @@ object MfSgd {
       mu, rmses)
   }
 
-  /** Element-wise Σ err·vec as a typed aggregate: builds err-scaled
-    * vectors then sums them component-wise via aggregate over
-    * collect_list — bounded by rank (small) per group.
+  /** Element-wise Σ err·vec as a native fused aggregate — map-side
+    * partial aggregation, no per-row array allocation.
     */
   private def aggregateVecSum(err: org.apache.spark.sql.Column,
                               vec: org.apache.spark.sql.Column,
                               rank: Int): org.apache.spark.sql.Column =
-    aggregate(
-      collect_list(transform(vec, v => v * err)),
-      array_repeat(lit(0.0d), rank),
-      (acc, v) => zip_with(acc, v, (a, x) => a + x))
+    graft.functions.VecScaleSum.of(err.cast("double"), vec, rank)
 
   /** Predict ratings for (user, item) pairs with a trained model. */
   def predict(model: Model, pairs: DataFrame): DataFrame = {

@@ -25,6 +25,9 @@ object Rbm {
   private def vecSum(vec: Column, nHidden: Int): Column =
     graft.functions.VecSum.of(vec, nHidden)
 
+  private def vecScaleSum(s: Column, vec: Column, k: Int): Column =
+    graft.functions.VecScaleSum.of(s.cast("double"), vec, k)
+
   private def initW(ids: DataFrame, nHidden: Int, seed: Long): DataFrame =
     ids.select(col("id"),
       transform(sequence(lit(0), lit(nHidden - 1)),
@@ -47,7 +50,7 @@ object Rbm {
       val jv = r.join(w, "item")
       // positive phase: h_u = σ(Σ v·W)
       val h = jv.groupBy("user")
-        .agg(vecSum(transform(col("w"), x => x * col("v")), nHidden).as("a"))
+        .agg(vecScaleSum(col("v"), col("w"), nHidden).as("a"))
         .select(col("user"),
           transform(col("a"), x => lit(1.0) / (lit(1.0) + exp(-x))).as("h"))
       // reconstruction: v' = b_i + h·W_i
@@ -60,7 +63,7 @@ object Rbm {
         .collect()(0).getDouble(0)
       // negative phase: h' = σ(Σ v'·W)
       val h2 = recon.groupBy("user")
-        .agg(vecSum(transform(col("w"), x => x * col("vrec")), nHidden).as("a"))
+        .agg(vecScaleSum(col("vrec"), col("w"), nHidden).as("a"))
         .select(col("user"),
           transform(col("a"), x => lit(1.0) / (lit(1.0) + exp(-x))).as("h2"))
       // CD-1 weight update per item

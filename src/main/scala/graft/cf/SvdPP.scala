@@ -29,6 +29,9 @@ object SvdPP {
   private def vecSum(vec: Column, rank: Int): Column =
     graft.functions.VecSum.of(vec, rank)
 
+  private def vecScaleSum(s: Column, vec: Column, k: Int): Column =
+    graft.functions.VecScaleSum.of(s.cast("double"), vec, k)
+
   private def initFactors(ids: DataFrame, rank: Int, seed: Long): DataFrame =
     ids.select(col("id"),
       transform(sequence(lit(0), lit(rank - 1)),
@@ -70,7 +73,7 @@ object SvdPP {
       rmses :+= joined.agg(sqrt(avg(pow(col("err"), 2)))).collect()(0).getDouble(0)
       // (3) gradients
       val gu = joined.groupBy("user").agg(
-        vecSum(transform(col("qi"), q => q * col("err")), rank).as("gp"),
+        vecScaleSum(col("err"), col("qi"), rank).as("gp"),
         sum("err").as("gb"))
       val newUf = uf.join(gu, Seq("user"), "left").select(
         col("user"),
@@ -80,7 +83,7 @@ object SvdPP {
           col("bu") + lit(lr) * (col("gb") - lit(reg) * col("bu")))
           .otherwise(col("bu")).as("bu"))
       val gi = joined.groupBy("item").agg(
-        vecSum(transform(col("puimp"), p => p * col("err")), rank).as("gq"),
+        vecScaleSum(col("err"), col("puimp"), rank).as("gq"),
         sum("err").as("gb"))
       val newVf = vf.join(gi, Seq("item"), "left").select(
         col("item"),
@@ -91,7 +94,7 @@ object SvdPP {
           .otherwise(col("bi")).as("bi"))
       // y_j gradient: Σ_{u: j∈N(u)} ninv_u · (Σ_i err_ui q_i) − reg·y_j
       val su = joined.groupBy("user")
-        .agg(vecSum(transform(col("qi"), q => q * col("err")), rank).as("s"))
+        .agg(vecScaleSum(col("err"), col("qi"), rank).as("s"))
         .join(nu, "user")
         .select(col("user"), transform(col("s"), v => v * col("ninv")).as("s"))
       val gy = r.join(su, "user").groupBy("item").agg(vecSum(col("s"), rank).as("gy"))

@@ -30,6 +30,21 @@ class FunctionsSpec extends SparkSpec {
     assert(out(1L) == Seq(4.0, 6.0) && out(2L) == Seq(5.0, 6.0))
   }
 
+  test("VecScaleSum matches VecSum over transform(v, x => x*s)") {
+    val df = Seq((1L, 2.0, Array(1.0, 2.0)), (1L, -0.5, Array(3.0, 4.0)),
+      (2L, 3.0, Array(5.0, 6.0)), (2L, 0.0, Array(7.0, 8.0)))
+      .toDF("k", "s", "v").repartition(4)
+    val native = df.groupBy("k")
+      .agg(VecScaleSum.of(col("s"), col("v"), 2).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val hof = df.groupBy("k")
+      .agg(VecSum.of(transform(col("v"), x => x * col("s")), 2).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(native == hof)
+    assert(native(1L) == Seq(2.0 * 1 - 0.5 * 3, 2.0 * 2 - 0.5 * 4))
+    assert(native(2L) == Seq(15.0, 18.0))
+  }
+
   test("MinHashSig: deterministic, content-sensitive, short-doc path") {
     val df = Seq(("a b c d e", 0), ("a b c d e", 1), ("a b c d X", 2), ("a b", 3))
       .toDF("text", "id")
