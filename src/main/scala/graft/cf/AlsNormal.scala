@@ -11,12 +11,14 @@ import org.apache.spark.sql.expressions.UserDefinedFunction
   * Gram matrix and the right-hand side).
   *
   * Spark shape: each half-step is `ratings ⋈ otherFactors` followed by
-  * `groupBy(thisSide)` collecting the incident (factor, rating, weight)
-  * triples, then a local rank×rank solve per vertex. The group payload
-  * is O(degree·rank) and the solve is O(rank³) with rank ≲ 50, so the
-  * shuffle (two per iteration, keyed by user then item) dominates —
-  * identical scale behavior to `ml.recommendation.ALS`, but with
-  * arbitrary per-rating weights, which the built-in lacks.
+  * `groupBy(thisSide)` with the native [[graft.functions.GramAgg]]
+  * partial aggregate folding XᵗX/Xᵗy map-side, then a local rank×rank
+  * solve per vertex. The shuffle carries rank²+rank+1 doubles per key
+  * per mapper — independent of vertex degree, so a power-law hot item
+  * costs O(#mappers·rank²) merge work instead of materializing its
+  * whole rating list on one reducer. Two shuffles per iteration (keyed
+  * by user then item), same scale behavior as `ml.recommendation.ALS`,
+  * but with arbitrary per-rating weights, which the built-in lacks.
   */
 object AlsNormal {
 
@@ -43,6 +45,29 @@ object AlsNormal {
     }
     var i = 0
     while (i < rank) { a(i)(i) += lambda * n; i += 1 }
+    eliminate(a, rank)
+  }
+
+  /** Solve from a [[graft.functions.GramAgg]] buffer: flat
+    * [XᵗX (rank², row-major) | Xᵗy (rank) | n] with λ·n ridge added
+    * here, so the distributed aggregate stays pure accumulation.
+    */
+  private[cf] def solveFromGram(g: Seq[Double], rank: Int,
+                                lambda: Double): Array[Double] = {
+    val a = Array.ofDim[Double](rank, rank + 1)
+    val n = g(rank * rank + rank)
+    var i = 0
+    while (i < rank) {
+      var j = 0
+      while (j < rank) { a(i)(j) = g(i * rank + j); j += 1 }
+      a(i)(rank) = g(rank * rank + i)
+      a(i)(i) += lambda * n
+      i += 1
+    }
+    eliminate(a, rank)
+  }
+
+  private def eliminate(a: Array[Array[Double]], rank: Int): Array[Double] = {
     // forward elimination with partial pivoting
     var col = 0
     while (col < rank) {
@@ -63,7 +88,7 @@ object AlsNormal {
       col += 1
     }
     val x = new Array[Double](rank)
-    i = rank - 1
+    var i = rank - 1
     while (i >= 0) {
       var s = a(i)(rank)
       var j = i + 1
@@ -86,10 +111,10 @@ object AlsNormal {
     }
   }
 
-  private def solver(rank: Int, lambda: Double,
-                     sparsity: Option[Int] = None): UserDefinedFunction =
-    udf { rows: Seq[(Seq[Double], Double, Double)] =>
-      val x = solveOne(rows, rank, lambda)
+  private def gramSolver(rank: Int, lambda: Double,
+                         sparsity: Option[Int] = None): UserDefinedFunction =
+    udf { g: Seq[Double] =>
+      val x = solveFromGram(g, rank, lambda)
       sparsity.map(hardThreshold(x, _)).getOrElse(x)
     }
 
@@ -117,7 +142,7 @@ object AlsNormal {
     val w = if (ratings.columns.contains("weight")) col("weight").cast("double") else lit(1.0d)
     val r = ratings.select(col("user"), col("item"), col("rating").cast("double"), w.as("w"))
       .repartition(col("user")).transform(graft.graph.Iterate.ckpt)
-    val solve = solver(rank, lambda, sparsity)
+    val solve = gramSolver(rank, lambda, sparsity)
 
     var vf = warmStartItemFactors
       .getOrElse(initFactors(r.select(col("item").as("id")).distinct(), rank, seed))
@@ -128,13 +153,13 @@ object AlsNormal {
     for (_ <- 1 to iterations) {
       uf = r.join(vf.withColumnRenamed("id", "item").withColumnRenamed("f", "q"), "item")
         .groupBy(col("user").as("id"))
-        .agg(collect_list(struct(col("q"), col("rating"), col("w"))).as("rows"))
-        .select(col("id"), solve(col("rows")).as("f"))
+        .agg(graft.functions.GramAgg.of(col("q"), col("rating"), col("w"), rank).as("g"))
+        .select(col("id"), solve(col("g")).as("f"))
         .transform(graft.graph.Iterate.ckpt)
       vf = r.join(uf.withColumnRenamed("id", "user").withColumnRenamed("f", "p"), "user")
         .groupBy(col("item").as("id"))
-        .agg(collect_list(struct(col("p"), col("rating"), col("w"))).as("rows"))
-        .select(col("id"), solve(col("rows")).as("f"))
+        .agg(graft.functions.GramAgg.of(col("p"), col("rating"), col("w"), rank).as("g"))
+        .select(col("id"), solve(col("g")).as("f"))
         .transform(graft.graph.Iterate.ckpt)
       val preds = r
         .join(uf.select(col("id").as("user"), col("f").as("p")), "user")

@@ -39,10 +39,8 @@ object AlsTensor {
         k => pmod(xxhash64(col("id"), k, lit(seed)), lit(1000L)).cast("double") / 1000.0)
         .as("f"))
 
-  private def solver(rank: Int, lambda: Double): UserDefinedFunction =
-    udf { rows: Seq[(Seq[Double], Double, Double)] =>
-      AlsNormal.solveOne(rows, rank, lambda)
-    }
+  private def gramSolver(rank: Int, lambda: Double): UserDefinedFunction =
+    udf { g: Seq[Double] => AlsNormal.solveFromGram(g, rank, lambda) }
 
   /** PARAFAC ALS over (user, item, time, rating). One iteration = three
     * mode solves; each solve joins the other two factor tables onto the
@@ -54,7 +52,7 @@ object AlsTensor {
     val r = ratings.select(col("user"), col("item"), col("time"),
         col("rating").cast("double"), lit(1.0d).as("w"))
       .repartition(col("user")).transform(graft.graph.Iterate.ckpt)
-    val solve = solver(rank, lambda)
+    val solve = gramSolver(rank, lambda)
 
     var uf = initFactors(r.select(col("user").as("id")).distinct(), rank, seed)
       .transform(graft.graph.Iterate.ckpt)
@@ -74,22 +72,22 @@ object AlsTensor {
       uf = joined3.select(col("user").as("id"), col("rating"), col("w"),
           zip_with(col("q"), col("z"), (x, y) => x * y).as("d"))
         .groupBy("id")
-        .agg(collect_list(struct(col("d"), col("rating"), col("w"))).as("rows"))
-        .select(col("id"), solve(col("rows")).as("f"))
+        .agg(graft.functions.GramAgg.of(col("d"), col("rating"), col("w"), rank).as("g"))
+        .select(col("id"), solve(col("g")).as("f"))
         .transform(graft.graph.Iterate.ckpt)
       // items: design = p∘z
       vf = joined3.select(col("item").as("id"), col("rating"), col("w"),
           zip_with(col("p"), col("z"), (x, y) => x * y).as("d"))
         .groupBy("id")
-        .agg(collect_list(struct(col("d"), col("rating"), col("w"))).as("rows"))
-        .select(col("id"), solve(col("rows")).as("f"))
+        .agg(graft.functions.GramAgg.of(col("d"), col("rating"), col("w"), rank).as("g"))
+        .select(col("id"), solve(col("g")).as("f"))
         .transform(graft.graph.Iterate.ckpt)
       // times: design = p∘q
       tf = joined3.select(col("time").as("id"), col("rating"), col("w"),
           zip_with(col("p"), col("q"), (x, y) => x * y).as("d"))
         .groupBy("id")
-        .agg(collect_list(struct(col("d"), col("rating"), col("w"))).as("rows"))
-        .select(col("id"), solve(col("rows")).as("f"))
+        .agg(graft.functions.GramAgg.of(col("d"), col("rating"), col("w"), rank).as("g"))
+        .select(col("id"), solve(col("g")).as("f"))
         .transform(graft.graph.Iterate.ckpt)
       val preds = joined3.select(col("rating"), dot3(col("p"), col("q"), col("z")).as("pred"))
       rmses :+= preds.agg(sqrt(avg(pow(col("rating") - col("pred"), 2))))

@@ -4,10 +4,11 @@ import java.nio.ByteBuffer
 
 import org.apache.spark.sql.{Column, GraftShims}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpectsInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.BinaryLike
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.GraftShims.AbstractDataType
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Native Σ s·v aggregate: element-wise sum of a scalar-scaled
@@ -24,7 +25,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 case class VecScaleSum(left: Expression, right: Expression, vecLen: Int,
                        mutableAggBufferOffset: Int = 0,
                        inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[Array[Double]] with BinaryLike[Expression] {
+    extends TypedImperativeAggregate[Array[Double]]
+    with BinaryLike[Expression] with ExpectsInputTypes {
+
+  // reject (or implicitly cast) a wrong-typed scale column at analysis
+  // time — update() trusts the Double cast
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(DoubleType, ArrayType(DoubleType))
 
   override def createAggregationBuffer(): Array[Double] = new Array[Double](vecLen)
 

@@ -21,6 +21,11 @@ import org.apache.spark.sql.execution.LogicalRDD
   * selection is unaffected at execution time.
   */
 object GraftShims {
+  /** `types.AbstractDataType` is private[sql]; alias it so graft's
+    * native expressions can declare `ExpectsInputTypes.inputTypes`.
+    */
+  type AbstractDataType = org.apache.spark.sql.types.AbstractDataType
+
   /** Column ↔ Expression bridges (the classic helpers are private[sql];
     * graft's native expressions need them to surface as Columns).
     */
