@@ -339,28 +339,38 @@ object SparkEntry {
     // §2.11 ALS matrix factorization + batch top-K recs (rating.cpp).
     // Factor values are implementation-specific, so the oracle checks the
     // SQL-derivable shape (user count, rec count, the global-mean
-    // predictor's RMSE) plus the training invariant: ALS must beat the
-    // mean predictor on its own training data.
+    // predictor's RMSE) plus two training invariants: ALS must beat the
+    // mean predictor on its own training data, and recommendations must
+    // never include already-rated train items (rating.cpp:233).
     "q28_als_recs" -> ((s, d) => {
       val r = ratings(s, d).transform(graft.graph.Iterate.ckpt)
       val model = CollaborativeFiltering.trainAls(r, rank = 8, maxIter = 5)
-      val recs = CollaborativeFiltering.recommendTopK(model, 5)
+      val recs = CollaborativeFiltering.recommendTopK(model, 5, Some(r))
+        .transform(graft.graph.Iterate.ckpt) // consumed by count + overlap
       val nRecs = recs.count()
+      val trainOverlap = recs
+        .join(r.select("user", "item"), Seq("user", "item"), "left_semi").count()
       val alsRmse = CollaborativeFiltering.rmse(
         model.transform(r).withColumn("pred", col("prediction").cast("double")))
-      val meanRmse = r.agg(sqrt(avg(pow(col("rating") -
-        r.agg(avg("rating")).collect()(0).getDouble(0), 2))))
-        .collect()(0).getDouble(0)
+      val mu = r.agg(avg("rating")).collect()(0).getDouble(0)
+      // one fused pass for n_users + the mean predictor's RMSE
+      val aggRow = r.agg(countDistinct("user").as("nu"),
+        sqrt(avg(pow(col("rating") - mu, 2))).as("base")).collect()(0)
       val s2 = r.sparkSession
       import s2.implicits._
-      Seq((r.select("user").distinct().count(), nRecs,
-        math.round(meanRmse * 10000).toDouble / 10000, alsRmse < meanRmse))
-        .toDF("n_users", "n_recs", "baseline_rmse", "als_beats_baseline")
+      Seq((aggRow.getLong(0), nRecs,
+        math.round(aggRow.getDouble(1) * 10000).toDouble / 10000,
+        alsRmse < aggRow.getDouble(1), trainOverlap == 0L))
+        .toDF("n_users", "n_recs", "baseline_rmse", "als_beats_baseline",
+          "no_train_recs")
     }),
 
     // §2.11 ranking metrics (MAP@K/MRR) of itemsim recs vs liked items.
     "q29_ranking_metrics" -> ((s, d) => {
-      val r = ratings(s, d)
+      // ckpt: the lineitem⋈orders rating build feeds similarity, rec
+      // scoring, the user-mean truth filter — six consumers otherwise
+      // re-run the join+groupBy from parquet each time
+      val r = ratings(s, d).transform(graft.graph.Iterate.ckpt)
       val sims = CollaborativeFiltering.itemSimilarity(r,
         CollaborativeFiltering.Jaccard, minIntersection = 3)
       val recs = CollaborativeFiltering.itemSimToRatings(r, sims, 5)
@@ -1335,7 +1345,8 @@ object SparkEntry {
                 5 * COUNT(DISTINCT u) AS n_recs,
                 ROUND(sqrt(AVG(pow(rating - (SELECT mu FROM mu), 2))), 4)
                   AS baseline_rmse,
-                true AS als_beats_baseline
+                true AS als_beats_baseline,
+                true AS no_train_recs
          FROM r""",
 
     // full replay of the itemsim→recs→metrics chain

@@ -79,13 +79,38 @@ object CollaborativeFiltering {
       .evaluate(model.transform(validation))
 
   /** Batch top-K recommendations for all users — the reference's
-    * `rating.cpp` (`rating.cpp:24-48`). Returns (user, item, score, rank).
+    * `rating.cpp` (`rating.cpp:24-48`). Returns (user, rank, item, score).
+    *
+    * With `excludeRatings` set, already-rated training pairs are skipped
+    * exactly like the reference (`rating.cpp:233` `if (... rated) continue`).
+    * The reference scores ALL items per user and drops rated ones from
+    * the heap; here we request the top k+maxUserDegree from the blocked
+    * GEMM top-K — strictly less work than that full per-user item scan —
+    * then anti-join the training pairs and re-rank, which leaves ≥ k
+    * survivors per user by construction.
     */
-  def recommendTopK(model: ALSModel, k: Int): DataFrame =
-    model.recommendForAllUsers(k)
-      .select(col("user"), posexplode(col("recommendations")))
-      .select(col("user"), (col("pos") + 1).as("rank"),
-        col("col.item").as("item"), col("col.rating").as("score"))
+  def recommendTopK(model: ALSModel, k: Int,
+                    excludeRatings: Option[DataFrame] = None): DataFrame =
+    excludeRatings match {
+      case None =>
+        model.recommendForAllUsers(k)
+          .select(col("user"), posexplode(col("recommendations")))
+          .select(col("user"), (col("pos") + 1).as("rank"),
+            col("col.item").as("item"), col("col.rating").as("score"))
+      case Some(ratings) =>
+        val train = ratings.select("user", "item").distinct()
+        val maxDeg = train.groupBy("user").agg(count(lit(1)).as("d"))
+          .agg(max("d")).collect()(0).getLong(0).toInt
+        val unrated = model.recommendForAllUsers(k + maxDeg)
+          .select(col("user"), explode(col("recommendations")).as("rec"))
+          .select(col("user"), col("rec.item").as("item"),
+            col("rec.rating").as("score"))
+          .join(train, Seq("user", "item"), "left_anti")
+        val w = Window.partitionBy("user").orderBy(desc("score"), asc("item"))
+        unrated.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= k)
+          .select(col("user"), col("rank"), col("item"), col("score"))
+    }
 
   // ---- item-item similarity (itemcf.cpp) -------------------------------
 
