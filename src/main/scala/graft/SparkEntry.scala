@@ -1062,7 +1062,18 @@ object SparkEntry {
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
           col("link_type"))
         .orderBy("from_name", "to_name", "ts", "link_type")
-    })
+    }),
+
+    // §2.10 per-vertex core number (kcores.cpp full decomposition): each
+    // vertex's coreness = the peel round at which kcores.cpp deactivates
+    // it. Computed by the h-index fixpoint; the oracle replays the exact
+    // same 12 fixed supersteps in SQL (both sides converge well before
+    // 12 — verified diff-vs-n+1 = 0 from round 4 at sf0.01, 10 at
+    // sf0.1 — so the fixed unroll IS the coreness).
+    "q83_coreness" -> ((s, d) =>
+      Algorithms.coreness(spEdges(s, d), iterations = 12)
+        .select(col("id"), col("c").as("core"))
+        .orderBy("id"))
   )
 
   // ---- oracles ----------------------------------------------------------
@@ -2139,6 +2150,27 @@ object SparkEntry {
                 e.ts, e.link_type
          FROM edges e JOIN dict df ON e.from_name = df.name
          JOIN dict dt ON e.to_name = dt.name
-         ORDER BY from_name, to_name, ts, link_type"""
+         ORDER BY from_name, to_name, ts, link_type""",
+
+    // Same 12 fixed h-index supersteps as the Spark query: l0 = degree,
+    // l_{i} = per-vertex H-index of neighbor labels (sort desc, take
+    // max(min(label, rank))). Extra steps past convergence are no-ops,
+    // so the unroll computes the coreness exactly.
+    "q83_coreness" -> {
+      val steps = (1 to 12).map { i =>
+        s""",
+            l$i AS (SELECT src AS id, MAX(LEAST(nc, rn)) AS c FROM
+              (SELECT s0.src, p.c AS nc,
+                 ROW_NUMBER() OVER (PARTITION BY s0.src ORDER BY p.c DESC)
+                   AS rn
+               FROM s0 JOIN l${i - 1} p ON s0.dst = p.id) t$i
+             GROUP BY src)"""
+      }.mkString
+      s"""WITH e0 AS (SELECT DISTINCT l_suppkey AS src, l_partkey AS dst
+                     FROM lineitem WHERE l_suppkey <> l_partkey),
+            s0 AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+            l0 AS (SELECT src AS id, COUNT(*) AS c FROM s0 GROUP BY src)$steps
+         SELECT id, c AS core FROM l12 ORDER BY id"""
+    }
   )
 }

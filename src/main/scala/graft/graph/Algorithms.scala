@@ -159,6 +159,48 @@ object Algorithms {
     sym.select(col("src").as("id")).distinct()
   }
 
+  /** Per-vertex core number — the full decomposition the reference's
+    * `toolkits/graph_analytics/kcores.cpp:81-142,208-223` emits: each
+    * vertex's `kcore` is the peel round (the k) at which it was removed,
+    * which equals the standard coreness (v is removed in round k iff it
+    * belongs to the k-core but not the (k+1)-core).
+    *
+    * Spark shape: instead of mirroring the reference's nested
+    * peel-to-fixpoint-per-k driver loop (data-dependent round count,
+    * each round touching the shrinking remainder), this runs the
+    * h-index fixpoint [Lü et al., Nature Communications 7:10168 (2016)]:
+    * start from degree, repeatedly replace each label with the H-index
+    * of its neighbors' labels; the fixpoint is exactly the coreness.
+    * Every superstep is one uniform join + window-aggregate over the
+    * full edge set — no shrinking actives needed, extra supersteps past
+    * convergence are no-ops, and the round count is small in practice
+    * (monotone non-increasing labels bounded below by coreness).
+    * Vertices are those incident to ≥1 edge (as in the reference, where
+    * the vertex set comes from the edge file).
+    */
+  def coreness(edges: DataFrame, iterations: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fwd = edges.select("src", "dst").filter(col("src") =!= col("dst"))
+    val sym = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().repartition(col("dst"))
+      .transform(graft.graph.Iterate.ckpt)
+    var lab = sym.groupBy("src").agg(count(lit(1)).as("c"))
+      .select(col("src").as("id"), col("c"))
+      .transform(graft.graph.Iterate.ckpt)
+    for (_ <- 1 to iterations) {
+      // H-index of the neighbor multiset: sort labels desc, take
+      // max(min(label, position)) — h neighbors with label ≥ h.
+      val nbr = sym.join(lab.select(col("id").as("dst"), col("c").as("nc")), "dst")
+        .select(col("src"), col("nc"))
+      val w = Window.partitionBy("src").orderBy(desc("nc"))
+      lab = nbr.withColumn("rn", row_number().over(w))
+        .groupBy("src").agg(max(least(col("nc"), col("rn"))).as("c"))
+        .select(col("src").as("id"), col("c"))
+        .transform(graft.graph.Iterate.ckpt)
+    }
+    lab
+  }
+
   /** Triangle count per vertex and the degree-ordering pre-pass — the
     * reference's `example_apps/trianglecounting.cpp:282-427` with
     * `order_by_degree` relabeling

@@ -49,6 +49,31 @@ class AlgorithmsSpec extends SparkSpec {
     assert(core == Set(1L, 2L, 3L))
   }
 
+  test("coreness: K4 plus tail — clique is 3-core, tail peels at 1") {
+    // K4 (ids 1..4) + chain 4-5-6: coreness 3 for the clique, 1 for
+    // the tail (the chain peels in round 1).
+    val ids = 1L to 4L
+    val k4 = for { a <- ids; b <- ids if a < b } yield a -> b
+    val e = edges(k4 ++ Seq(4L -> 5L, 5L -> 6L): _*)
+    val c = Algorithms.coreness(e, iterations = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L, 5L -> 1L, 6L -> 1L))
+  }
+
+  test("coreness agrees with kCore membership on a mixed graph") {
+    // two triangles sharing a bridge + pendants: {coreness >= k} must
+    // equal the k-core peel for every k present.
+    val e = edges(1L -> 2L, 2L -> 3L, 3L -> 1L, 3L -> 4L, 4L -> 5L,
+      5L -> 6L, 6L -> 4L, 6L -> 7L)
+    val c = Algorithms.coreness(e, iterations = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (k <- 1 to 2) {
+      val member = Algorithms.kCore(e, k).collect().map(_.getLong(0)).toSet
+      assert(c.filter(_._2 >= k).keySet == member, s"k=$k")
+    }
+    assert(c.values.max == 2L && c(7L) == 1L)
+  }
+
   test("triangleCounts: K4 has 4 triangles, 3 per vertex") {
     val ids = 1L to 4L
     val e = edges((for { a <- ids; b <- ids if a < b } yield a -> b): _*)
