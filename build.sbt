@@ -28,5 +28,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   // 32 local cores share one heap: localCheckpoint blocks + 32 in-flight
   // tasks need far more than the JVM default on the 128 GiB bench box.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // 32g measurably GC-throttles the post-query-suite throughput probe
+  // (22s → 95s for the same run); 64g leaves headroom on the bench box.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "64g")}",
 )
