@@ -1032,6 +1032,9 @@ object SparkEntry {
     // suppliers, RT every 3rd order), parse it back to the
     // mention/retweet edge list with dense-id dictionary.
     "q82_twitter" -> ((s, d) => {
+      // per-run temp dir: concurrent Bench/Verify runs on one host must
+      // not race on a shared fixture path
+      val q82Dir = java.nio.file.Files.createTempDirectory("graft_q82_").toString
       val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
       val o = Tables.orders(s, d)
         .select("o_orderkey", "o_custkey", "o_orderdate")
@@ -1050,8 +1053,8 @@ object SparkEntry {
             concat(lit(" RT cust"), (col("o_custkey") % 100).cast("string")))
             .otherwise(lit("")),
           lit("\n")).as("value"))
-        .coalesce(1).write.mode("overwrite").text("/tmp/graft_q82_twitter")
-      val edges = graft.text.Parsers.twitter(s, "/tmp/graft_q82_twitter/part-*")
+        .coalesce(1).write.mode("overwrite").text(q82Dir)
+      val edges = graft.text.Parsers.twitter(s, s"$q82Dir/part-*")
       val dict = graft.text.Parsers.twitterDictionary(edges)
       val df = dict.select(col("name").as("fn"), col("id").as("from_id"))
       val dt = dict.select(col("name").as("tn"), col("id").as("to_id"))
@@ -1073,10 +1076,61 @@ object SparkEntry {
     "q83_coreness" -> ((s, d) =>
       Algorithms.coreness(spEdges(s, d), iterations = 12)
         .select(col("id"), col("c").as("core"))
-        .orderBy("id"))
+        .orderBy("id")),
+
+    // §2.13 streaming PageRank end-to-end (streaming_pagerank.cpp): the
+    // q19 edge set arrives as 4 parquet delta batches
+    // (maxFilesPerTrigger = 1, AvailableNow); after the stream drains,
+    // the final ranks must equal the batch engine's — same unrolled
+    // 4-iteration SQL oracle as q19.
+    "q84_streaming_pagerank" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_q84_").toString
+      Tables.customerSupplierEdges(s, d)
+        .withColumn("deleted", lit(false))
+        .repartition(4)
+        .write.mode("overwrite").parquet(dir)
+      val st = new graft.streaming.EdgeStream.GraphState(s,
+        Tables.customerSupplierEdges(s, d).limit(0))
+      val q = graft.streaming.EdgeStream.streamingPageRank(s, st, dir,
+        prIters = 4, maxFilesPerTrigger = 1,
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      q.awaitTermination()
+      st.ranks.select(col("id"), round(col("pr"), 6).as("pr"))
+        .orderBy(desc("pr"), asc("id")).limit(100)
+    })
   )
 
   // ---- oracles ----------------------------------------------------------
+
+  /** 4-iteration PageRank unrolled as CTE stages — shared by q19 (batch)
+    * and q84 (streamed): both engines must land on identical ranks.
+    */
+  private val pageRankOracleSql: String =
+    """WITH e AS (SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
+                    FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+            v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+            od AS (SELECT src, COUNT(*) AS odeg FROM e GROUP BY src),
+            c AS (SELECT e.src, e.dst, 1.0 / od.odeg AS w
+                  FROM e JOIN od ON e.src = od.src),
+            p0 AS (SELECT id, 1.0 AS pr FROM v),
+            p1 AS (SELECT v.id, 0.15 + 0.85 * COALESCE(m.mass, 0) AS pr FROM v
+                   LEFT JOIN (SELECT c.dst, SUM(p0.pr * c.w) AS mass
+                              FROM c JOIN p0 ON c.src = p0.id GROUP BY c.dst) m
+                   ON v.id = m.dst),
+            p2 AS (SELECT v.id, 0.15 + 0.85 * COALESCE(m.mass, 0) AS pr FROM v
+                   LEFT JOIN (SELECT c.dst, SUM(p1.pr * c.w) AS mass
+                              FROM c JOIN p1 ON c.src = p1.id GROUP BY c.dst) m
+                   ON v.id = m.dst),
+            p3 AS (SELECT v.id, 0.15 + 0.85 * COALESCE(m.mass, 0) AS pr FROM v
+                   LEFT JOIN (SELECT c.dst, SUM(p2.pr * c.w) AS mass
+                              FROM c JOIN p2 ON c.src = p2.id GROUP BY c.dst) m
+                   ON v.id = m.dst),
+            p4 AS (SELECT v.id, 0.15 + 0.85 * COALESCE(m.mass, 0) AS pr FROM v
+                   LEFT JOIN (SELECT c.dst, SUM(p3.pr * c.w) AS mass
+                              FROM c JOIN p3 ON c.src = p3.id GROUP BY c.dst) m
+                   ON v.id = m.dst)
+         SELECT id, round(pr, 6) AS pr FROM p4
+         ORDER BY round(pr, 6) DESC, id LIMIT 100"""
 
   def oracleSql: Map[String, String] = Map(
     "q01_scan_filter_project" ->
@@ -1232,33 +1286,11 @@ object SparkEntry {
               JOIN reach ON sym.dst = reach.id WHERE reach.r < sym.src)
          SELECT id, MIN(r) AS component FROM reach GROUP BY id ORDER BY id""",
 
-    // PageRank with a fixed 4 iterations, unrolled as CTE stages.
-    "q19_pagerank" ->
-      """WITH e AS (SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
-                    FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-            v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
-            od AS (SELECT src, COUNT(*) AS odeg FROM e GROUP BY src),
-            c AS (SELECT e.src, e.dst, 1.0 / od.odeg AS w
-                  FROM e JOIN od ON e.src = od.src),
-            p0 AS (SELECT id, 1.0 AS pr FROM v),
-            p1 AS (SELECT v.id, 0.15 + 0.85 * COALESCE(m.mass, 0) AS pr FROM v
-                   LEFT JOIN (SELECT c.dst, SUM(p0.pr * c.w) AS mass
-                              FROM c JOIN p0 ON c.src = p0.id GROUP BY c.dst) m
-                   ON v.id = m.dst),
-            p2 AS (SELECT v.id, 0.15 + 0.85 * COALESCE(m.mass, 0) AS pr FROM v
-                   LEFT JOIN (SELECT c.dst, SUM(p1.pr * c.w) AS mass
-                              FROM c JOIN p1 ON c.src = p1.id GROUP BY c.dst) m
-                   ON v.id = m.dst),
-            p3 AS (SELECT v.id, 0.15 + 0.85 * COALESCE(m.mass, 0) AS pr FROM v
-                   LEFT JOIN (SELECT c.dst, SUM(p2.pr * c.w) AS mass
-                              FROM c JOIN p2 ON c.src = p2.id GROUP BY c.dst) m
-                   ON v.id = m.dst),
-            p4 AS (SELECT v.id, 0.15 + 0.85 * COALESCE(m.mass, 0) AS pr FROM v
-                   LEFT JOIN (SELECT c.dst, SUM(p3.pr * c.w) AS mass
-                              FROM c JOIN p3 ON c.src = p3.id GROUP BY c.dst) m
-                   ON v.id = m.dst)
-         SELECT id, round(pr, 6) AS pr FROM p4
-         ORDER BY round(pr, 6) DESC, id LIMIT 100""",
+    // PageRank with a fixed 4 iterations, unrolled as CTE stages. Shared
+    // verbatim with q84: the streamed engine must land on the exact same
+    // ranks as the batch engine.
+    "q19_pagerank" -> pageRankOracleSql,
+    "q84_streaming_pagerank" -> pageRankOracleSql,
 
     // Exact all-pairs 3-shingle Jaccard ≥ 0.5 (the LSH path must find
     // exactly these pairs; Jaccard is a ratio of integers → bit-equal).

@@ -166,12 +166,17 @@ object Similarity {
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
         s => round(s.getField("m"), 6)).as("cv"))
     val c = broadcast(cents)
-    // assign every vector to its nearest centroid (max dot, ties → low cl)
-    val assigned = nv.crossJoin(c)
-      .select(col("vid"), col("v"), col("cl"),
+    // assign every vector to its nearest centroid (max dot, ties → low cl).
+    // The argmax groups on the 8-byte vid alone — (vid, cl, sim) rows
+    // partial-aggregate map-side — and the embedding is carried back by
+    // one equi-join instead of riding the shuffle as part of the
+    // grouping key.
+    val best = nv.crossJoin(c)
+      .select(col("vid"), col("cl"),
         round(dot(col("v"), col("cv")), 6).as("sim"))
-      .groupBy("vid", "v")
+      .groupBy("vid")
       .agg(max_by(col("cl"), struct(col("sim"), -col("cl"))).as("cl"))
+    val assigned = nv.join(best, "vid")
     // queries probe their nprobe nearest lists
     val probes = nv.filter(col("vid") < queryMaxId).crossJoin(c)
       .select(col("vid").as("query_id"), col("v").as("qv"), col("cl"),

@@ -63,15 +63,19 @@ object EdgeStream {
   /** Run a streaming incremental-PageRank over a delta directory of
     * parquet edge files (the rate-limited ingest analog; backpressure =
     * `maxFilesPerTrigger`). Returns the running query + state handle.
+    * Pass `Trigger.AvailableNow()` to drain the directory and stop — the
+    * batch-parity harness mode (stream everything, compare final ranks
+    * against the batch engine).
     */
   def streamingPageRank(spark: SparkSession, state: GraphState,
                         deltaDir: String, prIters: Int = 2,
-                        maxFilesPerTrigger: Int = 1): StreamingQuery = {
+                        maxFilesPerTrigger: Int = 1,
+                        trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery = {
     spark.readStream.schema(deltaSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(deltaDir)
       .writeStream
-      .trigger(Trigger.ProcessingTime("1 second"))
+      .trigger(trigger)
       .foreachBatch { (delta: DataFrame, _: Long) =>
         state.applyDelta(delta)
         state.ranks = Algorithms.pageRank(state.liveEdges, prIters)
