@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** ETL parser programs — the reference's `toolkits/parsers/` tools not
@@ -27,7 +27,8 @@ object Parsers {
     * W  @carolinesweatt There are no orphans...of God! :)
     * }}}
     * Emits one edge per link found in the tweet body:
-    * `@name` mentions → link_type 1, `RT name` retweets → link_type 2
+    * `@name` mentions → link_type 1; a token with prefix `RT` consumes
+    * the next token as a retweet target → link_type 2
     * (`twitter.cpp:196-222` `parse_links`), timestamped with the `T`
     * line's epoch seconds (`twitter.cpp:156-194`). Usernames are
     * lowercased, `@`-stripped and dropped when empty or longer than 15
@@ -57,27 +58,47 @@ object Parsers {
         """twitter\.com/([^ \r\n\t,."!?#%^&*()|\-'+$/:]+)""", 1)).as("author"),
       split(coalesce(wLine, lit("")), TwitterDelims).as("toks"))
       .filter(length(col("author")).between(1, 15))
-    // Mentions: any token starting with '@' (all '@'s stripped,
-    // twitter.cpp:112-113). Retweets: the token AFTER a literal "RT"
-    // (twitter.cpp:211-222) — zip each token with its successor; the
-    // final token's successor pads to null and drops out.
-    val mentions = filter(transform(col("toks"),
-      t => when(t.startsWith("@"),
-        lower(regexp_replace(t, "@", "")))), _.isNotNull)
+    // Link extraction replays parse_links' strtok walk exactly
+    // (twitter.cpp:196-222): '@tok' → mention (link 1, leading '@'
+    // dropped, twitter.cpp:199); a token with PREFIX "RT" (strncmp 2,
+    // so 'RTs'/'RT2009' trigger too, twitter.cpp:210) CONSUMES the
+    // following token as the retweet target (link 2) — the consumed
+    // token is never itself scanned, so 'RT @bob' emits only the
+    // retweet edge. Username validity is assign_id's
+    // (twitter.cpp:103-113): raw token 1..15 chars, then lowercase +
+    // every '@' removed. The walk is a sequential fold over
+    // (token, successor) pairs with a one-token skip flag — per-record
+    // state only, fully parallel across records.
+    val noLinks = array().cast("array<struct<to_name:string,link_type:int>>")
+    def norm(c: Column): Column = lower(regexp_replace(c, "@", ""))
+    def emit(raw: Column, linkType: Int): Column =
+      when(raw.isNotNull && length(raw).between(1, 15) && length(norm(raw)) >= 1,
+        array(struct(norm(raw).as("to_name"), lit(linkType).as("link_type"))))
+        .otherwise(noLinks)
     val successors = slice(col("toks"), lit(2),
       greatest(size(col("toks")) - 1, lit(0)))
-    val rts = filter(zip_with(col("toks"), successors,
-      (a, b) => when(a === "RT" && b.isNotNull,
-        lower(regexp_replace(b, "@", "")))), _.isNotNull)
-    val links = parsed.select(col("author"), col("ts"),
-      concat(
-        transform(mentions, m => struct(m.as("to_name"), lit(1).as("link_type"))),
-        transform(rts, m => struct(m.as("to_name"), lit(2).as("link_type"))))
-        .as("links"))
-      .select(col("author").as("from_name"), col("ts"),
-        explode(col("links")).as("l"))
+    val pairs = zip_with(col("toks"), successors,
+      (t, nxt) => struct(t.as("t"), nxt.as("nxt")))
+    val linksCol = aggregate(
+      pairs,
+      struct(noLinks.as("links"), lit(false).as("skip")),
+      (acc, p) => {
+        val t = p.getField("t")
+        val keep = acc.getField("links")
+        when(acc.getField("skip"),
+          struct(keep.as("links"), lit(false).as("skip")))
+        .otherwise(when(t.startsWith("@"),
+            struct(concat(keep, emit(t.substr(lit(2), length(t)), 1)).as("links"),
+              lit(false).as("skip")))
+          .otherwise(when(t.startsWith("RT"),
+              struct(concat(keep, emit(p.getField("nxt"), 2)).as("links"),
+                lit(true).as("skip")))
+            .otherwise(struct(keep.as("links"), lit(false).as("skip")))))
+      },
+      acc => acc.getField("links"))
+    parsed.select(col("author").as("from_name"), col("ts"),
+        explode(linksCol).as("l"))
       .select(col("from_name"), col("l.to_name"), col("ts"), col("l.link_type"))
-    links.filter(length(col("to_name")).between(1, 15))
   }
 
   /** String→dense-id dictionary over every username seen in the parsed

@@ -46,6 +46,32 @@ class ParsersSpec extends SparkSpec {
       ("danilaselva", "tiffnic85", 2, "2009-06-11 16:56:43.0")))
   }
 
+  test("twitter RT consumes its target: 'RT @bob' emits only the retweet edge") {
+    val path = writeFixture(
+      """T  2010-01-01 00:00:00
+        |U  http://twitter.com/alice
+        |W  nice one RT @bob thanks @carol
+        |
+        |T  2010-01-01 00:00:01
+        |U  http://twitter.com/dave
+        |W  RTs @erin RT frank
+        |""".stripMargin)
+    val edges = Parsers.twitter(spark, path)
+      .select("from_name", "to_name", "link_type")
+      .orderBy("from_name", "to_name", "link_type")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    // alice: 'RT @bob' → retweet to bob ONLY (no mention edge for the
+    // consumed '@bob'); '@carol' after it is an ordinary mention.
+    // dave: tokens are [RTs, @erin, RT, frank] — 'RTs' has prefix RT
+    // (strncmp semantics) and consumes '@erin' (retweet erin, '@'
+    // stripped by assign_id), then 'RT' consumes 'frank' (retweet).
+    assert(edges.toSeq == Seq(
+      ("alice", "bob", 2),
+      ("alice", "carol", 1),
+      ("dave", "erin", 2),
+      ("dave", "frank", 2)))
+  }
+
   test("twitter dictionary assigns dense sorted ids over all names") {
     val path = writeFixture(
       """T  2010-01-01 00:00:00
