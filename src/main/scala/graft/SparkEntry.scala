@@ -1097,6 +1097,33 @@ object SparkEntry {
       q.awaitTermination()
       st.ranks.select(col("id"), round(col("pr"), 6).as("pr"))
         .orderBy(desc("pr"), asc("id")).limit(100)
+    }),
+
+    // §2.11 CoEM (coem.cpp): noun↔context bipartite from the documents
+    // table, pos/neg seed nouns pinned, damped count-weighted
+    // propagation. Invariant oracle like q60: graph shape counts are
+    // SQL-exact, seeds keep their one-hot class, distributions stay
+    // normalized.
+    "q85_coem" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pos = Seq("join", "scan", "filter")
+      val neg = Seq("slow", "small")
+      val res = graft.text.CoEm.run(docs, "text", pos, neg, iterations = 3)
+        .transform(graft.graph.Iterate.ckpt)
+      val nCtx = graft.text.CoEm.nounContextPairs(docs, "text")
+        .select("context").distinct().count()
+      val nSeeds = res.filter(col("noun").isin(pos ++ neg: _*)).count()
+      val badSeeds = res.filter(
+        (col("noun").isin(pos: _*) && col("label") =!= 0) ||
+        (col("noun").isin(neg: _*) && col("label") =!= 1)).count()
+      val maxDrift = res.agg(max(abs(
+          aggregate(col("dist"), lit(0.0d), (a, x) => a + x) - 1.0)))
+        .collect()(0).getDouble(0)
+      val s2 = s
+      import s2.implicits._
+      Seq((res.count(), nCtx, nSeeds, badSeeds == 0L, maxDrift < 1e-6))
+        .toDF("n_nouns", "n_contexts", "n_seeds", "seeds_keep_labels",
+          "dists_normalized")
     })
   )
 
@@ -2183,6 +2210,27 @@ object SparkEntry {
          FROM edges e JOIN dict df ON e.from_name = df.name
          JOIN dict dt ON e.to_name = dt.name
          ORDER BY from_name, to_name, ts, link_type""",
+
+    // Replays the noun/context pair extraction (tokens + ^_$-bounded
+    // predecessor_successor patterns); the propagation invariants are
+    // builder-asserted booleans.
+    "q85_coem" ->
+      """WITH toks AS (SELECT list_filter(
+              string_split_regex(trim(lower(text)), '\s+'),
+              x -> x <> '') AS t FROM documents),
+            np AS (SELECT unnest(list_transform(range(1, len(t)+1),
+                     i -> struct_pack(noun := t[i],
+                            ctx := coalesce(t[i-1], '^') || '_' ||
+                                   coalesce(t[i+1], '$')))) AS u
+                   FROM toks),
+            pairs AS (SELECT u.noun AS noun, u.ctx AS ctx FROM np),
+            nouns AS (SELECT DISTINCT noun FROM pairs)
+         SELECT (SELECT COUNT(*) FROM nouns) AS n_nouns,
+                (SELECT COUNT(DISTINCT ctx) FROM pairs) AS n_contexts,
+                (SELECT COUNT(*) FROM nouns WHERE noun IN
+                   ('join','scan','filter','slow','small')) AS n_seeds,
+                true AS seeds_keep_labels,
+                true AS dists_normalized""",
 
     // Same 12 fixed h-index supersteps as the Spark query: l0 = degree,
     // l_{i} = per-vertex H-index of neighbor labels (sort desc, take
