@@ -1124,6 +1124,30 @@ object SparkEntry {
       Seq((res.count(), nCtx, nSeeds, badSeeds == 0L, maxDrift < 1e-6))
         .toDF("n_nouns", "n_contexts", "n_seeds", "seeds_keep_labels",
           "dists_normalized")
+    }),
+
+    // §2.11 gensgd side features (gensgd.cpp fc.node_id_maps): FM over
+    // (user, item, c_mktsegment) — the string segment becomes dense
+    // dictionary feature ids exactly like the numeric ids. The feature
+    // space size is SQL-exact; training invariants as q53.
+    "q86_fm_side_features" -> ((s, d) => {
+      val r = ratings(s, d)
+        .join(Tables.customer(s, d)
+          .select(col("c_custkey").as("user"), col("c_mktsegment")), "user")
+        .transform(graft.graph.Iterate.ckpt)
+      val (ex, dict) = cf.Fm.featuresWithDictionary(r, "rating",
+        Seq("user", "item", "c_mktsegment"))
+      val m = cf.Fm.train(ex, rank = 4, iterations = 6, lr = 0.05)
+      val mu = r.agg(avg("rating")).collect()(0).getDouble(0)
+      val base = r.agg(sqrt(avg(pow(col("rating") - mu, 2))))
+        .collect()(0).getDouble(0)
+      val s2 = s
+      import s2.implicits._
+      Seq((r.count(), dict.count(),
+          math.round(base * 10000).toDouble / 10000,
+          m.trainRmse.last < m.trainRmse.head, m.trainRmse.last < base))
+        .toDF("n_ratings", "n_features", "baseline_rmse",
+          "rmse_decreasing", "beats_baseline")
     })
   )
 
@@ -2231,6 +2255,26 @@ object SparkEntry {
                    ('join','scan','filter','slow','small')) AS n_seeds,
                 true AS seeds_keep_labels,
                 true AS dists_normalized""",
+
+    // Feature-space size is exact: Σ per-column distinct values over
+    // (user, item, mktsegment); training invariants builder-asserted.
+    "q86_fm_side_features" ->
+      """WITH r AS (SELECT o_custkey AS u, l_partkey AS item,
+                    ROUND(AVG(l_quantity), 4) AS rating
+                    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                    GROUP BY 1, 2),
+            rc AS (SELECT r.*, c.c_mktsegment FROM r
+                   JOIN customer c ON r.u = c.c_custkey),
+            mu AS (SELECT AVG(rating) AS mu FROM rc)
+         SELECT COUNT(*) AS n_ratings,
+                (SELECT COUNT(DISTINCT u) FROM rc)
+                  + (SELECT COUNT(DISTINCT item) FROM rc)
+                  + (SELECT COUNT(DISTINCT c_mktsegment) FROM rc)
+                  AS n_features,
+                ROUND(sqrt(AVG(pow(rating - (SELECT mu FROM mu), 2))), 4)
+                  AS baseline_rmse,
+                true AS rmse_decreasing, true AS beats_baseline
+         FROM rc""",
 
     // Same 12 fixed h-index supersteps as the Spark query: l0 = degree,
     // l_{i} = per-vertex H-index of neighbor labels (sort desc, take

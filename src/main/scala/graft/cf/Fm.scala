@@ -47,6 +47,42 @@ object Fm {
       col("rating").cast("double").as("y"))
   }
 
+  /** gensgd's real feature encoding (`gensgd.cpp` `fc.node_id_maps` +
+    * `assign_id` rehash): every VALUE of every feature column — numeric
+    * id or arbitrary string alike — gets a dense dictionary id, and the
+    * per-column id blocks are laid out consecutively, so a string side
+    * feature (a market segment, a category) trains exactly like a
+    * user/item id. Dictionary ids are sorted-value order (deterministic
+    * where the reference's first-seen order is a single-process
+    * artifact). Returns (examples(example_id, features, y),
+    * dict(column, value, feature)).
+    */
+  def featuresWithDictionary(df: DataFrame, targetCol: String,
+                             cols: Seq[String]): (DataFrame, DataFrame) = {
+    var offset = 0L
+    val dicts = cols.map { c =>
+      val d = graft.graph.Generators.stringDictionary(
+          df.select(col(c).cast("string").as("name")), "name")
+        .select(lit(c).as("column"), col("name").as("value"),
+          (col("id") + offset).as("feature"))
+        .transform(graft.graph.Iterate.ckpt)
+      offset += d.count()
+      d
+    }
+    val dict = dicts.reduce(_ union _)
+    val base = df.select(
+      monotonically_increasing_id().as("example_id") +:
+        col(targetCol).cast("double").as("y") +:
+        cols.map(c => col(c).cast("string").as(s"__$c")): _*)
+    val joined = cols.zip(dicts).foldLeft(base) { case (acc, (c, d)) =>
+      acc.join(broadcast(d.select(col("value").as(s"__$c"),
+        col("feature").as(s"__f_$c"))), s"__$c")
+    }
+    val examples = joined.select(col("example_id"),
+      array(cols.map(c => col(s"__f_$c")): _*).as("features"), col("y"))
+    (examples, dict)
+  }
+
   /** Train on `examples(example_id, features: array<long>, y)`. */
   def train(examples: DataFrame, rank: Int = 4, iterations: Int = 10,
             lr: Double = 0.01, reg: Double = 0.01, seed: Long = 42L): Model = {

@@ -124,4 +124,28 @@ class CfProgramsSpec extends SparkSpec {
       warmStartItemFactors = Some(loaded.select(col("row").as("id"), col("f"))))
     assert(warm.trainRmse.last <= cold.trainRmse.head)
   }
+
+  test("featuresWithDictionary: dense per-column blocks, strings like ids") {
+    val df = Seq((1L, 10L, "A", 5.0), (2L, 10L, "B", 1.0), (1L, 11L, "A", 4.0))
+      .toDF("user", "item", "seg", "rating")
+    val (ex, dict) = Fm.featuresWithDictionary(df, "rating",
+      Seq("user", "item", "seg"))
+    val d = dict.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    // user block 0..1, item block 2..3, seg block 4..5, sorted values
+    assert(d == Set(("user", "1", 0L), ("user", "2", 1L),
+      ("item", "10", 2L), ("item", "11", 3L),
+      ("seg", "A", 4L), ("seg", "B", 5L)))
+    assert(ex.count() == 3)
+    assert(ex.select(explode(col("features"))).distinct().count() == 6)
+    assert(ex.select(size(col("features"))).distinct().collect()
+      .map(_.getInt(0)).toSeq == Seq(3))
+    // the string side feature trains: planted segment-dependent signal
+    val seg = ratings.withColumn("seg",
+      when(col("rating") >= 4, lit("hi")).otherwise(lit("lo")))
+    val (ex2, _) = Fm.featuresWithDictionary(seg, "rating",
+      Seq("user", "item", "seg"))
+    val m = Fm.train(ex2, rank = 2, iterations = 4, lr = 0.05)
+    assert(m.trainRmse.last < m.trainRmse.head)
+  }
 }
