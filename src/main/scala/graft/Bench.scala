@@ -5,6 +5,9 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.local(cpus)
+    // Engine-metrics harvest (metrics.hpp / reps analog): scheduler-bus
+    // counters reported as one JSON map at the end of the run.
+    val mlistener = graft.metrics.SparkMetricsListener.install(spark, "bench")
     // Warm the session (codegen, parquet footer reads, shuffle machinery)
     // so the first measured query doesn't absorb JVM startup.
     spark.range(1000000L).selectExpr("sum(id)").collect()
@@ -73,6 +76,8 @@ object Bench {
       System.err.println(s"[bench] throughput probe failed: ${e.getMessage}")
       ""
     }
+    System.err.println("[bench] metrics " +
+      graft.metrics.MetricsReporter.json(mlistener.metrics))
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"$thr}"""
     println(line)
     // Persist the complete per-query JSON too — the round artifact only
