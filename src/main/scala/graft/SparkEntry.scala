@@ -490,14 +490,16 @@ object SparkEntry {
     // §2.11 biassgd2 multi-loss (square / abs / logistic)
     "q41_biassgd2_losses" -> ((s, d) => {
       val r = ratings(s, d).transform(graft.graph.Iterate.ckpt)
+      val traces = cf.MfSgd.trainMulti(r,
+        Seq(cf.MfSgd.AbsLoss, cf.MfSgd.LogisticLoss, cf.MfSgd.SquareLoss),
+        rank = 8, iterations = 3)
       val s2 = s
       import s2.implicits._
       Seq(("abs", cf.MfSgd.AbsLoss: cf.MfSgd.Loss),
           ("logistic", cf.MfSgd.LogisticLoss),
           ("square", cf.MfSgd.SquareLoss))
         .map { case (name, loss) =>
-          val m = cf.MfSgd.train(r, rank = 8, iterations = 3, loss = loss)
-          (name, m.trainRmse.last < m.trainRmse.head)
+          (name, traces(loss).last < traces(loss).head)
         }.toDF("loss", "improved").orderBy("loss")
     }),
 

@@ -131,6 +131,102 @@ object MfSgd {
       mu, rmses)
   }
 
+  /** All requested `biassgd2.cpp` losses trained in ONE lock-step
+    * pipeline: ratings and factor state carry a `loss` tag, so each
+    * superstep runs the same two shuffles over |losses|× rows instead
+    * of |losses| separate trainings each paying the full per-superstep
+    * fixed cost (stage scheduling, checkpoint materialization, driver
+    * round-trips — which dominate when a single training's iteration is
+    * second-scale). Per-loss math is bit-identical to [[train]]: same
+    * init (seed-hashed, loss-independent), same μ handling, same
+    * gradient signal. Returns the per-loss training-RMSE traces.
+    */
+  def trainMulti(ratings: DataFrame, losses: Seq[Loss], rank: Int = 8,
+                 iterations: Int = 3, lr: Double = 0.01, reg: Double = 0.05,
+                 seed: Long = 42L): Map[Loss, Seq[Double]] = {
+    def tag(l: Loss): String = l match {
+      case SquareLoss => "square"; case AbsLoss => "abs"
+      case LogisticLoss => "logistic"
+    }
+    val r0 = ratings.select(col("user"), col("item"), col("rating").cast("double"))
+    val (lo, span) = if (losses.contains(LogisticLoss)) {
+      val mm = r0.agg(min("rating"), max("rating")).collect()(0)
+      val s = mm.getDouble(1) - mm.getDouble(0)
+      (mm.getDouble(0), if (s > 0) s else 1.0)
+    } else (0.0, 1.0)
+    val r = losses.map { l =>
+      val rat = l match {
+        case LogisticLoss => ((col("rating") - lo) / span).as("rating")
+        case _ => col("rating").as("rating")
+      }
+      r0.select(lit(tag(l)).as("loss"), col("user"), col("item"), rat)
+    }.reduce(_ union _).repartition(col("loss"), col("user"))
+      .transform(graft.graph.Iterate.ckpt)
+    val muByLoss = r.groupBy("loss").agg(avg("rating")).collect()
+      .map(row => row.getString(0) -> row.getDouble(1)).toMap
+    // μ as a when-chain literal (logistic scores pass through a sigmoid
+    // instead of a mean offset, as in train())
+    val muCol = losses.foldLeft(lit(0.0)) { (acc, l) =>
+      when(col("loss") === tag(l),
+        lit(if (l == LogisticLoss) 0.0 else muByLoss(tag(l)))).otherwise(acc)
+    }
+    def init(keyCol: String, s: Long) =
+      r.select(col("loss"), col(keyCol).as("id")).distinct()
+        .select(col("loss"), col("id"),
+          transform(sequence(lit(0), lit(rank - 1)),
+            k => (pmod(xxhash64(col("id"), k, lit(s)), lit(1000000L))
+              .cast("double") / 1e7) - 0.05).as("f"),
+          lit(0.0).as("b"))
+    var uf = init("user", seed)
+      .select(col("loss"), col("id").as("user"), col("f").as("pu"), col("b").as("bu"))
+      .transform(graft.graph.Iterate.ckpt)
+    var vf = init("item", seed + 1)
+      .select(col("loss"), col("id").as("item"), col("f").as("qi"), col("b").as("bi"))
+      .transform(graft.graph.Iterate.ckpt)
+
+    var traces = losses.map(l => l -> Vector.empty[Double]).toMap
+    for (_ <- 1 to iterations) {
+      val score = muCol + col("bu") + col("bi") + dotArr(col("pu"), col("qi"))
+      val pred = when(col("loss") === tag(LogisticLoss),
+        lit(1.0) / (lit(1.0) + exp(-score))).otherwise(score)
+      val joined = r.join(uf, Seq("loss", "user")).join(vf, Seq("loss", "item"))
+        .withColumn("err", col("rating") - pred)
+        .withColumn("g", when(col("loss") === tag(AbsLoss),
+          signum(col("err"))).otherwise(col("err")))
+        .transform(graft.graph.Iterate.ckpt)
+      val rms = joined.groupBy("loss").agg(sqrt(avg(pow(col("err"), 2))).as("rmse"))
+        .collect().map(row => row.getString(0) -> row.getDouble(1)).toMap
+      traces = traces.map { case (l, t) => l -> (t :+ rms(tag(l))) }
+      val gu = joined.groupBy("loss", "user").agg(
+        aggregateVecSum(col("g"), col("qi"), rank).as("gv"),
+        sum(col("g")).as("gb"))
+      uf = uf.join(gu, Seq("loss", "user"), "left").select(
+        col("loss"), col("user"),
+        when(col("gv").isNotNull,
+          zip_with(col("pu"), col("gv"),
+            (p, g) => p + lit(lr) * (g - lit(reg) * p)))
+          .otherwise(col("pu")).as("pu"),
+        when(col("gb").isNotNull,
+          col("bu") + lit(lr) * (col("gb") - lit(reg) * col("bu")))
+          .otherwise(col("bu")).as("bu"))
+        .transform(graft.graph.Iterate.ckpt)
+      val gi = joined.groupBy("loss", "item").agg(
+        aggregateVecSum(col("g"), col("pu"), rank).as("gv"),
+        sum(col("g")).as("gb"))
+      vf = vf.join(gi, Seq("loss", "item"), "left").select(
+        col("loss"), col("item"),
+        when(col("gv").isNotNull,
+          zip_with(col("qi"), col("gv"),
+            (q, g) => q + lit(lr) * (g - lit(reg) * q)))
+          .otherwise(col("qi")).as("qi"),
+        when(col("gb").isNotNull,
+          col("bi") + lit(lr) * (col("gb") - lit(reg) * col("bi")))
+          .otherwise(col("bi")).as("bi"))
+        .transform(graft.graph.Iterate.ckpt)
+    }
+    traces
+  }
+
   /** Element-wise Σ err·vec as a native fused aggregate — map-side
     * partial aggregation, no per-row array allocation.
     */

@@ -125,6 +125,18 @@ class CfProgramsSpec extends SparkSpec {
     assert(warm.trainRmse.last <= cold.trainRmse.head)
   }
 
+  test("trainMulti matches per-loss train() traces in one pipeline") {
+    import MfSgd._
+    val losses = Seq(AbsLoss, LogisticLoss, SquareLoss)
+    val multi = trainMulti(ratings, losses, rank = 4, iterations = 3)
+    losses.foreach { l =>
+      val single = train(ratings, rank = 4, iterations = 3, loss = l).trainRmse
+      multi(l).zip(single).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-6, s"$l: $a vs $b")
+      }
+    }
+  }
+
   test("featuresWithDictionary: dense per-column blocks, strings like ids") {
     val df = Seq((1L, 10L, "A", 5.0), (2L, 10L, "B", 1.0), (1L, 11L, "A", 4.0))
       .toDF("user", "item", "seg", "rating")
