@@ -26,9 +26,12 @@ object Bench {
       // Iterative queries leave localCheckpoint blocks pinned until the
       // ContextCleaner notices the RDDs are unreachable; across 80+
       // queries that lag accumulates gigabytes of dead blocks and the
-      // later queries degrade several-fold. Drop them deterministically.
+      // later queries degrade several-fold. Drop them deterministically —
+      // and BLOCKING, so the next query's timing never includes the
+      // previous query's eviction/GC debt (async unpersist showed 2-3x
+      // run-to-run swings on heavyweight trainer queries).
       spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+        .foreach(_.unpersist(blocking = true))
       spark.catalog.clearCache()
       System.err.println(f"[bench] $name%-28s $dt%8.2f s" +
         err.map(m => s"  ERROR: $m").getOrElse(""))

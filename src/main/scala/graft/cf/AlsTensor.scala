@@ -61,35 +61,41 @@ object AlsTensor {
     var tf = initFactors(r.select(col("time").as("id")).distinct(), rank, seed + 2)
       .transform(graft.graph.Iterate.ckpt)
 
-    def joined3 = r
-      .join(uf.select(col("id").as("user"), col("f").as("p")), "user")
-      .join(vf.select(col("id").as("item"), col("f").as("q")), "item")
-      .join(tf.select(col("id").as("time"), col("f").as("z")), "time")
+    // Each mode solve joins ONLY the other two factor tables (its own
+    // factors don't appear in its normal equations) — 2 joins per mode
+    // instead of a full 3-way join evaluated per mode.
+    def withQ(df: DataFrame) =
+      df.join(vf.select(col("id").as("item"), col("f").as("q")), "item")
+    def withP(df: DataFrame) =
+      df.join(uf.select(col("id").as("user"), col("f").as("p")), "user")
+    def withZ(df: DataFrame) =
+      df.join(tf.select(col("id").as("time"), col("f").as("z")), "time")
 
     var rmses = Vector.empty[Double]
     for (_ <- 1 to iterations) {
       // users: design = q∘z
-      uf = joined3.select(col("user").as("id"), col("rating"), col("w"),
+      uf = withZ(withQ(r)).select(col("user").as("id"), col("rating"), col("w"),
           zip_with(col("q"), col("z"), (x, y) => x * y).as("d"))
         .groupBy("id")
         .agg(graft.functions.GramAgg.of(col("d"), col("rating"), col("w"), rank).as("g"))
         .select(col("id"), solve(col("g")).as("f"))
         .transform(graft.graph.Iterate.ckpt)
       // items: design = p∘z
-      vf = joined3.select(col("item").as("id"), col("rating"), col("w"),
+      vf = withZ(withP(r)).select(col("item").as("id"), col("rating"), col("w"),
           zip_with(col("p"), col("z"), (x, y) => x * y).as("d"))
         .groupBy("id")
         .agg(graft.functions.GramAgg.of(col("d"), col("rating"), col("w"), rank).as("g"))
         .select(col("id"), solve(col("g")).as("f"))
         .transform(graft.graph.Iterate.ckpt)
       // times: design = p∘q
-      tf = joined3.select(col("time").as("id"), col("rating"), col("w"),
+      tf = withQ(withP(r)).select(col("time").as("id"), col("rating"), col("w"),
           zip_with(col("p"), col("q"), (x, y) => x * y).as("d"))
         .groupBy("id")
         .agg(graft.functions.GramAgg.of(col("d"), col("rating"), col("w"), rank).as("g"))
         .select(col("id"), solve(col("g")).as("f"))
         .transform(graft.graph.Iterate.ckpt)
-      val preds = joined3.select(col("rating"), dot3(col("p"), col("q"), col("z")).as("pred"))
+      val preds = withZ(withQ(withP(r)))
+        .select(col("rating"), dot3(col("p"), col("q"), col("z")).as("pred"))
       rmses :+= preds.agg(sqrt(avg(pow(col("rating") - col("pred"), 2))))
         .collect()(0).getDouble(0)
     }
