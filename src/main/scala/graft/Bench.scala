@@ -33,6 +33,10 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
       spark.catalog.clearCache()
+      // collect the dead query's garbage OUTSIDE any timed region, so a
+      // heavyweight predecessor's GC debt is never billed to the next
+      // query (q29 measured 4x slower in-suite than solo without this)
+      System.gc()
       System.err.println(f"[bench] $name%-28s $dt%8.2f s" +
         err.map(m => s"  ERROR: $m").getOrElse(""))
       (name, dt, err)
