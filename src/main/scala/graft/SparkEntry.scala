@@ -1957,8 +1957,30 @@ object SparkEntry {
 
     // IVF is deterministic algebra (hash-partition centroids, rounded) —
     // the oracle replays it exactly.
-    "q65_knn_ivf" ->
-      """WITH e AS (SELECT vec_id,
+    // Replays the full deterministic quantizer: id-hash seed centroids,
+    // then the same 2 fixed Lloyd steps (assign → rounded means) as
+    // Similarity.ivfTopK, then assignment/probing/scoring.
+    "q65_knn_ivf" -> {
+      val lloyd = 2
+      def sims(tag: String, cent: String) =
+        s""",
+            sims$tag AS (SELECT nv.vec_id, nv.v, c.cl,
+                     ROUND(list_sum(list_transform(range(1, len(nv.v) + 1),
+                       i -> nv.v[i] * c.cv[i])), 6) AS sim
+                     FROM nv CROSS JOIN $cent c)"""
+      def refine(j: Int) =
+        sims(j.toString, s"cent${j - 1}") +
+        s""",
+            asg$j AS (SELECT vec_id, v, cl FROM (
+                      SELECT vec_id, v, cl, ROW_NUMBER() OVER (
+                        PARTITION BY vec_id ORDER BY sim DESC, cl) AS rk
+                      FROM sims$j) WHERE rk = 1),
+            pe$j AS (SELECT a.cl, i AS pos, a.v[i] AS val
+                   FROM asg$j a, UNNEST(range(1, len(a.v) + 1)) AS t$j(i)),
+            cm$j AS (SELECT cl, pos, AVG(val) AS m FROM pe$j GROUP BY 1, 2),
+            cent$j AS (SELECT cl, list(ROUND(m, 6) ORDER BY pos) AS cv
+                     FROM cm$j GROUP BY cl)"""
+      s"""WITH e AS (SELECT vec_id,
                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v0
                     FROM embeddings),
             nr AS (SELECT vec_id, v0,
@@ -1966,23 +1988,19 @@ object SparkEntry {
             nv AS (SELECT vec_id, CASE WHEN nm > 0
                      THEN list_transform(v0, x -> x / nm) ELSE v0 END AS v
                    FROM nr),
-            pe AS (SELECT vec_id % 8 AS cl, i AS pos, v[i] AS val
-                   FROM nv, UNNEST(range(1, len(v) + 1)) AS t(i)),
-            cm AS (SELECT cl, pos, AVG(val) AS m FROM pe GROUP BY 1, 2),
-            cent AS (SELECT cl, list(ROUND(m, 6) ORDER BY pos) AS cv
-                     FROM cm GROUP BY cl),
-            sims AS (SELECT nv.vec_id, nv.v, cent.cl,
-                     ROUND(list_sum(list_transform(range(1, len(nv.v) + 1),
-                       i -> nv.v[i] * cent.cv[i])), 6) AS sim
-                     FROM nv CROSS JOIN cent),
+            pe0 AS (SELECT vec_id % 8 AS cl, i AS pos, v[i] AS val
+                   FROM nv, UNNEST(range(1, len(v) + 1)) AS t0(i)),
+            cm0 AS (SELECT cl, pos, AVG(val) AS m FROM pe0 GROUP BY 1, 2),
+            cent0 AS (SELECT cl, list(ROUND(m, 6) ORDER BY pos) AS cv
+                     FROM cm0 GROUP BY cl)${(1 to lloyd).map(refine).mkString}${sims("F", s"cent$lloyd")},
             asg AS (SELECT vec_id, v, cl FROM (
                       SELECT vec_id, v, cl, ROW_NUMBER() OVER (
                         PARTITION BY vec_id ORDER BY sim DESC, cl) AS rk
-                      FROM sims) WHERE rk = 1),
+                      FROM simsF) WHERE rk = 1),
             probes AS (SELECT vec_id AS query_id, v AS qv, cl FROM (
                          SELECT vec_id, v, cl, ROW_NUMBER() OVER (
                            PARTITION BY vec_id ORDER BY sim DESC, cl) AS pk
-                         FROM sims WHERE vec_id < 100) WHERE pk <= 3),
+                         FROM simsF WHERE vec_id < 100) WHERE pk <= 3),
             scored AS (SELECT p.query_id, g.vec_id AS neighbor_id,
                        ROUND(list_sum(list_transform(range(1, len(p.qv) + 1),
                          i -> p.qv[i] * g.v[i])), 6) AS cos
@@ -1992,7 +2010,8 @@ object SparkEntry {
            SELECT query_id, neighbor_id, cos, ROW_NUMBER() OVER (
              PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
            FROM scored) WHERE rk <= 5
-         ORDER BY query_id, neighbor_id""",
+         ORDER BY query_id, neighbor_id"""
+    },
 
     "q66_knn_lsh" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, true AS recall_ok

@@ -142,40 +142,51 @@ object Similarity {
 
   /** IVF (inverted-file) approximate nearest neighbors — the
     * deterministic scale path for similarity search. Coarse quantizer:
-    * `nlist` centroids seeded from hash partitions of the corpus (one
-    * Lloyd half-step: partition by id hash, average, round — rounding
-    * makes the centroids engine-reproducible); every vector is assigned
-    * to its nearest centroid (one broadcast pass); a query scans only
-    * its `nprobe` nearest centroid lists. At 100 TB the corpus shuffle
-    * is one repartition by list id and each query touches
-    * nprobe/nlist of the data instead of all of it.
-    *
-    * Fully deterministic (no RNG, no training noise) so it carries an
-    * exact SQL oracle, unlike sign-LSH.
+    * `nlist` centroids seeded from id-hash partitions of the corpus
+    * (partition by id hash, average, round), then refined by
+    * `lloydIterations` fixed Lloyd steps (assign to nearest centroid →
+    * recompute rounded means) — real k-means recall instead of
+    * effectively-random seed centroids, still fully deterministic (no
+    * RNG), so the whole quantizer replays exactly in the SQL oracle.
+    * Every vector is assigned to its nearest refined centroid (one
+    * broadcast pass); a query scans only its `nprobe` nearest centroid
+    * lists. At 100 TB the corpus shuffle is one repartition by list id
+    * and each query touches nprobe/nlist of the data instead of all of
+    * it; each Lloyd step is one broadcast cross-score + two bounded
+    * aggregations (nlist·dim cells).
     */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
-              queryMaxId: Long, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+              queryMaxId: Long, nlist: Int = 16, nprobe: Int = 4,
+              lloydIterations: Int = 2): DataFrame = {
     val nv = df.select(col(idCol).as("vid"),
       normalize(transform(col(vecCol), x => x.cast("double"))).as("v"))
-    // centroids: component-wise mean of each id-hash partition, rounded
-    // so both engines derive bit-identical values.
-    val cents = nv.select(pmod(col("vid"), lit(nlist)).as("cl"),
-        posexplode(col("v")))
-      .groupBy("cl", "pos").agg(avg("col").as("m"))
-      .groupBy("cl")
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-        s => round(s.getField("m"), 6)).as("cv"))
-    val c = broadcast(cents)
-    // assign every vector to its nearest centroid (max dot, ties → low cl).
-    // The argmax groups on the 8-byte vid alone — (vid, cl, sim) rows
+    // component-wise mean of each cluster, rounded so both engines
+    // derive bit-identical centroid values
+    def centroidsOf(assignment: DataFrame): DataFrame =
+      nv.join(assignment, "vid")
+        .select(col("cl"), posexplode(col("v")))
+        .groupBy("cl", "pos").agg(avg("col").as("m"))
+        .groupBy("cl")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => round(s.getField("m"), 6)).as("cv"))
+    // nearest-centroid assignment (max dot, ties → low cl). The argmax
+    // groups on the 8-byte vid alone — (vid, cl, sim) rows
     // partial-aggregate map-side — and the embedding is carried back by
     // one equi-join instead of riding the shuffle as part of the
     // grouping key.
-    val best = nv.crossJoin(c)
-      .select(col("vid"), col("cl"),
-        round(dot(col("v"), col("cv")), 6).as("sim"))
-      .groupBy("vid")
-      .agg(max_by(col("cl"), struct(col("sim"), -col("cl"))).as("cl"))
+    def assignTo(cents: DataFrame): DataFrame =
+      nv.crossJoin(broadcast(cents))
+        .select(col("vid"), col("cl"),
+          round(dot(col("v"), col("cv")), 6).as("sim"))
+        .groupBy("vid")
+        .agg(max_by(col("cl"), struct(col("sim"), -col("cl"))).as("cl"))
+    var cents = centroidsOf(nv.select(col("vid"),
+        pmod(col("vid"), lit(nlist)).as("cl")))
+      .transform(graft.graph.Iterate.ckpt)
+    for (_ <- 1 to lloydIterations)
+      cents = centroidsOf(assignTo(cents)).transform(graft.graph.Iterate.ckpt)
+    val c = broadcast(cents)
+    val best = assignTo(cents)
     val assigned = nv.join(best, "vid")
     // queries probe their nprobe nearest lists
     val probes = nv.filter(col("vid") < queryMaxId).crossJoin(c)

@@ -50,6 +50,29 @@ class SimilaritySpec extends SparkSpec {
     assert(exact.size == 40)
   }
 
+  test("ivfTopK recall against brute force on clustered vectors") {
+    val rng = new scala.util.Random(11)
+    // four tight clusters so Lloyd refinement has real structure to find
+    val bases = Array(
+      Array(1.0f, 0.0f, 0.0f, 0.0f), Array(0.0f, 1.0f, 0.0f, 0.0f),
+      Array(0.0f, 0.0f, 1.0f, 0.0f), Array(0.0f, 0.0f, 0.0f, 1.0f))
+    val vecs = (0 until 80).map { i =>
+      (i.toLong, bases(i % 4).map(x => x + rng.nextFloat() * 0.05f))
+    }.toDF("id", "v")
+    val approx = Similarity.ivfTopK(vecs, "id", "v", k = 1,
+      queryMaxId = 80, nlist = 4, nprobe = 1, lloydIterations = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = Similarity.bruteForceTopK(vecs, vecs, "id", "v", 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(approx.size == 80)
+    // with nprobe=1 every hit comes from the query's own refined list;
+    // cluster agreement shows the Lloyd steps separated the 4 clusters
+    val agreeCluster = approx.count { case (q, n) => (q % 4) == (n % 4) }
+    assert(agreeCluster >= 72)
+    val agreeExact = approx.count { case (q, n) => exact.get(q).contains(n) }
+    assert(agreeExact >= 56) // ≥70% exact-top-1 recall at nprobe=1/nlist=4
+  }
+
   test("embeddingDuplicatePairs finds the planted duplicate") {
     val v = Array(0.3f, 0.5f, 0.1f, 0.7f)
     val vecs = Seq((1L, v), (2L, v.map(x => x * 1.001f)), (3L, Array(-0.3f, 0.5f, -0.1f, 0.7f)))
