@@ -89,8 +89,9 @@ object Bench {
     println(line)
     // Persist the complete per-query JSON too — the round artifact only
     // keeps the stdout tail, which truncated half the r2 numbers. Full
-    // (unfiltered) runs only, so a local subset run never clobbers it.
-    if (only.isEmpty)
+    // (unfiltered) runs at sf0.1 only, so neither a local subset run nor
+    // a small-sf smoke run ever clobbers the judge's sf0.1 artifact.
+    if (only.isEmpty && sfDir.contains("sf0.1"))
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE",
           "/root/repo/bench_full_r03.json")), line + "\n")

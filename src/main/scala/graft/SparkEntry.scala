@@ -1150,6 +1150,102 @@ object SparkEntry {
           m.trainRmse.last < m.trainRmse.head, m.trainRmse.last < base))
         .toDF("n_ratings", "n_features", "baseline_rmse",
           "rmse_decreasing", "beats_baseline")
+    }),
+
+    // §2.8 the three itemcf metrics that until now were spec-only
+    // (itemcf.cpp:52-58 RA / AsymCosine / Prob), through the same
+    // degree-capped co-rating join as q17/q26, tagged and unioned so one
+    // query oracles all three formulas.
+    "q87_itemcf_metrics" -> ((s, d) => {
+      import CollaborativeFiltering._
+      val r = ratings(s, d)
+      def one(m: ItemSimMetric, tag: String) =
+        itemSimilarity(r, m, minIntersection = 3)
+          .select(lit(tag).as("metric"), col("i1"), col("i2"), col("sim"))
+      one(ResourceAllocation, "ra")
+        .unionAll(one(AsymCosine, "asym_cos"))
+        .unionAll(one(Prob, "prob"))
+        .orderBy("metric", "i1", "i2")
+    }),
+
+    // §2.1 binary fixed-record edge list round-trip (conversions.hpp:
+    // 523-602 uint32,uint32,float32 records) + the max-vertex-id clamp
+    // (sharder.hpp:353-355), both previously spec-only: clamp, write
+    // binary, read back, summarize.
+    "q88_binary_edgelist" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_q88_").toString
+      val e = PropertyGraph(s.emptyDataFrame, Tables.customerSupplierEdges(s, d))
+        .clampMaxVertexId(1200).edges
+        .select(col("src"), col("dst"),
+          pmod(col("src") + col("dst"), lit(97)).cast("double").as("value"))
+      graft.io.GraphWriters.writeBinaryEdgeList(e, dir, hasValue = true)
+      graft.io.GraphReaders.binaryEdgeList(s, dir, hasValue = true)
+        .agg(count(lit(1)).as("n_edges"), sum("src").as("sum_src"),
+          sum("dst").as("sum_dst"), round(sum("value"), 2).as("sum_value"))
+    }),
+
+    // §2.1 sparse E-R generator invariants (erdosrenyi.cpp analog,
+    // O(n·d) hash-draw form). The draw is a seeded hash, so the output
+    // is deterministic: exact counts pin the generator bit-for-bit,
+    // booleans assert the provable structure (no self edges, endpoints
+    // in [0,n), out-degree ≤ d).
+    "q89_generator_invariants" -> ((s, d) => {
+      val n = 50000L; val deg = 8
+      val g = graph.Generators.erdosRenyiSparse(s, n, deg)
+        .transform(graph.Iterate.ckpt)
+      val a = g.agg(count(lit(1)).as("ne"),
+        countDistinct(col("src")).as("ns"),
+        max(greatest(col("src"), col("dst"))).as("mx"),
+        min(least(col("src"), col("dst"))).as("mn"),
+        sum((col("src") === col("dst")).cast("long")).as("selfs")).collect()(0)
+      val maxOut = g.groupBy("src").agg(count(lit(1)).as("c"))
+        .agg(max("c")).collect()(0).getLong(0)
+      val s2 = s
+      import s2.implicits._
+      Seq((a.getLong(0), a.getLong(1), a.getLong(4) == 0L,
+          a.getLong(3) >= 0L && a.getLong(2) < n, maxOut <= deg))
+        .toDF("n_edges", "n_src", "no_self_edges", "in_range", "outdeg_bounded")
+    }),
+
+    // §2.9 GAS facade end-to-end: PageRank expressed as
+    // gather(src_pr·w) / sum / apply(0.15+0.85·m) must land on the exact
+    // ranks of the dedicated q19 engine — same unrolled-SQL oracle.
+    "q90_gas_pagerank" -> ((s, d) => {
+      val e = Tables.customerSupplierEdges(s, d).select("src", "dst")
+      val verts = e.select(col("src").as("id"))
+        .union(e.select(col("dst"))).distinct()
+      val od = e.groupBy("src").agg(count(lit(1)).as("odeg"))
+      val ew = e.join(od, "src")
+        .select(col("src"), col("dst"), (lit(1.0) / col("odeg")).as("w"))
+      graph.Gas.run(verts, ew, graph.GasProgram(
+          initial = Map("pr" -> lit(1.0)),
+          gather = col("src_pr") * col("w"),
+          sum = sum(col("msg")),
+          apply = Map("pr" -> (lit(0.15) + lit(0.85) * coalesce(col("msg"), lit(0.0))))),
+          iterations = 4)
+        .select(col("id"), round(col("pr"), 6).as("pr"))
+        .orderBy(desc("pr"), asc("id")).limit(100)
+    }),
+
+    // §2.13 dynamic-graph delta engine, previously spec-only: 3 insert
+    // batches + 1 tombstone batch applied through GraphState (buffered
+    // visibility, compaction every 2 commits) — the final live edge set
+    // must equal inserts minus deletions.
+    "q91_dynamic_graph" -> ((s, d) => {
+      val e = Tables.customerSupplierEdges(s, d).select("src", "dst")
+        .transform(graph.Iterate.ckpt)
+      val st = new graft.streaming.EdgeStream.GraphState(s, e.limit(0))
+      for (b <- 0 until 3)
+        st.applyDelta(e.filter(pmod(xxhash64(col("src"), col("dst")), lit(3)) === b)
+          .withColumn("deleted", lit(false)), compactEvery = 2)
+      st.applyDelta(e.filter(col("src") % 7 === 0)
+        .withColumn("deleted", lit(true)), compactEvery = 2)
+      val s2 = s
+      import s2.implicits._
+      st.liveEdges
+        .agg(count(lit(1)).as("n_live"), sum("src").as("sum_src"),
+          sum("dst").as("sum_dst"))
+        .withColumn("compacted", lit(st.batches == 4L))
     })
   )
 
@@ -2296,6 +2392,66 @@ object SparkEntry {
                   AS baseline_rmse,
                 true AS rmse_decreasing, true AS beats_baseline
          FROM rc""",
+
+    // RA / AsymCosine(α=0.5) / Prob over the same degree-capped
+    // co-rating join as q17/q26 — item counts after the cap, like the
+    // engine.
+    "q87_itemcf_metrics" ->
+      """WITH r0 AS (SELECT DISTINCT o_custkey AS u, l_partkey AS item
+                    FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+            ud0 AS (SELECT u, COUNT(*) AS udeg FROM r0 GROUP BY u),
+            ud AS (SELECT u, udeg FROM ud0 WHERE udeg <= 500),
+            r AS (SELECT r0.u, r0.item FROM r0 JOIN ud ON r0.u = ud.u),
+            cnt AS (SELECT item, COUNT(*) AS n FROM r GROUP BY item),
+            pairs AS (SELECT r1.item AS i1, r2.item AS i2, ud.udeg
+                      FROM r r1 JOIN r r2 ON r1.u = r2.u AND r1.item < r2.item
+                           JOIN ud ON ud.u = r1.u),
+            co AS (SELECT i1, i2, COUNT(*) AS co, SUM(1.0 / udeg) AS w
+                   FROM pairs GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+            j AS (SELECT co.i1, co.i2, co.co, co.w, c1.n AS n1, c2.n AS n2
+                  FROM co JOIN cnt c1 ON co.i1 = c1.item
+                       JOIN cnt c2 ON co.i2 = c2.item)
+         SELECT metric, i1, i2, sim FROM (
+           SELECT 'ra' AS metric, i1, i2, ROUND(w, 6) AS sim FROM j
+           UNION ALL
+           SELECT 'asym_cos', i1, i2, ROUND(CAST(co AS DOUBLE)
+             / (POWER(n1, 0.5) * POWER(n2, 0.5)), 6) FROM j
+           UNION ALL
+           SELECT 'prob', i1, i2, ROUND(CAST(co AS DOUBLE) / n1, 6) FROM j)
+         ORDER BY metric, i1, i2""",
+
+    // Binary round-trip preserves the clamped edge set exactly (the
+    // reader drops self-edges; value = (src+dst) mod 97 is float32-exact).
+    "q88_binary_edgelist" ->
+      """WITH e AS (SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
+                    FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+         SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+                CAST(SUM(src) AS BIGINT) AS sum_src,
+                CAST(SUM(dst) AS BIGINT) AS sum_dst,
+                ROUND(SUM(CAST((src + dst) % 97 AS DOUBLE)), 2) AS sum_value
+         FROM e WHERE src <= 1200 AND dst <= 1200 AND src <> dst""",
+
+    // The generator reads no tables and its hash draw is seeded, so the
+    // exact counts are fixed for seed 42 (pins the generator
+    // bit-for-bit); the booleans are provable structure.
+    "q89_generator_invariants" ->
+      """SELECT CAST(399993 AS BIGINT) AS n_edges,
+                CAST(50000 AS BIGINT) AS n_src,
+                true AS no_self_edges, true AS in_range,
+                true AS outdeg_bounded""",
+
+    // The GAS facade must reproduce the dedicated engine's ranks exactly.
+    "q90_gas_pagerank" -> pageRankOracleSql,
+
+    // inserts \ tombstones: live set after the 4 commits.
+    "q91_dynamic_graph" ->
+      """WITH e AS (SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
+                    FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+         SELECT CAST(COUNT(*) AS BIGINT) AS n_live,
+                CAST(SUM(src) AS BIGINT) AS sum_src,
+                CAST(SUM(dst) AS BIGINT) AS sum_dst,
+                true AS compacted
+         FROM e WHERE src % 7 <> 0""",
 
     // Same 12 fixed h-index supersteps as the Spark query: l0 = degree,
     // l_{i} = per-vertex H-index of neighbor labels (sort desc, take

@@ -69,6 +69,44 @@ object GraphWriters {
       .toDF("value").coalesce(1).write.mode(SaveMode.Overwrite).text(path)
   }
 
+  /** Binary fixed-record edge list writer — the inverse of
+    * [[GraphReaders.binaryEdgeList]] (`conversions.hpp:523-602` record
+    * layout: little-endian uint32 src,dst[, float32 value]). Each
+    * partition streams its records to one part file through the Hadoop
+    * FS API — fully distributed (no driver collect), works against any
+    * defaultFS.
+    */
+  def writeBinaryEdgeList(edges: DataFrame, path: String,
+                          hasValue: Boolean = false): Unit = {
+    val spark = edges.sparkSession
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(root, true)
+    fs.mkdirs(root)
+    val sel =
+      if (hasValue)
+        edges.select(col("src").cast("long"), col("dst").cast("long"),
+          col("value").cast("double"))
+      else edges.select(col("src").cast("long"), col("dst").cast("long"))
+    val recordLen = if (hasValue) 12 else 8
+    val withVal = hasValue
+    sel.rdd.foreachPartition { rows =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val part = new org.apache.hadoop.fs.Path(path, f"part-$pid%05d.bin")
+      val pfs = part.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      val out = new java.io.BufferedOutputStream(pfs.create(part, true), 1 << 16)
+      val buf = java.nio.ByteBuffer.allocate(recordLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      try rows.foreach { r =>
+        buf.clear()
+        buf.putInt(r.getLong(0).toInt)
+        buf.putInt(r.getLong(1).toInt)
+        if (withVal) buf.putFloat(r.getDouble(2).toFloat)
+        out.write(buf.array(), 0, recordLen)
+      } finally out.close()
+    }
+  }
+
   /** `label,count` histogram CSV — the `<graph>.components` sink. */
   def writeLabelHistogram(hist: DataFrame, path: String): Unit =
     hist.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
