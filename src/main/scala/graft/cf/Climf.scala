@@ -15,10 +15,11 @@ import org.apache.spark.sql.functions._
   *   dU  = Σ_j [ g(−f_j)·V_j + Σ_k g'(f_k−f_j)/(1−g(f_k−f_j))·(V_j−V_k) ] − λU
   *   dV_j = [ g(−f_j) + Σ_k g'(f_j−f_k)·(1/(1−g(f_k−f_j)) − 1/(1−g(f_j−f_k))) ]·U − λV_j
   *
-  * Execution shape per iteration: one self-join of each user's relevant
-  * items (bounded by `maxUserDegree`, the same guard as itemcf), one
-  * groupBy(user) and one groupBy(item) — three shuffles, payloads are
-  * rank-length arrays.
+  * Execution shape per iteration: one scalar self-join of each user's
+  * relevant items (bounded by `maxUserDegree`, the same guard as
+  * itemcf) collapsed in-task to per-(user,item) pair aggregates, then
+  * one groupBy(user) and one groupBy(item) over rank-length arrays —
+  * the quadratic stream itself is never shuffled or materialized.
   */
 object Climf {
 
@@ -68,34 +69,57 @@ object Climf {
         .select(col("user"), col("item"), col("u"), col("v"),
           dotArr(col("u"), col("v")).as("f"))
         .transform(graft.graph.Iterate.ckpt)
-      // checkpoint the per-user pairwise self-join: it feeds the
-      // objective, the user gradient AND the item gradient — without
-      // materialization each consumer re-executes the join
-      val pairs = f.select(col("user"), col("item").as("j"), col("f").as("fj"),
-          col("v").as("vj"))
-        .join(f.select(col("user"), col("item").as("k"), col("f").as("fk"),
-          col("v").as("vk")), "user")
-        .filter(col("j") =!= col("k"))
+      // Every pairwise consumer — the objective's Σ ln(1−g(f_k−f_j)),
+      // the user gradient's (v_j−v_k) weights and the item gradient's
+      // scalar — is a SCALAR reduction over the ordered-pair stream, and
+      // the stream is symmetric (both (j,k) and (k,j) are present). So
+      // the quadratic self-join carries only (user, j, k, f_j, f_k) and
+      // collapses in a single groupBy(user, j) pass, partial-aggregated
+      // inside the join tasks: nothing quadratic is ever checkpointed,
+      // shuffled, or stored. (The previous form materialized the pair
+      // rows with BOTH rank-length factor arrays through a
+      // localCheckpoint — multi-GB disk writes per iteration at sf0.1,
+      // and AQE had coalesced the pre-explosion exchange to a few
+      // partitions, serializing the blowup.)
+      //   a_i = Σ_k g'(f_k−f_i)/(1−g(f_k−f_i))   (i in the j role)
+      //   b_i = Σ_k g'(f_i−f_k)/(1−g(f_i−f_k))   (i in the k role)
+      //   pair term of dU = Σ_i v_i·(a_i−b_i)
+      // Explicit repartition(32) pins the pair-join parallelism — AQE
+      // would coalesce the small scalar inputs to 1-2 partitions and
+      // serialize the quadratic compute.
+      val fj = f.select(col("user"), col("item").as("j"), col("f").as("fj"))
+        .repartition(32, col("user"))
+      val fk = f.select(col("user"), col("item").as("k"), col("f").as("fk"))
+        .repartition(32, col("user"))
+      val pairAgg = fj.join(fk, "user").filter(col("j") =!= col("k"))
+        .groupBy(col("user"), col("j").as("item"))
+        .agg(
+          sum(dg(col("fk") - col("fj")) /
+            (lit(1.0) - g(col("fk") - col("fj")))).as("a"),
+          sum(dg(col("fj") - col("fk")) /
+            (lit(1.0) - g(col("fj") - col("fk")))).as("b"),
+          sum(dg(col("fj") - col("fk")) *
+            (lit(1.0) / (lit(1.0) - g(col("fk") - col("fj"))) -
+             lit(1.0) / (lit(1.0) - g(col("fj") - col("fk"))))).as("s"),
+          sum(log(lit(1.0) - g(col("fk") - col("fj")))).as("obj"))
         .transform(graft.graph.Iterate.ckpt)
 
       // objective: Σ_j ln g(f_j) + Σ_{j,k} ln(1 − g(f_k − f_j)) − λ/2‖·‖²,
       // all four terms folded through one tagged union → a single job
       // instead of four driver round-trips per iteration
       objectives :+= f.select(log(g(col("f"))).as("x"))
-        .union(pairs.select(log(lit(1.0) - g(col("fk") - col("fj"))).as("x")))
+        .union(pairAgg.select(col("obj").as("x")))
         .union(uf.select((dotArr(col("u"), col("u")) * lit(-0.5 * lambda)).as("x")))
         .union(vf.select((dotArr(col("v"), col("v")) * lit(-0.5 * lambda)).as("x")))
         .agg(sum(col("x"))).collect()(0).getDouble(0)
 
-      // pairwise contributions
-      val pairU = pairs.select(col("user"),
-        transform(zip_with(col("vj"), col("vk"), (a, b) => a - b),
-          x => x * (dg(col("fk") - col("fj")) /
-            (lit(1.0) - g(col("fk") - col("fj"))))).as("contrib"))
-      val pointU = f.select(col("user"),
-        transform(col("v"), x => x * g(-col("f"))).as("contrib"))
-      val gu = pointU.union(pairU).groupBy("user")
-        .agg(vecSum(col("contrib"), rank).as("du"))
+      // point and pair contributions fused into one row per (user,item):
+      // dU row = v·(g(−f) + a − b), dV row = u·(g(−f) + s)
+      val fa = f.join(pairAgg, Seq("user", "item"), "left")
+      val gu = fa.select(col("user"),
+          transform(col("v"), x => x * (g(-col("f")) +
+            coalesce(col("a") - col("b"), lit(0.0)))).as("contrib"))
+        .groupBy("user").agg(vecSum(col("contrib"), rank).as("du"))
       uf = uf.join(gu, Seq("user"), "left").select(col("user"),
           when(col("du").isNotNull,
             zip_with(col("u"), col("du"),
@@ -103,12 +127,7 @@ object Climf {
             .otherwise(col("u")).as("u"))
         .transform(graft.graph.Iterate.ckpt)
 
-      val pairVScalar = pairs.groupBy(col("user"), col("j").as("item"))
-        .agg(sum(dg(col("fj") - col("fk")) *
-          (lit(1.0) / (lit(1.0) - g(col("fk") - col("fj"))) -
-           lit(1.0) / (lit(1.0) - g(col("fj") - col("fk"))))).as("s"))
-      val gv = f.join(pairVScalar, Seq("user", "item"), "left")
-        .select(col("item"),
+      val gv = fa.select(col("item"),
           transform(col("u"),
             x => x * (g(-col("f")) + coalesce(col("s"), lit(0.0)))).as("contrib"))
         .groupBy("item").agg(vecSum(col("contrib"), rank).as("dv"))
