@@ -1158,13 +1158,8 @@ object SparkEntry {
     // query oracles all three formulas.
     "q87_itemcf_metrics" -> ((s, d) => {
       import CollaborativeFiltering._
-      val r = ratings(s, d)
-      def one(m: ItemSimMetric, tag: String) =
-        itemSimilarity(r, m, minIntersection = 3)
-          .select(lit(tag).as("metric"), col("i1"), col("i2"), col("sim"))
-      one(ResourceAllocation, "ra")
-        .unionAll(one(AsymCosine, "asym_cos"))
-        .unionAll(one(Prob, "prob"))
+      itemSimilarities(ratings(s, d),
+          Seq(ResourceAllocation, AsymCosine, Prob), minIntersection = 3)
         .orderBy("metric", "i1", "i2")
     }),
 

