@@ -17,9 +17,18 @@ import org.apache.spark.sql.functions._
   * and the loop terminates when no messages flow.
   *
   * Execution shape per superstep (all declarative, Catalyst-planned):
-  *   messages  = edges ⋈ vertices ON src  →  select(dst, msgExpr)
+  * edges are grouped ONCE into chunked out-adjacency rows — GraphChi's
+  * own out-edge-shard storage shape (`src/engine/auxdata/`); each
+  * superstep joins RANK rows (~|V| adjacency rows) instead of |E| edge
+  * rows, explodes the chunk inside the task, evaluates `sendMsg` on the
+  * restored (edge ⋈ src-state) row, and aggregates:
+  *   messages  = adj ⋈ vertices ON src → explode(chunk) → msgExpr
   *   inbox     = messages.groupBy(dst).agg(aggExpr)      (one shuffle)
   *   vertices' = vertices LEFT JOIN inbox  →  update columns
+  * Chunking bounds a power-law hub's row payload (≤16k edges per row).
+  * The adjacency and vertex sides stay hash-partitioned on the join key
+  * across supersteps (the checkpoint preserves partitioning), so one
+  * superstep runs a single exchange — the inbox aggregation.
   * Lineage is cut with localCheckpoint every `checkpointInterval`
   * supersteps, else the plan grows unboundedly (SURVEY.md §7.5).
   */
@@ -62,7 +71,21 @@ object Pregel {
       (col("id") +: stateCols.map(c => initial(c).as(c))): _*)
     v = v.transform(graft.graph.Iterate.ckpt)
 
-    val e = edges
+    // Chunked out-adjacency, built once: one row per (src, ≤16k-edge
+    // chunk) carrying every non-src edge column as a struct list. The
+    // per-superstep join touches ~|V| rows instead of |E| and the chunk
+    // explodes inside the task, after the join.
+    val chunk = 16384
+    val edgeAttrs = edges.columns.filterNot(_ == "src").toSeq
+    val odeg = edges.groupBy("src").agg(count(lit(1)).as("__odeg"))
+    val adj = edges.join(odeg, "src")
+      .withColumn("__b", pmod(col("dst"),
+        (col("__odeg") / chunk).cast("long") + 1))
+      .groupBy(col("src"), col("__b"))
+      .agg(collect_list(struct(edgeAttrs.map(col): _*)).as("__es"))
+      .repartition(col("src")).sortWithinPartitions("src")
+      .transform(graft.graph.Iterate.ckpt)
+
     var frontier: DataFrame = null  // null = all vertices active
     var iter = 0
     var done = false
@@ -72,7 +95,10 @@ object Pregel {
       val srcV = if (activeOnly && frontier != null)
         srcState.join(frontier, srcState("__src_id") === frontier("__fid"), "left_semi")
       else srcState
-      val msgs = e.join(srcV, e("src") === col("__src_id"))
+      val srcCols = Seq(col("src")) ++ stateCols.map(c => col(s"src_$c"))
+      val msgs = adj.join(srcV, adj("src") === col("__src_id"))
+        .select(srcCols :+ explode(col("__es")).as("__e"): _*)
+        .select(srcCols ++ edgeAttrs.map(a => col(s"__e.$a").as(a)): _*)
         .select(col("dst").as("__dst"), sendMsg.as("msg"))
         .filter(col("msg").isNotNull)
       val inbox = msgs.groupBy(col("__dst")).agg(aggMsg.as("msg"))
