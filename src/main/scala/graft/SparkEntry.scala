@@ -727,20 +727,23 @@ object SparkEntry {
     // tensor as an MM4 file, read it back, aggregate (item ids carry the
     // reference's +M bipartite offset).
     "q62_mm4_reader" -> ((s, d) => {
-      val r = timeRatings(s, d)
-      val m = r.agg(max("user")).collect()(0).getLong(0)
-      val n = r.agg(max("item")).collect()(0).getLong(0)
-      val nnz = r.count()
+      val r = timeRatings(s, d).transform(graft.graph.Iterate.ckpt)
+      val dims = r.agg(max("user"), max("item"), count(lit(1))).collect()(0)
+      val (m, n, nnz) = (dims.getLong(0), dims.getLong(1), dims.getLong(2))
       val s2 = s
       import s2.implicits._
+      // MM coordinate entries are order-free; only the header must come
+      // first. coalesce(1) does NOT preserve union child order, so sort
+      // the single merged partition on a 2-value key (header -1, body
+      // 0) — O(n) within one task, no range exchange, no global sort.
+      val dir = java.nio.file.Files.createTempDirectory("graft_q62_").toString
       val header = Seq("%%MatrixMarket tensor coordinate real general",
-        s"$m $n $nnz").toDF("value").withColumn("ord", lit(-1L))
+        s"$m $n $nnz").toDF("value").withColumn("ord", lit(-1))
       val body = r.select(concat_ws(" ", col("user"), col("item"), col("time"),
-          col("rating")).as("value"),
-        monotonically_increasing_id().as("ord"))
-      header.union(body).orderBy("ord").select("value").coalesce(1)
-        .write.mode("overwrite").text("/tmp/graft_q62_mm4")
-      val mm = graft.io.GraphReaders.matrixMarket4(s, "/tmp/graft_q62_mm4")
+          col("rating")).as("value")).withColumn("ord", lit(0))
+      header.union(body).coalesce(1).sortWithinPartitions("ord")
+        .select("value").write.mode("overwrite").text(dir)
+      val mm = graft.io.GraphReaders.matrixMarket4(s, dir)
       mm.entries.agg(count(lit(1)).as("nnz"), sum("user").as("sum_user"),
         sum("item").as("sum_item"), sum("time").as("sum_time"),
         round(sum("rating"), 2).as("sum_rating"))
@@ -852,10 +855,16 @@ object SparkEntry {
           array(concat_ws(" ", col("src").cast("string"),
             size(col("ds")).cast("string"))),
           transform(col("ds"), x => x.cast("string"))).as("lines"))
+      // blocks must be contiguous within a file, not across files: a
+      // hash-sharded write (sorted within each partition) yields N
+      // independently valid block files parsed in parallel, replacing
+      // the global sort + single-threaded write
+      val dir = java.nio.file.Files.createTempDirectory("graft_q71_").toString
       blocks.select(col("src"), posexplode(col("lines")))
-        .orderBy("src", "pos").select("col").coalesce(1)
-        .write.mode("overwrite").text("/tmp/graft_q71_cassovary")
-      graft.io.GraphReaders.cassovary(s, "/tmp/graft_q71_cassovary/part-*")
+        .repartition(4, col("src")).sortWithinPartitions("src", "pos")
+        .select("col")
+        .write.mode("overwrite").text(dir)
+      graft.io.GraphReaders.cassovary(s, s"$dir/part-*")
         .orderBy("src", "dst")
     }),
 
@@ -866,9 +875,10 @@ object SparkEntry {
         .agg(round(avg("rating"), 4).as("um"),
           count(lit(1)).cast("double").as("n"))
       val factors = um.select(col("user"), array(col("um"), col("n")).as("f"))
+      val dir = java.nio.file.Files.createTempDirectory("graft_q72_").toString
       graft.io.GraphWriters.writeMatrixMarket(factors, "user", "f",
-        "/tmp/graft_q72_mm", singleFile = true)
-      graft.io.GraphReaders.readMatrixMarketMatrix(s, "/tmp/graft_q72_mm")
+        dir, singleFile = true)
+      graft.io.GraphReaders.readMatrixMarketMatrix(s, dir)
         .select(col("row"), round(element_at(col("f"), 1), 4).as("user_mean"),
           element_at(col("f"), 2).cast("long").as("n_items"))
         .orderBy("row")
@@ -877,9 +887,10 @@ object SparkEntry {
     // §2.1 MMOutputter_vec round-trip (item-mean vector).
     "q73_warmstart_vector" -> ((s, d) => {
       val im = ratings(s, d).groupBy("item").agg(round(avg("rating"), 4).as("iv"))
+      val dir = java.nio.file.Files.createTempDirectory("graft_q73_").toString
       graft.io.GraphWriters.writeMatrixMarketVector(im, "item", "iv",
-        "/tmp/graft_q73_mmvec", singleFile = true)
-      graft.io.GraphReaders.readMatrixMarketVector(s, "/tmp/graft_q73_mmvec")
+        dir, singleFile = true)
+      graft.io.GraphReaders.readMatrixMarketVector(s, dir)
         .select(col("row"), round(col("value"), 4).as("item_mean"))
         .orderBy("row")
     }),
@@ -893,27 +904,31 @@ object SparkEntry {
     // §2.1 MM ∪ item-similarity input (io.hpp:371-497): ratings +
     // similarity files merge into one tagged edge set.
     "q75_mm_itemsim" -> ((s, d) => {
-      val r = ratings(s, d)
-      val m = r.agg(max("user")).collect()(0).getLong(0)
-      val n = r.agg(max("item")).collect()(0).getLong(0)
+      val r = ratings(s, d).transform(graft.graph.Iterate.ckpt)
+      val dims = r.agg(max("user"), max("item"), count(lit(1))).collect()(0)
+      val (m, n, rCnt) = (dims.getLong(0), dims.getLong(1), dims.getLong(2))
       val s2 = s
       import s2.implicits._
+      // entries are order-free; only the header must come first —
+      // 2-value in-partition sort after coalesce(1) (union child order
+      // is NOT preserved by coalesce), no global sort
       def writeMm(df: DataFrame, sizeLine: String, path: String): Unit = {
         val header = Seq("%%MatrixMarket matrix coordinate real general",
-          sizeLine).toDF("value").withColumn("ord", lit(-1L))
-        val body = df.select(concat_ws(" ", df.columns.map(col): _*).as("value"),
-          monotonically_increasing_id().as("ord"))
-        header.union(body).orderBy("ord").select("value").coalesce(1)
-          .write.mode("overwrite").text(path)
+          sizeLine).toDF("value").withColumn("ord", lit(-1))
+        val body = df.select(concat_ws(" ", df.columns.map(col): _*).as("value"))
+          .withColumn("ord", lit(0))
+        header.union(body).coalesce(1).sortWithinPartitions("ord")
+          .select("value").write.mode("overwrite").text(path)
       }
+      val dirR = java.nio.file.Files.createTempDirectory("graft_q75r_").toString
+      val dirS = java.nio.file.Files.createTempDirectory("graft_q75s_").toString
       writeMm(r.select(col("user"), col("item"), col("rating")),
-        s"$m $n ${r.count()}", "/tmp/graft_q75_ratings")
+        s"$m $n $rCnt", dirR)
       val sims = Tables.part(s, d)
         .select(col("p_partkey").as("i"), (col("p_partkey") + 1).as("j"),
           lit(0.5).as("sim"))
-      writeMm(sims, s"$n $n ${sims.count()}", "/tmp/graft_q75_sims")
-      graft.io.GraphReaders.matrixMarketWithItemSimilarity(s,
-          "/tmp/graft_q75_ratings", "/tmp/graft_q75_sims")
+      writeMm(sims, s"$n $n ${sims.count()}", dirS)
+      graft.io.GraphReaders.matrixMarketWithItemSimilarity(s, dirR, dirS)
         .groupBy("kind")
         .agg(count(lit(1)).as("n_edges"), sum("src").as("sum_src"),
           sum("dst").as("sum_dst"), round(sum("value"), 2).as("sum_value"))
@@ -924,19 +939,22 @@ object SparkEntry {
     // multi-value (chivector) edge list.
     "q76_reader_roundtrips" -> ((s, d) => {
       val e = Tables.supplierPartEdges(s, d)
+      val dirEl = java.nio.file.Files.createTempDirectory("graft_q76el_").toString
+      val dirAdj = java.nio.file.Files.createTempDirectory("graft_q76adj_").toString
+      val dirMv = java.nio.file.Files.createTempDirectory("graft_q76mv_").toString
       graft.io.GraphWriters.writeEdgesText(
-        e.select("src", "dst", "weight"), "/tmp/graft_q76_el")
-      val r1 = graft.io.GraphReaders.edgeList(s, "/tmp/graft_q76_el")
+        e.select("src", "dst", "weight"), dirEl)
+      val r1 = graft.io.GraphReaders.edgeList(s, dirEl)
       val adj = e.groupBy("src").agg(sort_array(collect_list("dst")).as("ds"))
       adj.select(concat_ws(" ", col("src").cast("string"),
           size(col("ds")).cast("string"),
           concat_ws(" ", col("ds"))).as("value"))
-        .write.mode("overwrite").text("/tmp/graft_q76_adj")
-      val r2 = graft.io.GraphReaders.adjList(s, "/tmp/graft_q76_adj")
+        .write.mode("overwrite").text(dirAdj)
+      val r2 = graft.io.GraphReaders.adjList(s, dirAdj)
       e.select(concat_ws(" ", col("src"), col("dst"),
           concat_ws(":", col("weight"), col("weight"))).as("value"))
-        .write.mode("overwrite").text("/tmp/graft_q76_mv")
-      val r3 = graft.io.GraphReaders.multiValueEdgeList(s, "/tmp/graft_q76_mv")
+        .write.mode("overwrite").text(dirMv)
+      val r3 = graft.io.GraphReaders.multiValueEdgeList(s, dirMv)
       def statsOf(df: DataFrame, fmt: String, v: org.apache.spark.sql.Column) =
         df.agg(count(lit(1)).as("n_edges"), sum("src").as("sum_src"),
             sum("dst").as("sum_dst"), round(sum(v), 2).as("sum_val"))
@@ -993,9 +1011,10 @@ object SparkEntry {
         .join(adj, col("v") === adj("src"), "left")
         .select(col("v"), coalesce(col("nbrs"), lit("")).as("value"))
       val header = Seq((0L, s"$n $m")).toDF("v", "value")
+      val dir = java.nio.file.Files.createTempDirectory("graft_q79_").toString
       header.union(lines).orderBy("v").select("value").coalesce(1)
-        .write.mode("overwrite").text("/tmp/graft_q79_metis")
-      graft.io.GraphReaders.metis(s, "/tmp/graft_q79_metis")
+        .write.mode("overwrite").text(dir)
+      graft.io.GraphReaders.metis(s, dir)
         .orderBy("src", "dst")
     }),
 
@@ -1004,9 +1023,10 @@ object SparkEntry {
     // memory sink) must equal the batch/SQL answer exactly.
     "q80_stream_windowed" -> ((s, d) => {
       val ev = Tables.events(s, d)
-      ev.write.mode("overwrite").parquet("/tmp/graft_q80_src")
+      val dir = java.nio.file.Files.createTempDirectory("graft_q80_").toString
+      ev.write.mode("overwrite").parquet(dir)
       val src = s.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", 2).parquet("/tmp/graft_q80_src")
+        .option("maxFilesPerTrigger", 2).parquet(dir)
       val q = graft.streaming.EdgeStream.windowedEventCounts(src)
         .writeStream.outputMode("complete").format("memory")
         .queryName("graft_q80")
@@ -1055,7 +1075,7 @@ object SparkEntry {
             concat(lit(" RT cust"), (col("o_custkey") % 100).cast("string")))
             .otherwise(lit("")),
           lit("\n")).as("value"))
-        .coalesce(1).write.mode("overwrite").text(q82Dir)
+        .repartition(8).write.mode("overwrite").text(q82Dir)
       val edges = graft.text.Parsers.twitter(s, s"$q82Dir/part-*")
       val dict = graft.text.Parsers.twitterDictionary(edges)
       val df = dict.select(col("name").as("fn"), col("id").as("from_id"))

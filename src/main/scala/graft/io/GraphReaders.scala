@@ -97,19 +97,18 @@ object GraphReaders {
     val raw = spark.read.text(path)
       .filter(!col("value").startsWith("%") && length(trim(col("value"))) > 0)
       .select(split(trim(col("value")), "\\s+").as("t"))
-    // The size line is the unique line whose first two fields multiply to
-    // ≥ the triplet count... cheaper and exact: it is the first
-    // non-comment line. Isolate it distributively via its 3-field shape
-    // AND take the min by natural file position using monotonically
-    // increasing ids within the single file.
+    // The size line is the first non-comment line. One job takes the
+    // min-position row and yields its file position AND the dims
+    // together (this used to be two separate scan+collect jobs).
     val withId = raw.withColumn("mid", monotonically_increasing_id())
     val first = withId.orderBy("mid").limit(1)
-      .select(element_at(col("t"), 1).cast(LongType).as("m"),
+      .select(col("mid"),
+              element_at(col("t"), 1).cast(LongType).as("m"),
               element_at(col("t"), 2).cast(LongType).as("n"),
               element_at(col("t"), 3).cast(LongType).as("nnz"))
       .collect()(0)
-    val (m, n, nnz) = (first.getLong(0), first.getLong(1), first.getLong(2))
-    val header = withId.orderBy("mid").limit(1).select("mid").collect()(0).getLong(0)
+    val (header, m, n, nnz) =
+      (first.getLong(0), first.getLong(1), first.getLong(2), first.getLong(3))
     val entries = withId.filter(col("mid") =!= header)
       .select(element_at(col("t"), 1).cast(LongType).as("user"),
         (element_at(col("t"), 2).cast(LongType) +
