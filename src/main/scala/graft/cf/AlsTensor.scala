@@ -161,18 +161,29 @@ object AlsTensor {
         .agg(vecSum(col("yj"), rank).as("ysum"))
         .join(nu, "user")
         .select(col("user"), transform(col("ysum"), v => v * col("ninv")).as("imp"))
-      val joined = r.join(uf, "user").join(vf, "item").join(tf, "time")
-        .join(impl, "user")
-        .withColumn("puimp", zip_with(col("pu"), col("imp"), (p, m) => p + m))
+      // per-user composite frame (|U| rows), then a SCALAR-only
+      // checkpoint of the per-rating errors — the old form materialized
+      // six rank-arrays on every rating row; gradient passes re-join
+      // just the factor side each needs
+      val puimpU = uf.join(impl, "user")
+        .select(col("user"), col("bu"), col("xu"),
+          zip_with(col("pu"), col("imp"), (p, m) => p + m).as("puimp"))
+        .transform(graft.graph.Iterate.ckpt)
+      val joined = r.join(puimpU, "user").join(vf, "item").join(tf, "time")
         .withColumn("err", col("rating") - (lit(mu) + col("bu") + col("bi") +
           col("bt") + dotArr(col("puimp"), col("qi")) + dotArr(col("xu"), col("zt"))))
+        .select(col("user"), col("item"), col("time"), col("err"))
         .transform(graft.graph.Iterate.ckpt)
       rmses :+= joined.agg(sqrt(avg(pow(col("err"), 2)))).collect()(0).getDouble(0)
 
-      val gu = joined.groupBy("user").agg(
-        vecScaleSum(col("err"), col("qi"), rank).as("gp"),
-        vecScaleSum(col("err"), col("zt"), rank).as("gx"),
-        sum("err").as("gb"))
+      val gu = joined
+        .join(vf.select(col("item"), col("qi")), "item")
+        .join(tf.select(col("time"), col("zt")), "time")
+        .groupBy("user").agg(
+          vecScaleSum(col("err"), col("qi"), rank).as("gp"),
+          vecScaleSum(col("err"), col("zt"), rank).as("gx"),
+          sum("err").as("gb"))
+        .transform(graft.graph.Iterate.ckpt)
       val newUf = uf.join(gu, Seq("user"), "left").select(
         col("user"),
         when(col("gp").isNotNull, zip_with(col("pu"), col("gp"),
@@ -182,9 +193,10 @@ object AlsTensor {
           .otherwise(col("bu")).as("bu"),
         when(col("gx").isNotNull, zip_with(col("xu"), col("gx"),
           (x, g) => x + lit(lr) * (g - lit(reg) * x))).otherwise(col("xu")).as("xu"))
-      val gi = joined.groupBy("item").agg(
-        vecScaleSum(col("err"), col("puimp"), rank).as("gq"),
-        sum("err").as("gb"))
+      val gi = joined.join(puimpU.select(col("user"), col("puimp")), "user")
+        .groupBy("item").agg(
+          vecScaleSum(col("err"), col("puimp"), rank).as("gq"),
+          sum("err").as("gb"))
       val newVf = vf.join(gi, Seq("item"), "left").select(
         col("item"),
         when(col("gq").isNotNull, zip_with(col("qi"), col("gq"),
@@ -195,7 +207,8 @@ object AlsTensor {
       // time buckets aggregate FAR more ratings than any user/item, so
       // the time-side gradient is averaged, not summed — a summed
       // gradient over ~n/|T| ratings diverges at any fixed step size
-      val gt = joined.groupBy("time").agg(
+      val gt = joined.join(puimpU.select(col("user"), col("xu")), "user")
+        .groupBy("time").agg(
           vecScaleSum(col("err"), col("xu"), rank).as("gzsum"),
           avg("err").as("gb"), count(lit(1)).as("gn"))
         .select(col("time"), transform(col("gzsum"), g => g / col("gn")).as("gz"),
@@ -207,10 +220,9 @@ object AlsTensor {
         when(col("gb").isNotNull,
           col("bt") + lit(lr) * (col("gb") - lit(reg) * col("bt")))
           .otherwise(col("bt")).as("bt"))
-      val su = joined.groupBy("user")
-        .agg(vecScaleSum(col("err"), col("qi"), rank).as("s"))
-        .join(nu, "user")
-        .select(col("user"), transform(col("s"), v => v * col("ninv")).as("s"))
+      // gu's vecScaleSum(err, qi) IS the y-gradient's per-user inner sum
+      val su = gu.join(nu, "user")
+        .select(col("user"), transform(col("gp"), v => v * col("ninv")).as("s"))
       val gy = r.join(su, "user").groupBy("item").agg(vecSum(col("s"), rank).as("gy"))
       val newYf = yf.join(gy, Seq("item"), "left").select(
         col("item"),

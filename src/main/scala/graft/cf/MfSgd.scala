@@ -83,19 +83,27 @@ object MfSgd {
       }
       val joined0 = r.join(uf, "user").join(vf, "item")
         .withColumn("err", col("rating") - pred)
-      // gradient signal g: err (square), sign(err) (abs), y−σ (logistic)
+      // gradient signal g: err (square), sign(err) (abs), y−σ (logistic).
+      // Checkpoint SCALARS only — the materialized per-rating frame used
+      // to carry both rank-length factor arrays (5× the bytes written
+      // and re-read three times per iteration); the gradient passes
+      // re-join their one factor side instead (broadcast-sized here,
+      // co-partitioned at scale).
       val joined = (loss match {
         case AbsLoss => joined0.withColumn("g", signum(col("err")))
         case _ => joined0.withColumn("g", col("err"))
-      }).transform(graft.graph.Iterate.ckpt)
+      }).select(col("user"), col("item"), col("err"), col("g"))
+        .transform(graft.graph.Iterate.ckpt)
       val rmse = joined.agg(sqrt(avg(pow(col("err"), 2)))).collect()(0).getDouble(0)
       if (haltOnIncrease && rmses.nonEmpty && rmse > rmses.last) halted = true
       else {
         rmses :+= rmse
+        val ufOld = uf; val vfOld = vf
         // user-side gradient: Σ g·qi − reg·pu  (and bias)
-        val gu = joined.groupBy("user").agg(
-          aggregateVecSum(col("g"), col("qi"), rank).as("gv"),
-          sum(col("g")).as("gb"), count(lit(1)).as("n"))
+        val gu = joined.join(vfOld.select(col("item"), col("qi")), "item")
+          .groupBy("user").agg(
+            aggregateVecSum(col("g"), col("qi"), rank).as("gv"),
+            sum(col("g")).as("gb"))
         uf = uf.join(gu, Seq("user"), "left").select(
           col("user"),
           when(col("gv").isNotNull,
@@ -106,9 +114,10 @@ object MfSgd {
             col("bu") + lit(lr) * (col("gb") - lit(reg) * col("bu")))
             .otherwise(col("bu")).as("bu"))
           .transform(graft.graph.Iterate.ckpt)
-        val gi = joined.groupBy("item").agg(
-          aggregateVecSum(col("g"), col("pu"), rank).as("gv"),
-          sum(col("g")).as("gb"))
+        val gi = joined.join(ufOld.select(col("user"), col("pu")), "user")
+          .groupBy("item").agg(
+            aggregateVecSum(col("g"), col("pu"), rank).as("gv"),
+            sum(col("g")).as("gb"))
         vf = vf.join(gi, Seq("item"), "left").select(
           col("item"),
           when(col("gv").isNotNull,
@@ -189,17 +198,23 @@ object MfSgd {
       val score = muCol + col("bu") + col("bi") + dotArr(col("pu"), col("qi"))
       val pred = when(col("loss") === tag(LogisticLoss),
         lit(1.0) / (lit(1.0) + exp(-score))).otherwise(score)
+      // scalar-only checkpoint; gradient passes re-join their factor
+      // side (see train())
       val joined = r.join(uf, Seq("loss", "user")).join(vf, Seq("loss", "item"))
         .withColumn("err", col("rating") - pred)
         .withColumn("g", when(col("loss") === tag(AbsLoss),
           signum(col("err"))).otherwise(col("err")))
+        .select(col("loss"), col("user"), col("item"), col("err"), col("g"))
         .transform(graft.graph.Iterate.ckpt)
       val rms = joined.groupBy("loss").agg(sqrt(avg(pow(col("err"), 2))).as("rmse"))
         .collect().map(row => row.getString(0) -> row.getDouble(1)).toMap
       traces = traces.map { case (l, t) => l -> (t :+ rms(tag(l))) }
-      val gu = joined.groupBy("loss", "user").agg(
-        aggregateVecSum(col("g"), col("qi"), rank).as("gv"),
-        sum(col("g")).as("gb"))
+      val ufOld = uf; val vfOld = vf
+      val gu = joined
+        .join(vfOld.select(col("loss"), col("item"), col("qi")), Seq("loss", "item"))
+        .groupBy("loss", "user").agg(
+          aggregateVecSum(col("g"), col("qi"), rank).as("gv"),
+          sum(col("g")).as("gb"))
       uf = uf.join(gu, Seq("loss", "user"), "left").select(
         col("loss"), col("user"),
         when(col("gv").isNotNull,
@@ -210,9 +225,11 @@ object MfSgd {
           col("bu") + lit(lr) * (col("gb") - lit(reg) * col("bu")))
           .otherwise(col("bu")).as("bu"))
         .transform(graft.graph.Iterate.ckpt)
-      val gi = joined.groupBy("loss", "item").agg(
-        aggregateVecSum(col("g"), col("pu"), rank).as("gv"),
-        sum(col("g")).as("gb"))
+      val gi = joined
+        .join(ufOld.select(col("loss"), col("user"), col("pu")), Seq("loss", "user"))
+        .groupBy("loss", "item").agg(
+          aggregateVecSum(col("g"), col("pu"), rank).as("gv"),
+          sum(col("g")).as("gb"))
       vf = vf.join(gi, Seq("loss", "item"), "left").select(
         col("loss"), col("item"),
         when(col("gv").isNotNull,

@@ -64,17 +64,27 @@ object SvdPP {
         .agg(vecSum(col("yj"), rank).as("ysum"))
         .join(nu, "user")
         .select(col("user"), transform(col("ysum"), v => v * col("ninv")).as("imp"))
-      // (2) per-rating error
-      val joined = r.join(uf, "user").join(vf, "item").join(impl, "user")
-        .withColumn("puimp", zip_with(col("pu"), col("imp"), (p, m) => p + m))
+      // (2) per-rating error. The per-user composite p_u + imp_u is a
+      // |U|-sized frame, and the checkpointed per-rating frame carries
+      // SCALARS only (the old form materialized four rank-arrays per
+      // rating row); gradient passes re-join their one factor side.
+      val puimpU = uf.join(impl, "user")
+        .select(col("user"), col("bu"),
+          zip_with(col("pu"), col("imp"), (p, m) => p + m).as("puimp"))
+        .transform(graft.graph.Iterate.ckpt)
+      val joined = r.join(puimpU, "user").join(vf, "item")
         .withColumn("err", col("rating") -
           (lit(mu) + col("bu") + col("bi") + dotArr(col("puimp"), col("qi"))))
+        .select(col("user"), col("item"), col("err"))
         .transform(graft.graph.Iterate.ckpt)
       rmses :+= joined.agg(sqrt(avg(pow(col("err"), 2)))).collect()(0).getDouble(0)
-      // (3) gradients
-      val gu = joined.groupBy("user").agg(
-        vecScaleSum(col("err"), col("qi"), rank).as("gp"),
-        sum("err").as("gb"))
+      // (3) gradients. gu's vecScaleSum(err, qi) is ALSO the y-gradient's
+      // per-user inner sum — computed once, consumed twice.
+      val gu = joined.join(vf.select(col("item"), col("qi")), "item")
+        .groupBy("user").agg(
+          vecScaleSum(col("err"), col("qi"), rank).as("gp"),
+          sum("err").as("gb"))
+        .transform(graft.graph.Iterate.ckpt)
       val newUf = uf.join(gu, Seq("user"), "left").select(
         col("user"),
         when(col("gp").isNotNull, zip_with(col("pu"), col("gp"),
@@ -82,9 +92,10 @@ object SvdPP {
         when(col("gb").isNotNull,
           col("bu") + lit(lr) * (col("gb") - lit(reg) * col("bu")))
           .otherwise(col("bu")).as("bu"))
-      val gi = joined.groupBy("item").agg(
-        vecScaleSum(col("err"), col("puimp"), rank).as("gq"),
-        sum("err").as("gb"))
+      val gi = joined.join(puimpU.select(col("user"), col("puimp")), "user")
+        .groupBy("item").agg(
+          vecScaleSum(col("err"), col("puimp"), rank).as("gq"),
+          sum("err").as("gb"))
       val newVf = vf.join(gi, Seq("item"), "left").select(
         col("item"),
         when(col("gq").isNotNull, zip_with(col("qi"), col("gq"),
@@ -93,10 +104,8 @@ object SvdPP {
           col("bi") + lit(lr) * (col("gb") - lit(reg) * col("bi")))
           .otherwise(col("bi")).as("bi"))
       // y_j gradient: Σ_{u: j∈N(u)} ninv_u · (Σ_i err_ui q_i) − reg·y_j
-      val su = joined.groupBy("user")
-        .agg(vecScaleSum(col("err"), col("qi"), rank).as("s"))
-        .join(nu, "user")
-        .select(col("user"), transform(col("s"), v => v * col("ninv")).as("s"))
+      val su = gu.join(nu, "user")
+        .select(col("user"), transform(col("gp"), v => v * col("ninv")).as("s"))
       val gy = r.join(su, "user").groupBy("item").agg(vecSum(col("s"), rank).as("gy"))
       val newYf = yf.join(gy, Seq("item"), "left").select(
         col("item"),
