@@ -32,6 +32,35 @@ class CfSpec extends SparkSpec {
     assert(recs.groupBy("user").count().collect().forall(_.getLong(1) <= 2))
   }
 
+  test("recommendTopK exclusion: k unrated recs, fallback for swamped users") {
+    val model = trainAls(ratings, rank = 4, maxIter = 5)
+    val recs = recommendTopK(model, 2, Some(ratings)).collect()
+    val train = ratings.select("user", "item").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(recs.forall(r => !train.contains(
+        (r.getAs[Number]("user").longValue, r.getAs[Number]("item").longValue))),
+      "recommended an already-rated item")
+    // items = {10,11,12,13}; every user rated 3 of 4 → exactly ONE
+    // unrated item each, fewer than k=2: every user takes the exact
+    // full-scan fallback path and must get precisely that item
+    val byUser = recs.groupBy(_.getAs[Number]("user").longValue)
+    assert(byUser.size == 4)
+    for ((u, rows) <- byUser) {
+      assert(rows.length == 1, s"user $u got ${rows.length} recs")
+      val unrated = Set(10L, 11L, 12L, 13L) --
+        train.collect { case (tu, ti) if tu == u => ti }
+      assert(rows.map(_.getAs[Number]("item").longValue).toSet == unrated)
+    }
+    // per-user scores non-increasing by rank
+    val big = recommendTopK(model, 3, Some(ratings.limit(4))).collect()
+      .groupBy(_.getAs[Number]("user").longValue)
+    for ((_, rows) <- big) {
+      val byRank = rows.sortBy(_.getAs[Number]("rank").intValue)
+        .map(_.getAs[Double]("score"))
+      assert(byRank.zip(byRank.drop(1)).forall { case (a, b) => a >= b })
+    }
+  }
+
   test("ALS early stop returns best model and iteration") {
     val (train, valid) = kFoldSplit(ratings, 4, 0)
     val (m, best, iter) = trainAlsEarlyStop(train, valid, rank = 2, maxIters = 6)

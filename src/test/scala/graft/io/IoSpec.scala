@@ -87,6 +87,27 @@ class IoSpec extends SparkSpec {
     assert(es == Set((1L, 2L), (7L, 9L)))
   }
 
+  test("writeBinaryEdgeList round-trips through binaryEdgeList") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graftbw")
+    val edges = Seq((1L, 2L, 3.5), (7L, 9L, 0.25), (4L, 4L, 1.0), (100000L, 3L, 96.0))
+      .toDF("src", "dst", "value")
+    // with values (float32 records; 3.5/0.25/96.0 are f32-exact)
+    GraphWriters.writeBinaryEdgeList(edges, dir.resolve("v").toString,
+      hasValue = true)
+    val withV = GraphReaders.binaryEdgeList(spark, dir.resolve("v").toString,
+        hasValue = true).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // reader drops the (4,4) self edge
+    assert(withV == Set((1L, 2L, 3.5), (7L, 9L, 0.25), (100000L, 3L, 96.0)))
+    // without values
+    GraphWriters.writeBinaryEdgeList(edges.select("src", "dst"),
+      dir.resolve("nv").toString)
+    val noV = GraphReaders.binaryEdgeList(spark, dir.resolve("nv").toString)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(noV == Set((1L, 2L), (7L, 9L), (100000L, 3L)))
+  }
+
   test("writers: text edges and MatrixMarket factors round-trip") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graftw")
