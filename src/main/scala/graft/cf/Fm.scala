@@ -14,8 +14,9 @@ import org.apache.spark.sql.functions._
   * per-example factor sum (the classic O(k·|x|) FM trick).
   *
   * Execution shape per iteration: explode features → join weights →
-  * groupBy(example) for S/prediction → join back → groupBy(feature) for
-  * gradients. Two shuffles, rows carry rank-length arrays.
+  * groupBy(example) for S/prediction → join the (err, S) scalars back →
+  * groupBy(feature) for gradients (∂v_f = err·S − v_f·err, so the
+  * weight table never re-joins the gradient pass). Two shuffles.
   *
   * [[featuresFromRatings]] mirrors gensgd's feature construction: each
   * column value is hashed into its own id space (gensgd.cpp feature
@@ -103,6 +104,8 @@ object Fm {
       // grouping key then matches flat's partitioning, so when AQE
       // broadcasts the small weight side the 600k-row re-shuffle per
       // iteration disappears.
+      // checkpoint carries only what the gradient pass reads: err + the
+      // per-example factor sum S (S2/wsum/pred fold into err and die)
       val perEx = joined.groupBy("example_id").agg(
           first("y").as("y"),
           vecSum(col("v"), rank).as("S"),
@@ -111,22 +114,24 @@ object Fm {
         .withColumn("pred", lit(w0) + col("wsum") +
           lit(0.5) * aggregate(zip_with(col("S"), col("S2"),
             (s, s2) => s * s - s2), lit(0.0d), (acc, x) => acc + x))
-        .withColumn("err", col("y") - col("pred"))
+        .select(col("example_id"), col("S"), (col("y") - col("pred")).as("err"))
         .transform(graft.graph.Iterate.ckpt)
       rmses :+= perEx.agg(sqrt(avg(pow(col("err"), 2)))).collect()(0).getDouble(0)
       // feature gradients: ∂/∂w_f = err; ∂/∂v_f = err·(S − v_f)
-      val grads = joined
+      // = err·S − v_f·err, so the pass aggregates Σ err·S and Σ err per
+      // feature (no weight re-join — v_f is constant per group and is
+      // applied at the update join)
+      val grads = flat
         .join(perEx.select(col("example_id"), col("S"), col("err")), "example_id")
-        .select(col("feature"), col("err").as("gw"),
-          transform(zip_with(col("S"), col("v"), (s, vf) => s - vf),
-            x => x * col("err")).as("gv"))
         .groupBy("feature")
-        .agg(sum("gw").as("gw"), vecSum(col("gv"), rank).as("gv"),
-          count(lit(1)).as("n"))
+        .agg(graft.functions.VecScaleSum.of(col("err"), col("S"), rank).as("es"),
+          sum("err").as("gw"), count(lit(1)).as("n"))
       w = w.join(grads, Seq("feature"), "left").select(
           col("feature"),
-          when(col("gv").isNotNull,
-            zip_with(col("v"), transform(col("gv"), x => x / col("n")),
+          when(col("es").isNotNull,
+            zip_with(col("v"),
+              zip_with(col("es"), col("v"),
+                (a, vv) => (a - vv * col("gw")) / col("n")),
               (vv, g) => vv + lit(lr) * (g - lit(reg) * vv)))
             .otherwise(col("v")).as("v"),
           when(col("gw").isNotNull,
