@@ -90,7 +90,9 @@ object CollaborativeFiltering {
     * survivors per user by construction.
     */
   def recommendTopK(model: ALSModel, k: Int,
-                    excludeRatings: Option[DataFrame] = None): DataFrame =
+                    excludeRatings: Option[DataFrame] = None,
+                    pad: Int = -1,
+                    maxBroadcastFloats: Long = MaxBroadcastFloats): DataFrame =
     excludeRatings match {
       case None =>
         model.recommendForAllUsers(k)
@@ -110,19 +112,31 @@ object CollaborativeFiltering {
         // top-(k+pad) scores below k unrated survivors inside it.
         val train = ratings.select("user", "item").distinct()
           .transform(graft.graph.Iterate.ckpt)
-        val pad = 4 * k + 8
-        val top = topNByBroadcast(model, k + pad)
+        val p = if (pad >= 0) pad else 4 * k + 8
+        val top = topNByBroadcast(model, k + p, maxBroadcastFloats)
         val unrated = top.join(train, Seq("user", "item"), "left_anti")
           .transform(graft.graph.Iterate.ckpt)
-        val needy = unrated.groupBy("user").agg(count(lit(1)).as("nOk"))
-          .filter(col("nOk") < k).select("user")
+        // Needy = users with < k unrated survivors, computed over the
+        // FULL user set: a user whose entire top-(k+pad) is already
+        // rated has no group in `unrated` at all, so deriving needy from
+        // the groupBy alone would silently drop them from the output —
+        // the reference still returns k unrated items for such users
+        // (`rating.cpp:233`). Left-join the counts onto every model user
+        // and coalesce missing counts to 0.
+        val nOkPerUser = unrated.groupBy("user").agg(count(lit(1)).as("nOk"))
+        val needy = model.userFactors.select(col("id").as("user"))
+          .join(nOkPerUser, Seq("user"), "left")
+          .filter(coalesce(col("nOk"), lit(0L)) < k).select("user")
         // exact fallback: score every item for the (few) needy users
         val uf = model.userFactors.join(needy, col("id") === needy("user"))
           .select(col("user"),
             transform(col("features"), x => x.cast("double")).as("ufeat"))
-        val fallback = uf.crossJoin(
-            broadcast(model.itemFactors.select(col("id").as("item"),
-              transform(col("features"), x => x.cast("double")).as("ifeat"))))
+        val itemFeat = model.itemFactors.select(col("id").as("item"),
+          transform(col("features"), x => x.cast("double")).as("ifeat"))
+        val itemSide =
+          if (itemMatrixFloats(model) <= maxBroadcastFloats) broadcast(itemFeat)
+          else itemFeat
+        val fallback = uf.crossJoin(itemSide)
           .select(col("user"), col("item"),
             graft.functions.VecDot.of(col("ufeat"), col("ifeat")).as("score"))
           .join(train, Seq("user", "item"), "left_anti")
@@ -133,6 +147,17 @@ object CollaborativeFiltering {
           .select(col("user"), col("rank"), col("item"), col("score"))
     }
 
+  /** Broadcast budget for the item-factor matrix, in float cells
+    * (items × rank). The default (64M floats ≈ 256 MB) keeps the
+    * driver collect + task-side broadcast comfortably inside typical
+    * executor memory; beyond it [[recommendTopK]] routes through ml's
+    * fully-distributed blocked top-N instead.
+    */
+  val MaxBroadcastFloats: Long = 64L * 1024 * 1024
+
+  private def itemMatrixFloats(model: ALSModel): Long =
+    model.itemFactors.count() * model.rank
+
   /** Top-N scored items per user by broadcast item-matrix GEMV — the
     * reference's own batch-ranking shape (`rating.cpp:190-240`: each
     * user scans every item with a bounded heap), distributed over user
@@ -141,13 +166,21 @@ object CollaborativeFiltering {
     * loop — ml's `recommendForAllUsers` routes the same 300M dots
     * through per-pair tuple allocations and was measured 10× slower.
     * Right-sized whenever items fit a broadcast (the usual CF shape:
-    * users ≫ items; 10M items × rank 8 ≈ 320 MB); for larger item sets
-    * fall back to ml's blocked implementation.
+    * users ≫ items; 10M items × rank 8 ≈ 320 MB); when the item matrix
+    * exceeds `maxBroadcastFloats` cells the driver collect would OOM
+    * (100M items × rank 10 = 4 GB), so the call routes through ml's
+    * blocked GEMM top-N, which keeps both factor sides distributed.
     */
-  private def topNByBroadcast(model: ALSModel, n: Int): DataFrame = {
+  private[cf] def topNByBroadcast(model: ALSModel, n: Int,
+      maxBroadcastFloats: Long = MaxBroadcastFloats): DataFrame = {
     val spark = model.userFactors.sparkSession
     import spark.implicits._
     val rank = model.rank
+    if (itemMatrixFloats(model) > maxBroadcastFloats)
+      return model.recommendForAllUsers(n)
+        .select(col("user"), explode(col("recommendations")).as("rec"))
+        .select(col("user"), col("rec.item").as("item"),
+          col("rec.rating").cast("double").as("score"))
     val items = model.itemFactors
       .select(col("id"), col("features")).as[(Int, Array[Float])]
       .collect().sortBy(_._1)

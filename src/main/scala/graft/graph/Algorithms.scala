@@ -43,6 +43,10 @@ object Algorithms {
     val verts = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
       .transform(graft.graph.Iterate.ckpt)
+    // iterations = 0 ⇒ the uniform init (pr = 1.0), not an NPE on the
+    // never-assigned rank frame.
+    if (iterations <= 0)
+      return verts.select(col("id"), lit(1.0).as("pr"))
 
     // `ranks` carries only vertices that RECEIVE mass; a vertex absent
     // from it received nothing last round and sits at the reset floor,
@@ -210,16 +214,29 @@ object Algorithms {
     var lab = sym.groupBy("src").agg(count(lit(1)).as("c"))
       .select(col("src").as("id"), col("c"))
       .transform(graft.graph.Iterate.ckpt)
-    for (_ <- 1 to iterations) {
+    // `iterations` is a cap, not an unroll: each round checks whether any
+    // label moved and stops at the fixpoint (labels are monotone
+    // non-increasing, so once a round is a no-op every later round is
+    // too — a capped run that converges early is bit-identical to the
+    // full unroll). Hitting the cap unconverged means the result is a
+    // (valid upper-bound) approximation; callers needing certainty raise
+    // the cap.
+    var it = 0
+    var converged = false
+    while (it < iterations && !converged) {
       // H-index of the neighbor multiset: sort labels desc, take
       // max(min(label, position)) — h neighbors with label ≥ h.
       val nbr = sym.join(lab.select(col("id").as("dst"), col("c").as("nc")), "dst")
         .select(col("src"), col("nc"))
       val w = Window.partitionBy("src").orderBy(desc("nc"))
-      lab = nbr.withColumn("rn", row_number().over(w))
+      val next = nbr.withColumn("rn", row_number().over(w))
         .groupBy("src").agg(max(least(col("nc"), col("rn"))).as("c"))
         .select(col("src").as("id"), col("c"))
         .transform(graft.graph.Iterate.ckpt)
+      converged = next.select(col("id"), col("c").as("c2")).join(lab, "id")
+        .filter(col("c2") =!= col("c")).isEmpty
+      lab = next
+      it += 1
     }
     lab
   }

@@ -69,12 +69,32 @@ object GraphWriters {
       .toDF("value").coalesce(1).write.mode(SaveMode.Overwrite).text(path)
   }
 
+  /** Serializable carrier for a Hadoop `Configuration` (it is `Writable`
+    * but not `Serializable`) so tasks see the DRIVER's configuration —
+    * `spark.hadoop.*` settings, credentials, defaultFS — instead of a
+    * bare `new Configuration()` built from default resources only.
+    */
+  private class SerializableHadoopConf(
+      @transient var value: org.apache.hadoop.conf.Configuration)
+      extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit =
+      value.write(out)
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      value = new org.apache.hadoop.conf.Configuration(false)
+      value.readFields(in)
+    }
+  }
+
   /** Binary fixed-record edge list writer — the inverse of
     * [[GraphReaders.binaryEdgeList]] (`conversions.hpp:523-602` record
     * layout: little-endian uint32 src,dst[, float32 value]). Each
     * partition streams its records to one part file through the Hadoop
     * FS API — fully distributed (no driver collect), works against any
-    * defaultFS.
+    * defaultFS (tasks open the filesystem with the driver's broadcast
+    * hadoopConfiguration). Commit is temp-name + rename-if-absent, so a
+    * speculative or retried attempt can never interleave bytes with
+    * another attempt's part file: the losing attempt's rename fails and
+    * its temp file is deleted.
     */
   def writeBinaryEdgeList(edges: DataFrame, path: String,
                           hasValue: Boolean = false): Unit = {
@@ -83,6 +103,8 @@ object GraphWriters {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(root, true)
     fs.mkdirs(root)
+    val bConf = spark.sparkContext.broadcast(
+      new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
     val sel =
       if (hasValue)
         edges.select(col("src").cast("long"), col("dst").cast("long"),
@@ -91,10 +113,13 @@ object GraphWriters {
     val recordLen = if (hasValue) 12 else 8
     val withVal = hasValue
     sel.rdd.foreachPartition { rows =>
-      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val tc = org.apache.spark.TaskContext.get()
+      val pid = tc.partitionId()
       val part = new org.apache.hadoop.fs.Path(path, f"part-$pid%05d.bin")
-      val pfs = part.getFileSystem(new org.apache.hadoop.conf.Configuration())
-      val out = new java.io.BufferedOutputStream(pfs.create(part, true), 1 << 16)
+      val tmp = new org.apache.hadoop.fs.Path(path,
+        f"_tmp-part-$pid%05d-attempt-${tc.taskAttemptId()}%d.bin")
+      val pfs = part.getFileSystem(bConf.value.value)
+      val out = new java.io.BufferedOutputStream(pfs.create(tmp, true), 1 << 16)
       val buf = java.nio.ByteBuffer.allocate(recordLen)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
       try rows.foreach { r =>
@@ -104,6 +129,8 @@ object GraphWriters {
         if (withVal) buf.putFloat(r.getDouble(2).toFloat)
         out.write(buf.array(), 0, recordLen)
       } finally out.close()
+      // first completed attempt wins; rename onto an existing part fails
+      if (!pfs.rename(tmp, part)) pfs.delete(tmp, false)
     }
   }
 

@@ -125,8 +125,11 @@ object Similarity {
     * work is bounded per bucket instead of |corpus|².
     */
   def lshTopK(df: DataFrame, idCol: String, vecCol: String, dim: Int, k: Int,
-              numPlanes: Int = 8, numTables: Int = 4): DataFrame = {
-    val b = lshBuckets(df, idCol, vecCol, dim, numPlanes, numTables)
+              numPlanes: Int = 8, numTables: Int = 4,
+              maxBucketSize: Int = 100000): DataFrame = {
+    val b = graft.text.Dedup.capBuckets(
+      lshBuckets(df, idCol, vecCol, dim, numPlanes, numTables),
+      Seq("table", "bucket"), maxBucketSize)
     val a = b.select(col("table"), col("bucket"), col("vid").as("query_id"),
       col("vec").as("qv"))
     val c = b.select(col("table"), col("bucket"), col("vid").as("neighbor_id"),
@@ -207,8 +210,11 @@ object Similarity {
   /** Embedding near-duplicate pairs: cosine ≥ threshold via LSH buckets. */
   def embeddingDuplicatePairs(df: DataFrame, idCol: String, vecCol: String,
                               dim: Int, threshold: Double = 0.95,
-                              numPlanes: Int = 8, numTables: Int = 4): DataFrame = {
-    val b = lshBuckets(df, idCol, vecCol, dim, numPlanes, numTables)
+                              numPlanes: Int = 8, numTables: Int = 4,
+                              maxBucketSize: Int = 100000): DataFrame = {
+    val b = graft.text.Dedup.capBuckets(
+      lshBuckets(df, idCol, vecCol, dim, numPlanes, numTables),
+      Seq("table", "bucket"), maxBucketSize)
     val a = b.select(col("table"), col("bucket"), col("vid").as("id1"), col("vec").as("v1"))
     val c = b.select(col("table"), col("bucket"), col("vid").as("id2"), col("vec").as("v2"))
     a.join(c, Seq("table", "bucket")).filter(col("id1") < col("id2"))

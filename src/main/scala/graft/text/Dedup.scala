@@ -17,20 +17,50 @@ object Dedup {
   def normText(text: Column): Column =
     regexp_replace(lower(trim(text)), "\\s+", " ")
 
+  /** Drop rows belonging to LSH buckets with more than `maxBucketSize`
+    * members — the cap on within-bucket pair generation, playing the
+    * same role as itemcf's `maxUserDegree`: a degenerate bucket (empty
+    * docs, boilerplate shingles, all-zero embeddings) would otherwise
+    * pair quadratically on one reducer. Oversized-bucket keys are a
+    * left-anti side that is tiny by construction (only degenerate
+    * buckets exceed the cap), so the anti-join broadcasts under AQE.
+    * `maxBucketSize <= 0` disables the cap.
+    */
+  private[graft] def capBuckets(bucketed: DataFrame, keys: Seq[String],
+                                maxBucketSize: Int): DataFrame =
+    if (maxBucketSize <= 0) bucketed
+    else {
+      val oversized = bucketed.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("__bsz"))
+        .filter(col("__bsz") > maxBucketSize)
+        .select(keys.map(col): _*)
+      bucketed.join(oversized, keys, "left_anti")
+    }
+
   /** Exact dedup: keep the lowest-id document of each normalized-text
     * group. Hash-groupBy on a 64-bit fingerprint so 100 TB of text
     * shuffles 8-byte keys, not documents; the (rare) colliding groups
     * carry the full norm text only within a group.
+    *
+    * No per-group member array is ever materialized: the keeper of each
+    * hash group is a bounded min/count aggregate (map-side partial), and
+    * members are recovered by joining the keeper row back to the keyed
+    * docs — a degenerate corpus with 10⁷ identical documents stays one
+    * 3-column aggregate row plus a streamed join, instead of one
+    * unbounded `collect_list` landing on a single reducer.
     */
-  def exactDuplicates(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
-        xxhash64(normText(col(textCol))).as("h"))
-      .groupBy("h")
-      .agg(min("doc_id").as("keeper"), count(lit(1)).as("n"),
-           sort_array(collect_list("doc_id")).as("members"))
+  def exactDuplicates(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keyed = docs.select(col(idCol).as("doc_id"),
+      xxhash64(normText(col(textCol))).as("h"))
+    // Both sides shuffle on `h`, so ReuseExchange shares one scan+hash.
+    val keepers = keyed.groupBy("h")
+      .agg(min("doc_id").as("keeper"), count(lit(1)).as("n"))
       .filter(col("n") > 1)
-      .select(explode(col("members")).as("doc_id"), col("keeper"))
+      .select("h", "keeper")
+    keyed.join(keepers, "h")
       .filter(col("doc_id") =!= col("keeper"))
+      .select("doc_id", "keeper")
+  }
 
   /** Exact-dedup survivors: one doc per normalized text (min id wins). */
   def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
@@ -64,7 +94,8 @@ object Dedup {
   def minHashDuplicatePairs(docs: DataFrame, idCol: String, textCol: String,
                             numHashes: Int = 16, bands: Int = 8,
                             shingleK: Int = 3,
-                            threshold: Double = 0.8): DataFrame = {
+                            threshold: Double = 0.8,
+                            maxBucketSize: Int = 100000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     // repartition = exchange barrier: signatures are materialized once
@@ -74,10 +105,11 @@ object Dedup {
     val signed = docs.select(col(idCol).as("doc_id"),
         minHashSignature(col(textCol), numHashes, shingleK).as("sig"))
       .repartition(col("doc_id"))
-    val banded = signed.select(col("doc_id"), col("sig"),
+    val banded = capBuckets(signed.select(col("doc_id"), col("sig"),
         posexplode(array((0 until bands).map(b =>
           xxhash64(lit(b), slice(col("sig"), b * rows + 1, rows))): _*)))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket"),
+      Seq("band", "bucket"), maxBucketSize)
     val a = banded.select(col("band"), col("bucket"),
       col("doc_id").as("id1"), col("sig").as("sig1"))
     val b = banded.select(col("band"), col("bucket"),
@@ -112,13 +144,15 @@ object Dedup {
     * pair within hamming ≤ 3 shares at least one exact block).
     */
   def simHashDuplicatePairs(docs: DataFrame, idCol: String, textCol: String,
-                            maxHamming: Int = 3): DataFrame = {
+                            maxHamming: Int = 3,
+                            maxBucketSize: Int = 100000): DataFrame = {
     val sh = docs.select(col(idCol).as("doc_id"), simHash(col(textCol)).as("sh"))
       .repartition(col("doc_id"))  // barrier: simhash evaluated once
-    val blocked = sh.select(col("doc_id"), col("sh"),
+    val blocked = capBuckets(sh.select(col("doc_id"), col("sh"),
         posexplode(array((0 until 4).map(b =>
           shiftright(col("sh"), b * 16).bitwiseAND(0xffffL)): _*)))
-      .withColumnRenamed("pos", "block").withColumnRenamed("col", "key")
+      .withColumnRenamed("pos", "block").withColumnRenamed("col", "key"),
+      Seq("block", "key"), maxBucketSize)
     val a = blocked.select(col("block"), col("key"),
       col("doc_id").as("id1"), col("sh").as("sh1"))
     val b = blocked.select(col("block"), col("key"),

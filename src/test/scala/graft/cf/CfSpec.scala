@@ -61,6 +61,39 @@ class CfSpec extends SparkSpec {
     }
   }
 
+  test("recommendTopK: users with zero unrated survivors still get k recs") {
+    val model = trainAls(ratings, rank = 4, maxIter = 5)
+    val train = ratings.select("user", "item").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // pad = 0, k = 1: some user's top-1 is an already-rated item
+    // (precondition asserted — deterministic under the fixed ALS seed),
+    // so that user has ZERO unrated survivors, no group in the unrated
+    // frame, and is only emitted via the full-user-set needy fallback.
+    val top1 = topNByBroadcast(model, 1).collect()
+      .map(r => (r.getAs[Number]("user").longValue,
+        r.getAs[Number]("item").longValue))
+    assert(top1.exists(train.contains),
+      "precondition: at least one user's top-1 must be a rated item")
+    val recs = recommendTopK(model, 1, Some(ratings), pad = 0).collect()
+    val byUser = recs.groupBy(_.getAs[Number]("user").longValue)
+    assert(byUser.keySet == Set(1L, 2L, 3L, 4L), "a user vanished from the output")
+    for ((u, rows) <- byUser) {
+      assert(rows.length == 1, s"user $u got ${rows.length} recs")
+      val unrated = Set(10L, 11L, 12L, 13L) --
+        train.collect { case (tu, ti) if tu == u => ti }
+      assert(rows.map(_.getAs[Number]("item").longValue).toSet == unrated)
+    }
+  }
+
+  test("recommendTopK: zero broadcast budget routes distributed, same results") {
+    val model = trainAls(ratings, rank = 4, maxIter = 5)
+    def pairsOf(maxFloats: Long) =
+      recommendTopK(model, 2, Some(ratings), maxBroadcastFloats = maxFloats)
+        .collect().map(r => (r.getAs[Number]("user").longValue,
+          r.getAs[Number]("item").longValue)).toSet
+    assert(pairsOf(Long.MaxValue) == pairsOf(0L))
+  }
+
   test("ALS early stop returns best model and iteration") {
     val (train, valid) = kFoldSplit(ratings, 4, 0)
     val (m, best, iter) = trainAlsEarlyStop(train, valid, rank = 2, maxIters = 6)

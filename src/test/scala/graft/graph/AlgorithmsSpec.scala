@@ -15,6 +15,26 @@ class AlgorithmsSpec extends SparkSpec {
     pr.foreach(r => assert(math.abs(r.getDouble(1) - 1.0) < 1e-6))
   }
 
+  test("pageRank: iterations = 0 returns the uniform init, not an NPE") {
+    val e = edges(1L -> 2L, 2L -> 3L, 3L -> 1L)
+    val pr = Algorithms.pageRank(e, iterations = 0).collect()
+    assert(pr.length == 3)
+    pr.foreach(r => assert(r.getDouble(1) == 1.0))
+  }
+
+  test("coreness stops at the fixpoint: huge cap equals exact unroll") {
+    // chain of triangles: needs a few h-index rounds; a cap of 1000 must
+    // terminate early at the fixpoint and equal the capped-at-8 answer
+    val e = edges(1L -> 2L, 2L -> 3L, 3L -> 1L, 3L -> 4L, 4L -> 5L,
+      5L -> 6L, 6L -> 4L, 6L -> 7L)
+    val a = Algorithms.coreness(e, iterations = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Algorithms.coreness(e, iterations = 1000)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+    assert(a(1L) == 2L && a(7L) == 1L)
+  }
+
   test("pageRank: star center collects mass") {
     val e = edges(1L -> 9L, 2L -> 9L, 3L -> 9L, 9L -> 1L)
     val pr = Algorithms.pageRank(e, iterations = 8)

@@ -73,6 +73,24 @@ class SimilaritySpec extends SparkSpec {
     assert(agreeExact >= 56) // ≥70% exact-top-1 recall at nprobe=1/nlist=4
   }
 
+  test("hot-bucket cap drops degenerate all-identical embedding buckets") {
+    val dup = Array(1.0f, 0.0f, 0.0f, 0.0f)
+    val vecs = ((1L to 40L).map(i => (i, dup)) ++ Seq(
+      (100L, Array(0.0f, 1.0f, 0.10f, 0.0f)),
+      (101L, Array(0.0f, 1.0f, 0.11f, 0.0f)))).toDF("id", "v")
+    val capped = Similarity.embeddingDuplicatePairs(vecs, "id", "v", dim = 4,
+      threshold = 0.9, maxBucketSize = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!capped.exists(p => p._1 <= 40L || p._2 <= 40L),
+      "degenerate 40-member bucket must be dropped")
+    assert(capped.contains((100L, 101L)),
+      "the small bucket's genuine near-dup pair must survive the cap")
+    val topk = Similarity.lshTopK(vecs, "id", "v", dim = 4, k = 2,
+      maxBucketSize = 10)
+    assert(topk.filter(col("query_id") <= 40L).isEmpty)
+    assert(topk.filter(col("query_id") === 100L).count() >= 1)
+  }
+
   test("embeddingDuplicatePairs finds the planted duplicate") {
     val v = Array(0.3f, 0.5f, 0.1f, 0.7f)
     val vecs = Seq((1L, v), (2L, v.map(x => x * 1.001f)), (3L, Array(-0.3f, 0.5f, -0.1f, 0.7f)))

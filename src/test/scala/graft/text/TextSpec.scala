@@ -53,6 +53,41 @@ class TextSpec extends SparkSpec {
     assert(dups.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((2L, 1L)))
   }
 
+  test("exactDuplicates: planted mass-duplicate group stays bounded (keeper-join)") {
+    // 200 identical docs: the old collect_list path built one 200-member
+    // array on a single reducer; the keeper-join never materializes the
+    // group, and the answer is identical.
+    val docs = ((1L to 200L).map(i => (i, "same boilerplate text")) ++
+      Seq((300L, "unique one"), (301L, "unique two"))).toDF("doc_id", "text")
+    val dups = Dedup.exactDuplicates(docs, "doc_id", "text").collect()
+    assert(dups.length == 199)
+    assert(dups.forall(_.getLong(1) == 1L))
+    assert(dups.map(_.getLong(0)).toSet == (2L to 200L).toSet)
+  }
+
+  test("hot-bucket cap drops degenerate LSH buckets, keeps normal pairs") {
+    val near1 = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val near2 = (1 to 39).map(i => s"tok$i").mkString(" ") + " tokZ"
+    val docs = ((1L to 30L).map(i =>
+        (i, "identical boilerplate body of text repeated here")) ++
+      Seq((100L, near1), (101L, near2))).toDF("doc_id", "text")
+    // uncapped: all 435 identical-doc pairs + the planted near pair
+    val uncapped = Dedup.minHashDuplicatePairs(docs, "doc_id", "text",
+      threshold = 0.5).count()
+    assert(uncapped == 30L * 29 / 2 + 1)
+    // capped at 10: the 30-doc degenerate bucket is dropped everywhere,
+    // the 2-doc near pair's buckets survive
+    val capped = Dedup.minHashDuplicatePairs(docs, "doc_id", "text",
+      threshold = 0.5, maxBucketSize = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((100L, 101L)))
+    // simhash block LSH: same degenerate group capped away
+    val simCapped = Dedup.simHashDuplicatePairs(docs, "doc_id", "text",
+      maxBucketSize = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!simCapped.exists(p => p._1 <= 30L || p._2 <= 30L))
+  }
+
   test("minHash LSH flags near-duplicates, not unrelated docs") {
     val base = (1 to 40).map(i => s"token$i").mkString(" ")
     val near = (1 to 39).map(i => s"token$i").mkString(" ") + " tokenX"
