@@ -73,19 +73,24 @@ object Bench {
       // time the engine run, not one-time preprocessing.
       graft.graph.Algorithms.pageRank(g, 2)
         .agg(org.apache.spark.sql.functions.sum("pr")).collect()
-      // best-of-2 timed runs: host-level noise on this box swings a
-      // single run ±50% (observed 7.6 vs 4.0 M edge-iters/s on
-      // identical code); the best run is the steady-state capability,
-      // matching how BASELINE.md's published numbers were taken
-      val dt = (1 to 2).map { _ =>
+      // 3 timed runs, ALL persisted (pr_sec_runs) so the spread is
+      // auditable: host-level noise on this box swings a single run
+      // ±50% (observed 7.6 vs 4.0 M edge-iters/s on identical code).
+      // The headline rate stays best-of (steady-state capability,
+      // matching how BASELINE.md's published numbers were taken) and
+      // the median rides along for comparison with mean/median-based
+      // measurements.
+      val runs = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         graft.graph.Algorithms.pageRank(g, iterations = iters)
           .agg(org.apache.spark.sql.functions.sum("pr")).collect()
         (System.nanoTime() - t0) / 1e9
-      }.min
+      }
+      val dt = runs.min
+      val dtMed = runs.sorted.apply(runs.size / 2)
       val rate = nEdges.toDouble * iters / dt
-      System.err.println(f"[bench] pagerank_throughput $nEdges%d edges x $iters iters = $dt%.2f s (${rate / 1e6}%.2f M edge-iters/s)")
-      s""","pr_edges":$nEdges,"pr_iters":$iters,"pr_sec":$dt,"pr_edge_iters_per_sec":$rate"""
+      System.err.println(f"[bench] pagerank_throughput $nEdges%d edges x $iters iters = $dt%.2f s best / $dtMed%.2f s median (${rate / 1e6}%.2f M edge-iters/s best)")
+      s""","pr_edges":$nEdges,"pr_iters":$iters,"pr_sec":$dt,"pr_sec_median":$dtMed,"pr_sec_runs":${runs.mkString("[", ",", "]")},"pr_edge_iters_per_sec":$rate"""
     } catch { case e: Throwable =>
       System.err.println(s"[bench] throughput probe failed: ${e.getMessage}")
       ""
@@ -101,7 +106,7 @@ object Bench {
     if (only.isEmpty && sfDir.contains("sf0.1"))
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE",
-          "/root/repo/bench_full_r03.json")), line + "\n")
+          "/root/repo/bench_full_r04.json")), line + "\n")
     spark.stop()
   }
 }

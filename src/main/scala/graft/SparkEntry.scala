@@ -1261,8 +1261,61 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_live"), sum("src").as("sum_src"),
           sum("dst").as("sum_dst"))
         .withColumn("compacted", lit(st.batches == 4L))
+    }),
+
+    // Metrics reporters (metrics.hpp + reps/*) oracled: a fresh listener
+    // harvests a fixed workload, then the CONTRACT of the entry map and
+    // both reporters is emitted as a deterministic row — every expected
+    // counter key present, counts positive, min ≤ avg ≤ max per entry,
+    // basic_reporter header intact, file_reporter one line per entry.
+    // (The raw counter VALUES are timing-dependent; the contract is not.)
+    "q92_metrics" -> ((s, d) => {
+      val l = graft.metrics.SparkMetricsListener.install(s, "q92")
+      s.read.parquet(s"$d/nation.parquet")
+        .join(s.read.parquet(s"$d/region.parquet"),
+          col("n_regionkey") === col("r_regionkey"))
+        .agg(count(lit(1))).collect()
+      org.apache.spark.sql.GraftShims.waitListenerBus(s)
+      s.sparkContext.removeSparkListener(l)
+      val es = l.metrics.entries
+      val expected = Set("jobs", "stages", "tasks", "task_runtime",
+        "task_gc_time", "shuffle_read_bytes", "shuffle_write_bytes",
+        "input_bytes", "output_bytes", "memory_spill_bytes")
+      def avgOf(e: l.metrics.Entry): Double = e.cum / math.max(1L, e.count)
+      val basicReport = graft.metrics.MetricsReporter.basic(l.metrics)
+      val tmp = java.nio.file.Files.createTempFile("q92_metrics", ".txt")
+      graft.metrics.MetricsReporter.file(l.metrics, tmp.toString)
+      val fileLines = java.nio.file.Files.readAllLines(tmp).size
+      java.nio.file.Files.delete(tmp)
+      val s2 = s
+      import s2.implicits._
+      Seq((
+        b2l(expected.subsetOf(es.map(_._1).toSet)),
+        b2l(es.forall(_._2.count > 0L)),
+        b2l(es.forall { case (_, e) => e.min <= avgOf(e) + 1e-9 }),
+        b2l(es.forall { case (_, e) => avgOf(e) <= e.max + 1e-9 }),
+        b2l(basicReport.startsWith(" === REPORT FOR q92 ===")
+          && basicReport.contains("[Timings]")),
+        b2l(fileLines == es.size)
+      )).toDF("all_keys", "counts_positive", "min_le_avg", "avg_le_max",
+        "basic_header", "file_lines_match")
+    }),
+
+    // §2.11 itemcf3 --distance=9 (JACCARD_WEIGHT): per-edge weighted
+    // jaccard over the customer↔supplier co-occurrence graph, the exact
+    // golden-parity operator (GoldenParitySpec replays the reference's
+    // own itemcf3.unittest numbers through the same code).
+    "q93_edge_weighted_jaccard" -> ((s, d) => {
+      val e = Tables.customerSupplierEdges(s, d)
+        .filter(col("src") =!= col("dst"))
+        .select(col("src"), col("dst"), col("weight").cast("double").as("value"))
+      CollaborativeFiltering.edgeWeightedJaccard(e)
+        .select(col("i1"), col("i2"), round(col("sim"), 6).as("sim"))
+        .orderBy("i1", "i2")
     })
   )
+
+  private def b2l(b: Boolean): Long = if (b) 1L else 0L
 
   // ---- oracles ----------------------------------------------------------
 
@@ -2487,6 +2540,34 @@ object SparkEntry {
             s0 AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
             l0 AS (SELECT src AS id, COUNT(*) AS c FROM s0 GROUP BY src)$steps
          SELECT id, c AS core FROM l12 ORDER BY id"""
-    }
+    },
+
+    // The metrics-reporter contract row is deterministic by construction
+    // (see q92's comment): every invariant must hold on every run.
+    "q92_metrics" ->
+      """SELECT CAST(1 AS BIGINT) AS all_keys,
+                CAST(1 AS BIGINT) AS counts_positive,
+                CAST(1 AS BIGINT) AS min_le_avg,
+                CAST(1 AS BIGINT) AS avg_le_max,
+                CAST(1 AS BIGINT) AS basic_header,
+                CAST(1 AS BIGINT) AS file_lines_match""",
+
+    // sim(a,b) = w(a,b) / (strength(a) + strength(b) − w(a,b)) per
+    // connected pair, larger id first (itemcf3.cpp:225-296).
+    "q93_edge_weighted_jaccard" ->
+      """WITH e0 AS (SELECT o_custkey AS src, l_suppkey AS dst,
+                            CAST(COUNT(*) AS DOUBLE) AS value
+                     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                     GROUP BY 1, 2),
+              e AS (SELECT * FROM e0 WHERE src <> dst),
+              sym AS (SELECT src, dst, value FROM e
+                      UNION ALL SELECT dst, src, value FROM e),
+              st AS (SELECT src, SUM(value) AS s FROM sym GROUP BY src)
+         SELECT y.src AS i1, y.dst AS i2,
+                ROUND(y.value / (s1.s + s2.s - y.value), 6) AS sim
+         FROM sym y JOIN st s1 ON y.src = s1.src
+                    JOIN st s2 ON y.dst = s2.src
+         WHERE y.src > y.dst
+         ORDER BY i1, i2"""
   )
 }

@@ -302,6 +302,29 @@ object CollaborativeFiltering {
       .reduce(_ unionAll _)
   }
 
+  /** Per-edge weighted Jaccard similarity — the reference's `itemcf3`
+    * with `--distance=9` (JACCARD_WEIGHT, `itemcf3.cpp:225-296` +
+    * `distance.hpp:68-79`): for each CONNECTED pair (a, b),
+    * sim = w(a,b) / (strength(a) + strength(b) − w(a,b)) where
+    * strength(v) = Σ incident edge values. One row per undirected edge,
+    * printed (i1 = larger id, i2 = smaller id) like the reference's
+    * "compare only to pivots smaller than this id" order; exact zeros
+    * dropped (`itemcf3.cpp:292`). Input: (src, dst, value).
+    */
+  def edgeWeightedJaccard(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst"), col("value"))
+    val sym = e.union(
+      e.select(col("dst").as("src"), col("src").as("dst"), col("value")))
+    val strength = sym.groupBy("src").agg(sum("value").as("s"))
+    sym.filter(col("src") > col("dst"))
+      .join(strength.select(col("src"), col("s").as("s1")), "src")
+      .join(strength.select(col("src").as("d2"), col("s").as("s2")),
+        col("dst") === col("d2"))
+      .select(col("src").as("i1"), col("dst").as("i2"),
+        (col("value") / (col("s1") + col("s2") - col("value"))).as("sim"))
+      .filter(col("sim") =!= 0.0)
+  }
+
   /** similarity ⋈ ratings → top-K recommendations per user — the
     * reference's `itemsim2rating.cpp`: score(u, j) = Σ_{i rated by u}
     * sim(i, j); already-rated items excluded.

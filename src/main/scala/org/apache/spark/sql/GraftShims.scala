@@ -34,6 +34,13 @@ object GraftShims {
   def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
     org.apache.spark.sql.classic.ExpressionUtils.expression(c)
 
+  /** Flush the scheduler listener bus (private[spark]) so metrics
+    * harvested by a SparkListener are complete before they are read —
+    * listener delivery is async relative to job completion.
+    */
+  def waitListenerBus(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
+
   def freshCheckpoint(df: DataFrame): DataFrame = {
     val cdf = df.asInstanceOf[CDataset[Row]]
     val spark = cdf.sparkSession.asInstanceOf[CSparkSession]

@@ -25,6 +25,31 @@ class StreamingSpec extends SparkSpec {
     assert(st.liveEdges.count() == 2)
   }
 
+  test("GraphState: replaying the same delta batch is set-idempotent (foreachBatch retry)") {
+    // foreachBatch delivers at-least-once on retry: a replayed INSERT
+    // batch duplicates rows in the buffered multiset, but the live edge
+    // SET is unchanged, and compaction's distinct() collapses the
+    // physical duplicates — so a retried micro-batch can never corrupt
+    // the graph, only delay compaction by one cycle.
+    val base = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val st = new EdgeStream.GraphState(spark, base)
+    val batch = Seq((3L, 1L, false), (1L, 2L, true)).toDF("src", "dst", "deleted")
+    st.applyDelta(batch, compactEvery = 3)
+    val liveOnce = st.liveEdges.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    st.applyDelta(batch, compactEvery = 3) // the retry
+    val liveTwice = st.liveEdges.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(liveTwice == liveOnce)
+    assert(liveOnce == Set((2L, 3L), (3L, 1L)))
+    // third batch compacts: tombstones AND replay duplicates both vanish
+    st.applyDelta(Seq.empty[(Long, Long, Boolean)].toDF("src", "dst", "deleted"),
+      compactEvery = 3)
+    assert(st.edges.count() == 2) // physically deduped, not just logically
+    assert(st.liveEdges.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == liveOnce)
+  }
+
   test("streamingPageRank processes edge-delta files incrementally") {
     val dir = Files.createTempDirectory("graftstream")
     val base = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
