@@ -71,6 +71,11 @@ object MfSgd {
       .withColumn("bi", lit(0.0)).transform(graft.graph.Iterate.ckpt)
 
     var rmses = Vector.empty[Double]
+    // Without halt-on-increase the trace is only read after training, so
+    // the per-iteration RMSE stays a lazy frame over the materialized
+    // checkpoint and is collected once at the end — identical values,
+    // one driver round-trip instead of one per iteration.
+    var rmseFrames = Vector.empty[DataFrame]
     var it = 0
     var halted = false
     val verbose = sys.env.contains("GRAFT_DEBUG")
@@ -84,27 +89,36 @@ object MfSgd {
       val joined0 = r.join(uf, "user").join(vf, "item")
         .withColumn("err", col("rating") - pred)
       // gradient signal g: err (square), sign(err) (abs), y−σ (logistic).
-      // Checkpoint SCALARS only — the materialized per-rating frame used
-      // to carry both rank-length factor arrays (5× the bytes written
-      // and re-read three times per iteration); the gradient passes
-      // re-join their one factor side instead (broadcast-sized here,
-      // co-partitioned at scale).
-      val joined = (loss match {
+      // The per-rating frame is NEVER materialized: both factor sides
+      // ride broadcast/co-partitioned joins over the checkpointed state,
+      // so each gradient pass recomputes the (codegen'd, shuffle-free
+      // here) join and feeds the native map-side partial aggregate
+      // directly — the shuffle carries per-key PARTIAL vectors, not
+      // 600k rating rows. This beats both earlier layouts: the fat
+      // checkpoint (5× bytes written and re-read per pass) and the
+      // scalar checkpoint + factor re-joins (whose write+read+join fixed
+      // cost exceeded one extra broadcast-join evaluation at rank 8 —
+      // the r3 q40 regression).
+      val joined = loss match {
         case AbsLoss => joined0.withColumn("g", signum(col("err")))
         case _ => joined0.withColumn("g", col("err"))
-      }).select(col("user"), col("item"), col("err"), col("g"))
-        .transform(graft.graph.Iterate.ckpt)
-      val rmse = joined.agg(sqrt(avg(pow(col("err"), 2)))).collect()(0).getDouble(0)
-      if (haltOnIncrease && rmses.nonEmpty && rmse > rmses.last) halted = true
+      }
+      val rmseAgg = joined.agg(sqrt(avg(pow(col("err"), 2))).as("rmse"))
+      val rmseNow =
+        if (haltOnIncrease) Some(rmseAgg.collect()(0).getDouble(0)) else None
+      if (rmseNow.exists(rm => rmses.nonEmpty && rm > rmses.last)) halted = true
       else {
-        rmses :+= rmse
-        val ufOld = uf; val vfOld = vf
+        rmseNow match {
+          case Some(rm) => rmses :+= rm
+          case None =>
+            rmseFrames :+= rmseAgg.select(lit(it + 1).as("it"), col("rmse"))
+        }
         // user-side gradient: Σ g·qi − reg·pu  (and bias)
-        val gu = joined.join(vfOld.select(col("item"), col("qi")), "item")
+        val gu = joined
           .groupBy("user").agg(
             aggregateVecSum(col("g"), col("qi"), rank).as("gv"),
             sum(col("g")).as("gb"))
-        uf = uf.join(gu, Seq("user"), "left").select(
+        val uf2 = uf.join(gu, Seq("user"), "left").select(
           col("user"),
           when(col("gv").isNotNull,
             zip_with(col("pu"), col("gv"),
@@ -114,7 +128,7 @@ object MfSgd {
             col("bu") + lit(lr) * (col("gb") - lit(reg) * col("bu")))
             .otherwise(col("bu")).as("bu"))
           .transform(graft.graph.Iterate.ckpt)
-        val gi = joined.join(ufOld.select(col("user"), col("pu")), "user")
+        val gi = joined
           .groupBy("item").agg(
             aggregateVecSum(col("g"), col("pu"), rank).as("gv"),
             sum(col("g")).as("gb"))
@@ -128,11 +142,16 @@ object MfSgd {
             col("bi") + lit(lr) * (col("gb") - lit(reg) * col("bi")))
             .otherwise(col("bi")).as("bi"))
           .transform(graft.graph.Iterate.ckpt)
+        uf = uf2
         it += 1
         if (verbose) System.err.println(
-          f"[mfsgd] iter $it rmse=${rmses.last}%.5f ${System.currentTimeMillis - itStart} ms")
+          f"[mfsgd] iter $it ${System.currentTimeMillis - itStart} ms" +
+            rmseNow.map(rm => f" rmse=$rm%.5f").getOrElse(" (rmse deferred)"))
       }
     }
+    if (rmseFrames.nonEmpty)
+      rmses = rmseFrames.reduce(_ unionAll _).orderBy("it").collect()
+        .map(_.getDouble(1)).toVector
     Model(uf.select(col("user").as("id"), col("pu").as("f")),
       vf.select(col("item").as("id"), col("qi").as("f")),
       uf.select(col("user").as("id"), col("bu").as("b")),
@@ -193,8 +212,11 @@ object MfSgd {
       .select(col("loss"), col("id").as("item"), col("f").as("qi"), col("b").as("bi"))
       .transform(graft.graph.Iterate.ckpt)
 
-    var traces = losses.map(l => l -> Vector.empty[Double]).toMap
-    for (_ <- 1 to iterations) {
+    // Per-loss RMSE frames stay LAZY over the materialized checkpoints
+    // and are collected once after the loop (see train()'s deferred
+    // trace) — identical values, |iterations| fewer driver round-trips.
+    var rmsFrames = Vector.empty[DataFrame]
+    for (iter <- 1 to iterations) {
       val score = muCol + col("bu") + col("bi") + dotArr(col("pu"), col("qi"))
       val pred = when(col("loss") === tag(LogisticLoss),
         lit(1.0) / (lit(1.0) + exp(-score))).otherwise(score)
@@ -206,9 +228,9 @@ object MfSgd {
           signum(col("err"))).otherwise(col("err")))
         .select(col("loss"), col("user"), col("item"), col("err"), col("g"))
         .transform(graft.graph.Iterate.ckpt)
-      val rms = joined.groupBy("loss").agg(sqrt(avg(pow(col("err"), 2))).as("rmse"))
-        .collect().map(row => row.getString(0) -> row.getDouble(1)).toMap
-      traces = traces.map { case (l, t) => l -> (t :+ rms(tag(l))) }
+      rmsFrames :+= joined.groupBy("loss")
+        .agg(sqrt(avg(pow(col("err"), 2))).as("rmse"))
+        .select(lit(iter).as("it"), col("loss"), col("rmse"))
       val ufOld = uf; val vfOld = vf
       val gu = joined
         .join(vfOld.select(col("loss"), col("item"), col("qi")), Seq("loss", "item"))
@@ -241,7 +263,13 @@ object MfSgd {
           .otherwise(col("bi")).as("bi"))
         .transform(graft.graph.Iterate.ckpt)
     }
-    traces
+    if (rmsFrames.isEmpty) losses.map(l => l -> Seq.empty[Double]).toMap
+    else {
+      val rows = rmsFrames.reduce(_ unionAll _).orderBy("it").collect()
+      losses.map { l =>
+        l -> rows.filter(_.getString(1) == tag(l)).map(_.getDouble(2)).toSeq
+      }.toMap
+    }
   }
 
   /** Element-wise Σ err·vec as a native fused aggregate — map-side
