@@ -72,7 +72,10 @@ object AlsTensor {
       df.join(tf.select(col("id").as("time"), col("f").as("z")), "time")
 
     var rmses = Vector.empty[Double]
-    for (_ <- 1 to iterations) {
+    // deferred trace (see MfSgd.train): each frame reads that
+    // iteration's checkpointed factors; collected once after the loop
+    var rmseFrames = Vector.empty[DataFrame]
+    for (iter <- 1 to iterations) {
       // users: design = q∘z
       uf = withZ(withQ(r)).select(col("user").as("id"), col("rating"), col("w"),
           zip_with(col("q"), col("z"), (x, y) => x * y).as("d"))
@@ -96,9 +99,13 @@ object AlsTensor {
         .transform(graft.graph.Iterate.ckpt)
       val preds = withZ(withQ(withP(r)))
         .select(col("rating"), dot3(col("p"), col("q"), col("z")).as("pred"))
-      rmses :+= preds.agg(sqrt(avg(pow(col("rating") - col("pred"), 2))))
-        .collect()(0).getDouble(0)
+      rmseFrames :+= preds
+        .agg(sqrt(avg(pow(col("rating") - col("pred"), 2))).as("rmse"))
+        .select(lit(iter).as("it"), col("rmse"))
     }
+    if (rmseFrames.nonEmpty)
+      rmses = rmseFrames.reduce(_ unionAll _).orderBy("it").collect()
+        .map(_.getDouble(1)).toVector
     Model(uf, vf, tf, rmses)
   }
 
@@ -156,15 +163,16 @@ object AlsTensor {
       .transform(graft.graph.Iterate.ckpt)
 
     var rmses = Vector.empty[Double]
-    for (_ <- 1 to iterations) {
+    // deferred trace + no per-rating materialization (see MfSgd.train /
+    // SvdPP.train): only the |U|-sized composite is pinned per
+    // superstep; every gradient pass recomputes the codegen'd join over
+    // pinned state and map-side partial-aggregates directly
+    var rmseFrames = Vector.empty[DataFrame]
+    for (iter <- 1 to iterations) {
       val impl = r.join(yf, "item").groupBy("user")
         .agg(vecSum(col("yj"), rank).as("ysum"))
         .join(nu, "user")
         .select(col("user"), transform(col("ysum"), v => v * col("ninv")).as("imp"))
-      // per-user composite frame (|U| rows), then a SCALAR-only
-      // checkpoint of the per-rating errors — the old form materialized
-      // six rank-arrays on every rating row; gradient passes re-join
-      // just the factor side each needs
       val puimpU = uf.join(impl, "user")
         .select(col("user"), col("bu"), col("xu"),
           zip_with(col("pu"), col("imp"), (p, m) => p + m).as("puimp"))
@@ -172,13 +180,10 @@ object AlsTensor {
       val joined = r.join(puimpU, "user").join(vf, "item").join(tf, "time")
         .withColumn("err", col("rating") - (lit(mu) + col("bu") + col("bi") +
           col("bt") + dotArr(col("puimp"), col("qi")) + dotArr(col("xu"), col("zt"))))
-        .select(col("user"), col("item"), col("time"), col("err"))
-        .transform(graft.graph.Iterate.ckpt)
-      rmses :+= joined.agg(sqrt(avg(pow(col("err"), 2)))).collect()(0).getDouble(0)
+      rmseFrames :+= joined.agg(sqrt(avg(pow(col("err"), 2))).as("rmse"))
+        .select(lit(iter).as("it"), col("rmse"))
 
       val gu = joined
-        .join(vf.select(col("item"), col("qi")), "item")
-        .join(tf.select(col("time"), col("zt")), "time")
         .groupBy("user").agg(
           vecScaleSum(col("err"), col("qi"), rank).as("gp"),
           vecScaleSum(col("err"), col("zt"), rank).as("gx"),
@@ -193,7 +198,7 @@ object AlsTensor {
           .otherwise(col("bu")).as("bu"),
         when(col("gx").isNotNull, zip_with(col("xu"), col("gx"),
           (x, g) => x + lit(lr) * (g - lit(reg) * x))).otherwise(col("xu")).as("xu"))
-      val gi = joined.join(puimpU.select(col("user"), col("puimp")), "user")
+      val gi = joined
         .groupBy("item").agg(
           vecScaleSum(col("err"), col("puimp"), rank).as("gq"),
           sum("err").as("gb"))
@@ -207,7 +212,7 @@ object AlsTensor {
       // time buckets aggregate FAR more ratings than any user/item, so
       // the time-side gradient is averaged, not summed — a summed
       // gradient over ~n/|T| ratings diverges at any fixed step size
-      val gt = joined.join(puimpU.select(col("user"), col("xu")), "user")
+      val gt = joined
         .groupBy("time").agg(
           vecScaleSum(col("err"), col("xu"), rank).as("gzsum"),
           avg("err").as("gb"), count(lit(1)).as("gn"))
@@ -233,6 +238,9 @@ object AlsTensor {
       tf = newTf.transform(graft.graph.Iterate.ckpt)
       yf = newYf.transform(graft.graph.Iterate.ckpt)
     }
+    if (rmseFrames.nonEmpty)
+      rmses = rmseFrames.reduce(_ unionAll _).orderBy("it").collect()
+        .map(_.getDouble(1)).toVector
     TimeSvdPPModel(uf, vf, yf, tf, mu, rmses)
   }
 }

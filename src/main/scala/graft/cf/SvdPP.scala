@@ -58,16 +58,25 @@ object SvdPP {
       .transform(graft.graph.Iterate.ckpt)
 
     var rmses = Vector.empty[Double]
-    for (_ <- 1 to iterations) {
+    // trace frames stay lazy over the checkpointed state and collect
+    // once after the loop (see MfSgd.train) — same values, one driver
+    // round-trip total
+    var rmseFrames = Vector.empty[DataFrame]
+    for (iter <- 1 to iterations) {
       // (1) implicit user vector: |N(u)|^-1/2 · Σ y_j over rated items
       val impl = r.join(yf, "item").groupBy("user")
         .agg(vecSum(col("yj"), rank).as("ysum"))
         .join(nu, "user")
         .select(col("user"), transform(col("ysum"), v => v * col("ninv")).as("imp"))
-      // (2) per-rating error. The per-user composite p_u + imp_u is a
-      // |U|-sized frame, and the checkpointed per-rating frame carries
-      // SCALARS only (the old form materialized four rank-arrays per
-      // rating row); gradient passes re-join their one factor side.
+      // (2) the per-user composite p_u + imp_u is a |U|-sized frame and
+      // the ONLY materialization per superstep: it pins the expensive
+      // |R|-shuffle implicit sum. The per-rating error frame itself is
+      // never checkpointed — each gradient pass recomputes the
+      // (broadcast/co-partitioned, codegen'd) join over the pinned state
+      // and feeds the native map-side partial aggregate directly, so the
+      // shuffles carry per-key partial vectors, not rating rows (the
+      // scalar-checkpoint + re-join layout paid more in write+read+join
+      // fixed cost than the join recompute saves — the r3 q40 lesson).
       val puimpU = uf.join(impl, "user")
         .select(col("user"), col("bu"),
           zip_with(col("pu"), col("imp"), (p, m) => p + m).as("puimp"))
@@ -75,12 +84,11 @@ object SvdPP {
       val joined = r.join(puimpU, "user").join(vf, "item")
         .withColumn("err", col("rating") -
           (lit(mu) + col("bu") + col("bi") + dotArr(col("puimp"), col("qi"))))
-        .select(col("user"), col("item"), col("err"))
-        .transform(graft.graph.Iterate.ckpt)
-      rmses :+= joined.agg(sqrt(avg(pow(col("err"), 2)))).collect()(0).getDouble(0)
+      rmseFrames :+= joined.agg(sqrt(avg(pow(col("err"), 2))).as("rmse"))
+        .select(lit(iter).as("it"), col("rmse"))
       // (3) gradients. gu's vecScaleSum(err, qi) is ALSO the y-gradient's
       // per-user inner sum — computed once, consumed twice.
-      val gu = joined.join(vf.select(col("item"), col("qi")), "item")
+      val gu = joined
         .groupBy("user").agg(
           vecScaleSum(col("err"), col("qi"), rank).as("gp"),
           sum("err").as("gb"))
@@ -92,7 +100,7 @@ object SvdPP {
         when(col("gb").isNotNull,
           col("bu") + lit(lr) * (col("gb") - lit(reg) * col("bu")))
           .otherwise(col("bu")).as("bu"))
-      val gi = joined.join(puimpU.select(col("user"), col("puimp")), "user")
+      val gi = joined
         .groupBy("item").agg(
           vecScaleSum(col("err"), col("puimp"), rank).as("gq"),
           sum("err").as("gb"))
@@ -115,6 +123,9 @@ object SvdPP {
       vf = newVf.transform(graft.graph.Iterate.ckpt)
       yf = newYf.transform(graft.graph.Iterate.ckpt)
     }
+    if (rmseFrames.nonEmpty)
+      rmses = rmseFrames.reduce(_ unionAll _).orderBy("it").collect()
+        .map(_.getDouble(1)).toVector
     Model(uf, vf, yf, mu, rmses)
   }
 
