@@ -42,7 +42,9 @@ object AlsCoord {
       .transform(graft.graph.Iterate.ckpt)
 
     var rmses = Vector.empty[Double]
-    for (_ <- 1 to iterations) {
+    // deferred trace (see MfSgd.train)
+    var rmseFrames = Vector.empty[DataFrame]
+    for (iter <- 1 to iterations) {
       for (d <- 0 until rank) {
         // user side, coordinate d
         val ju = r.join(uf, "user").join(vf, "item")
@@ -77,9 +79,13 @@ object AlsCoord {
       }
       val preds = r.join(uf, "user").join(vf, "item")
         .select(col("rating"), dotArr(col("p"), col("q")).as("pred"))
-      rmses :+= preds.agg(sqrt(avg(pow(col("rating") - col("pred"), 2))))
-        .collect()(0).getDouble(0)
+      rmseFrames :+= preds
+        .agg(sqrt(avg(pow(col("rating") - col("pred"), 2))).as("rmse"))
+        .select(lit(iter).as("it"), col("rmse"))
     }
+    if (rmseFrames.nonEmpty)
+      rmses = rmseFrames.reduce(_ unionAll _).orderBy("it").collect()
+        .map(_.getDouble(1)).toVector
     Model(uf.select(col("user").as("id"), col("p").as("f")),
       vf.select(col("item").as("id"), col("q").as("f")), rmses)
   }

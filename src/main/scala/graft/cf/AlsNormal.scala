@@ -150,7 +150,10 @@ object AlsNormal {
       .transform(graft.graph.Iterate.ckpt)
     var uf: DataFrame = null
     var rmses = Vector.empty[Double]
-    for (_ <- 1 to iterations) {
+    // deferred trace (see MfSgd.train): lazy single-row frames over the
+    // checkpointed factors, collected once after the loop
+    var rmseFrames = Vector.empty[DataFrame]
+    for (iter <- 1 to iterations) {
       uf = r.join(vf.withColumnRenamed("id", "item").withColumnRenamed("f", "q"), "item")
         .groupBy(col("user").as("id"))
         .agg(graft.functions.GramAgg.of(col("q"), col("rating"), col("w"), rank).as("g"))
@@ -165,9 +168,14 @@ object AlsNormal {
         .join(uf.select(col("id").as("user"), col("f").as("p")), "user")
         .join(vf.select(col("id").as("item"), col("f").as("q")), "item")
         .select(col("rating"), dotArr(col("p"), col("q")).as("pred"), col("w"))
-      rmses :+= preds.agg(sqrt(sum(col("w") * pow(col("rating") - col("pred"), 2)) / sum("w")))
-        .collect()(0).getDouble(0)
+      rmseFrames :+= preds
+        .agg(sqrt(sum(col("w") * pow(col("rating") - col("pred"), 2)) / sum("w"))
+          .as("rmse"))
+        .select(lit(iter).as("it"), col("rmse"))
     }
+    if (rmseFrames.nonEmpty)
+      rmses = rmseFrames.reduce(_ unionAll _).orderBy("it").collect()
+        .map(_.getDouble(1)).toVector
     Model(uf, vf, rmses)
   }
 

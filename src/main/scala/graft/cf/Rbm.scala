@@ -46,7 +46,10 @@ object Rbm {
       .transform(graft.graph.Iterate.ckpt)
 
     var rmses = Vector.empty[Double]
-    for (_ <- 1 to iterations) {
+    // deferred trace (see MfSgd.train): lazy frames over the ckpt'd
+    // reconstruction, collected once after the loop
+    var rmseFrames = Vector.empty[org.apache.spark.sql.DataFrame]
+    for (iter <- 1 to iterations) {
       val jv = r.join(w, "item")
       // positive phase: h_u = σ(Σ v·W)
       val h = jv.groupBy("user")
@@ -59,8 +62,9 @@ object Rbm {
           aggregate(zip_with(col("h"), col("w"), (x, y) => x * y),
             lit(0.0d), (acc, x) => acc + x))
         .transform(graft.graph.Iterate.ckpt)
-      rmses :+= recon.agg(sqrt(avg(pow(col("v") - col("vrec"), 2))))
-        .collect()(0).getDouble(0)
+      rmseFrames :+= recon
+        .agg(sqrt(avg(pow(col("v") - col("vrec"), 2))).as("rmse"))
+        .select(lit(iter).as("it"), col("rmse"))
       // negative phase: h' = σ(Σ v'·W)
       val h2 = recon.groupBy("user")
         .agg(vecScaleSum(col("vrec"), col("w"), nHidden).as("a"))
@@ -85,6 +89,9 @@ object Rbm {
             .otherwise(col("b")).as("b"))
         .transform(graft.graph.Iterate.ckpt)
     }
+    if (rmseFrames.nonEmpty)
+      rmses = rmseFrames.reduce(_ unionAll _).orderBy("it").collect()
+        .map(_.getDouble(1)).toVector
     Model(w, mu, rmses)
   }
 }
