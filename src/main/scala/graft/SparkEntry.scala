@@ -1312,6 +1312,36 @@ object SparkEntry {
       CollaborativeFiltering.edgeWeightedJaccard(e)
         .select(col("i1"), col("i2"), round(col("sim"), 6).as("sim"))
         .orderBy("i1", "i2")
+    }),
+
+    // §2.1 the last three spec-only sinks, oracled via round-trips:
+    // label-histogram CSV (labelanalysis.hpp:166-176), MMOutputter_scalar
+    // (io.hpp:162-249), and sharded_graph_output's phase sink
+    // (sharder.hpp:1147-1219). Each writes to a temp dir and is read
+    // back by the matching reader; the row summarizes what SQL can
+    // recompute (counts/sums) plus a scalar round-trip invariant.
+    "q94_sinks_roundtrip" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_q94_").toString
+      val hist = Tables.customer(s, d)
+        .groupBy(col("c_mktsegment").as("label"))
+        .agg(count(lit(1)).as("n"))
+      graft.io.GraphWriters.writeLabelHistogram(hist, s"$dir/hist")
+      val histBack = s.read.option("header", "true").csv(s"$dir/hist")
+        .agg(sum(col("n").cast("long")).as("hist_total"),
+          count(lit(1)).as("hist_labels"))
+      val mu = Tables.lineitem(s, d).agg(avg("l_quantity")).collect()(0)
+        .getDouble(0)
+      graft.io.GraphWriters.writeMatrixMarketScalar(s, mu, s"$dir/mu")
+      val muBack = graft.io.GraphReaders
+        .readMatrixMarketVector(s, s"$dir/mu").collect()(0).getDouble(1)
+      val e = Tables.customerSupplierEdges(s, d).select("src", "dst")
+      graft.io.GraphWriters.writePhaseEdges(e, s"$dir/phase")
+      val phaseBack = s.read.parquet(s"$dir/phase")
+        .agg(count(lit(1)).as("n_edges"), sum("src").as("sum_src"),
+          sum("dst").as("sum_dst"))
+      histBack.crossJoin(phaseBack)
+        .withColumn("scalar_roundtrip",
+          lit(math.abs(muBack - mu) <= 5e-7)) // %.6f fixed-point write
     })
   )
 
@@ -2568,6 +2598,20 @@ object SparkEntry {
          FROM sym y JOIN st s1 ON y.src = s1.src
                     JOIN st s2 ON y.dst = s2.src
          WHERE y.src > y.dst
-         ORDER BY i1, i2"""
+         ORDER BY i1, i2""",
+
+    // histogram totals + phase-sink edge summary are SQL-recomputable;
+    // the scalar MM round-trip is a fixed-point-write invariant.
+    "q94_sinks_roundtrip" ->
+      """WITH e AS (SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
+                    FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+         SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM customer) AS hist_total,
+                (SELECT CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT)
+                   FROM customer) AS hist_labels,
+                CAST(COUNT(*) AS BIGINT) AS n_edges,
+                CAST(SUM(src) AS BIGINT) AS sum_src,
+                CAST(SUM(dst) AS BIGINT) AS sum_dst,
+                true AS scalar_roundtrip
+         FROM e"""
   )
 }
