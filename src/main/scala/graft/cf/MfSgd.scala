@@ -212,7 +212,7 @@ object MfSgd {
       .select(col("loss"), col("id").as("item"), col("f").as("qi"), col("b").as("bi"))
       .transform(graft.graph.Iterate.ckpt)
 
-    // Per-loss RMSE frames stay LAZY over the materialized checkpoints
+    // Per-loss RMSE frames stay LAZY over the checkpointed factor state
     // and are collected once after the loop (see train()'s deferred
     // trace) — identical values, |iterations| fewer driver round-trips.
     var rmsFrames = Vector.empty[DataFrame]
@@ -220,24 +220,21 @@ object MfSgd {
       val score = muCol + col("bu") + col("bi") + dotArr(col("pu"), col("qi"))
       val pred = when(col("loss") === tag(LogisticLoss),
         lit(1.0) / (lit(1.0) + exp(-score))).otherwise(score)
-      // scalar-only checkpoint; gradient passes re-join their factor
-      // side (see train())
+      // never materialized (see train()): both gradient sides aggregate
+      // map-side directly off the joined stream, shuffling per-key
+      // partials only
       val joined = r.join(uf, Seq("loss", "user")).join(vf, Seq("loss", "item"))
         .withColumn("err", col("rating") - pred)
         .withColumn("g", when(col("loss") === tag(AbsLoss),
           signum(col("err"))).otherwise(col("err")))
-        .select(col("loss"), col("user"), col("item"), col("err"), col("g"))
-        .transform(graft.graph.Iterate.ckpt)
       rmsFrames :+= joined.groupBy("loss")
         .agg(sqrt(avg(pow(col("err"), 2))).as("rmse"))
         .select(lit(iter).as("it"), col("loss"), col("rmse"))
-      val ufOld = uf; val vfOld = vf
       val gu = joined
-        .join(vfOld.select(col("loss"), col("item"), col("qi")), Seq("loss", "item"))
         .groupBy("loss", "user").agg(
           aggregateVecSum(col("g"), col("qi"), rank).as("gv"),
           sum(col("g")).as("gb"))
-      uf = uf.join(gu, Seq("loss", "user"), "left").select(
+      val uf2 = uf.join(gu, Seq("loss", "user"), "left").select(
         col("loss"), col("user"),
         when(col("gv").isNotNull,
           zip_with(col("pu"), col("gv"),
@@ -248,7 +245,6 @@ object MfSgd {
           .otherwise(col("bu")).as("bu"))
         .transform(graft.graph.Iterate.ckpt)
       val gi = joined
-        .join(ufOld.select(col("loss"), col("user"), col("pu")), Seq("loss", "user"))
         .groupBy("loss", "item").agg(
           aggregateVecSum(col("g"), col("pu"), rank).as("gv"),
           sum(col("g")).as("gb"))
@@ -262,6 +258,7 @@ object MfSgd {
           col("bi") + lit(lr) * (col("gb") - lit(reg) * col("bi")))
           .otherwise(col("bi")).as("bi"))
         .transform(graft.graph.Iterate.ckpt)
+      uf = uf2
     }
     if (rmsFrames.isEmpty) losses.map(l => l -> Seq.empty[Double]).toMap
     else {
