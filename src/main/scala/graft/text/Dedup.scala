@@ -52,7 +52,10 @@ object Dedup {
   def exactDuplicates(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val keyed = docs.select(col(idCol).as("doc_id"),
       xxhash64(normText(col(textCol))).as("h"))
-    // Both sides shuffle on `h`, so ReuseExchange shares one scan+hash.
+    // Physical plan: one exchange (the groupBy, with map-side
+    // partial min/count so even a degenerate group reduces in the
+    // mappers), and the keepers side — duplicate groups only, tiny by
+    // construction — broadcasts back onto the keyed scan.
     val keepers = keyed.groupBy("h")
       .agg(min("doc_id").as("keeper"), count(lit(1)).as("n"))
       .filter(col("n") > 1)
