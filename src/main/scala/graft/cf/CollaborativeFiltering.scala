@@ -113,7 +113,8 @@ object CollaborativeFiltering {
         val train = ratings.select("user", "item").distinct()
           .transform(graft.graph.Iterate.ckpt)
         val p = if (pad >= 0) pad else 4 * k + 8
-        val top = topNByBroadcast(model, k + p, maxBroadcastFloats)
+        val itemFloats = itemMatrixFloats(model) // one count job, reused below
+        val top = topNByBroadcast(model, k + p, maxBroadcastFloats, itemFloats)
         val unrated = top.join(train, Seq("user", "item"), "left_anti")
           .transform(graft.graph.Iterate.ckpt)
         // Needy = users with < k unrated survivors, computed over the
@@ -134,7 +135,7 @@ object CollaborativeFiltering {
         val itemFeat = model.itemFactors.select(col("id").as("item"),
           transform(col("features"), x => x.cast("double")).as("ifeat"))
         val itemSide =
-          if (itemMatrixFloats(model) <= maxBroadcastFloats) broadcast(itemFeat)
+          if (itemFloats <= maxBroadcastFloats) broadcast(itemFeat)
           else itemFeat
         val fallback = uf.crossJoin(itemSide)
           .select(col("user"), col("item"),
@@ -172,11 +173,15 @@ object CollaborativeFiltering {
     * blocked GEMM top-N, which keeps both factor sides distributed.
     */
   private[cf] def topNByBroadcast(model: ALSModel, n: Int,
-      maxBroadcastFloats: Long = MaxBroadcastFloats): DataFrame = {
+      maxBroadcastFloats: Long = MaxBroadcastFloats,
+      precomputedItemFloats: Long = -1L): DataFrame = {
     val spark = model.userFactors.sparkSession
     import spark.implicits._
     val rank = model.rank
-    if (itemMatrixFloats(model) > maxBroadcastFloats)
+    val itemFloats =
+      if (precomputedItemFloats >= 0) precomputedItemFloats
+      else itemMatrixFloats(model)
+    if (itemFloats > maxBroadcastFloats)
       return model.recommendForAllUsers(n)
         .select(col("user"), explode(col("recommendations")).as("rec"))
         .select(col("user"), col("rec.item").as("item"),
