@@ -63,12 +63,12 @@ object Climf {
       .select(col("id").as("item"), col("f").as("v"))
       .transform(graft.graph.Iterate.ckpt)
 
+    // Inline trace collect, like Fm: deferring would hold every
+    // iteration's |R|-row f/pairAgg checkpoints until end-of-loop,
+    // blocking mid-query block cleanup. (Deferral is reserved for
+    // trainers whose trace frames reference only |U|-sized state.)
     var objectives = Vector.empty[Double]
-    // deferred trace (see MfSgd.train): the objective stays a lazy
-    // single-row frame over the checkpointed f/pairAgg/factor state,
-    // collected once after the loop
-    var objFrames = Vector.empty[DataFrame]
-    for (iter <- 1 to iterations) {
+    for (_ <- 1 to iterations) {
       val f = r.join(uf, "user").join(vf, "item")
         .select(col("user"), col("item"), col("u"), col("v"),
           dotArr(col("u"), col("v")).as("f"))
@@ -111,11 +111,11 @@ object Climf {
       // objective: Σ_j ln g(f_j) + Σ_{j,k} ln(1 − g(f_k − f_j)) − λ/2‖·‖²,
       // all four terms folded through one tagged union → a single job
       // instead of four driver round-trips per iteration
-      objFrames :+= f.select(log(g(col("f"))).as("x"))
+      objectives :+= f.select(log(g(col("f"))).as("x"))
         .union(pairAgg.select(col("obj").as("x")))
         .union(uf.select((dotArr(col("u"), col("u")) * lit(-0.5 * lambda)).as("x")))
         .union(vf.select((dotArr(col("v"), col("v")) * lit(-0.5 * lambda)).as("x")))
-        .agg(sum(col("x")).as("obj")).select(lit(iter).as("it"), col("obj"))
+        .agg(sum(col("x"))).collect()(0).getDouble(0)
 
       // point and pair contributions fused into one row per (user,item):
       // dU row = v·(g(−f) + a − b), dV row = u·(g(−f) + s)
@@ -142,9 +142,6 @@ object Climf {
             .otherwise(col("v")).as("v"))
         .transform(graft.graph.Iterate.ckpt)
     }
-    if (objFrames.nonEmpty)
-      objectives = objFrames.reduce(_ unionAll _).orderBy("it").collect()
-        .map(_.getDouble(1)).toVector
     Model(uf.select(col("user").as("id"), col("u").as("f")),
       vf.select(col("item").as("id"), col("v").as("f")), objectives)
   }

@@ -97,13 +97,14 @@ object Fm {
       .withColumn("w", lit(0.0d))
       .transform(graft.graph.Iterate.ckpt)
 
-    // Per-iteration RMSE rides as a LAZY single-row frame over the
-    // already-materialized checkpoint and is collected ONCE after the
-    // loop: same trace values, one driver round-trip instead of one per
-    // iteration (the per-iteration collect was pure scheduling latency —
-    // the checkpoint materializes eagerly regardless).
-    var rmseFrames = Vector.empty[DataFrame]
-    for (it <- 1 to iterations) {
+    // NOTE: unlike the other trainers, FM keeps its trace collect
+    // INLINE. Deferring it holds every iteration's perEx checkpoint
+    // referenced until the end of the loop, which blocks the
+    // ContextCleaner from freeing old blocks mid-query — measured as
+    // 3-5× in-suite spikes on q53/q86 (10 iterations × a 600k-row
+    // checkpoint each) while the deferral saved only ~10 tiny jobs.
+    var rmses = Vector.empty[Double]
+    for (_ <- 1 to iterations) {
       val joined = flat.join(w, "feature")
       // group on example_id alone (y is constant per example): the
       // grouping key then matches flat's partitioning, so when AQE
@@ -121,8 +122,7 @@ object Fm {
             (s, s2) => s * s - s2), lit(0.0d), (acc, x) => acc + x))
         .select(col("example_id"), col("S"), (col("y") - col("pred")).as("err"))
         .transform(graft.graph.Iterate.ckpt)
-      rmseFrames :+= perEx.agg(sqrt(avg(pow(col("err"), 2))).as("rmse"))
-        .select(lit(it).as("it"), col("rmse"))
+      rmses :+= perEx.agg(sqrt(avg(pow(col("err"), 2)))).collect()(0).getDouble(0)
       // feature gradients: ∂/∂w_f = err; ∂/∂v_f = err·(S − v_f)
       // = err·S − v_f·err, so the pass aggregates Σ err·S and Σ err per
       // feature (no weight re-join — v_f is constant per group and is
@@ -145,10 +145,6 @@ object Fm {
             .otherwise(col("w")).as("w"))
         .transform(graft.graph.Iterate.ckpt)
     }
-    val rmses =
-      if (rmseFrames.isEmpty) Vector.empty[Double]
-      else rmseFrames.reduce(_ unionAll _).orderBy("it").collect()
-        .map(_.getDouble(1)).toVector
     Model(w0, w, rmses)
   }
 }

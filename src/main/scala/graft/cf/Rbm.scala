@@ -45,11 +45,11 @@ object Rbm {
       .select(col("id").as("item"), col("w"), lit(0.0d).as("b"))
       .transform(graft.graph.Iterate.ckpt)
 
+    // Inline trace collect, like Fm: a deferred trace would hold every
+    // iteration's |R|-row reconstruction checkpoint until end-of-loop,
+    // blocking mid-query block cleanup.
     var rmses = Vector.empty[Double]
-    // deferred trace (see MfSgd.train): lazy frames over the ckpt'd
-    // reconstruction, collected once after the loop
-    var rmseFrames = Vector.empty[org.apache.spark.sql.DataFrame]
-    for (iter <- 1 to iterations) {
+    for (_ <- 1 to iterations) {
       val jv = r.join(w, "item")
       // positive phase: h_u = σ(Σ v·W)
       val h = jv.groupBy("user")
@@ -62,9 +62,8 @@ object Rbm {
           aggregate(zip_with(col("h"), col("w"), (x, y) => x * y),
             lit(0.0d), (acc, x) => acc + x))
         .transform(graft.graph.Iterate.ckpt)
-      rmseFrames :+= recon
-        .agg(sqrt(avg(pow(col("v") - col("vrec"), 2))).as("rmse"))
-        .select(lit(iter).as("it"), col("rmse"))
+      rmses :+= recon.agg(sqrt(avg(pow(col("v") - col("vrec"), 2))))
+        .collect()(0).getDouble(0)
       // negative phase: h' = σ(Σ v'·W)
       val h2 = recon.groupBy("user")
         .agg(vecScaleSum(col("vrec"), col("w"), nHidden).as("a"))
@@ -89,9 +88,6 @@ object Rbm {
             .otherwise(col("b")).as("b"))
         .transform(graft.graph.Iterate.ckpt)
     }
-    if (rmseFrames.nonEmpty)
-      rmses = rmseFrames.reduce(_ unionAll _).orderBy("it").collect()
-        .map(_.getDouble(1)).toVector
     Model(w, mu, rmses)
   }
 }
