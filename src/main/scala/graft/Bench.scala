@@ -13,6 +13,23 @@ object Bench {
     // so the first measured query doesn't absorb JVM startup.
     spark.range(1000000L).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(10).count()
+    // Host-speed calibration: a fixed, deterministic, purely-CPU Spark
+    // job (xxhash64 over 200M longs across all cores), timed 3× with the
+    // median published as calib_sec. Observed host noise swings
+    // identical-code wall times several-fold between measurement windows
+    // (r4: probe 1.3 vs 10.3 M edge-iters/s on the same commit), so
+    // cross-round per-query comparisons need a common yardstick: divide
+    // query times by (calib_sec of their run) to compare rounds on equal
+    // footing.
+    val calibRuns = (1 to 5).map { _ =>
+      val t0 = System.nanoTime()
+      // modulo keeps the ANSI-mode sum far from Long overflow
+      spark.range(2000000000L).selectExpr("sum(xxhash64(id) % 1000000)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calib = calibRuns.sorted.apply(calibRuns.size / 2)
+    System.err.println(f"[bench] calib_sec $calib%.3f (median of 5: " +
+      calibRuns.map(t => f"$t%.2f").mkString(", ") + ")")
     // Optional comma-separated name-prefix filter for local tuning runs.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSeq)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -97,7 +114,7 @@ object Bench {
     }
     System.err.println("[bench] metrics " +
       graft.metrics.MetricsReporter.json(mlistener.metrics))
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"$thr}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","calib_sec":$calib,"calib_sec_runs":${calibRuns.mkString("[", ",", "]")}$thr}"""
     println(line)
     // Persist the complete per-query JSON too — the round artifact only
     // keeps the stdout tail, which truncated half the r2 numbers. Full

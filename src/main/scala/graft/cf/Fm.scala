@@ -60,24 +60,30 @@ object Fm {
     */
   def featuresWithDictionary(df: DataFrame, targetCol: String,
                              cols: Seq[String]): (DataFrame, DataFrame) = {
-    var offset = 0L
-    val dicts = cols.map { c =>
-      val d = graft.graph.Generators.stringDictionary(
-          df.select(col(c).cast("string").as("name")), "name")
-        .select(lit(c).as("column"), col("name").as("value"),
-          (col("id") + offset).as("feature"))
-        .transform(graft.graph.Iterate.ckpt)
-      offset += d.count()
-      d
-    }
-    val dict = dicts.reduce(_ union _)
+    val spark = df.sparkSession
+    import spark.implicits._
+    // One pass for ALL per-column dictionaries: tag each column's values
+    // with the column's position, distinct, sort by (position, value) and
+    // number globally. Sorting on position first makes the id blocks
+    // consecutive per column — identical numbering to per-column
+    // zipWithIndex + running offset, without #cols sequential
+    // distinct/sort/count round-trips on the driver.
+    val colName = cols.toIndexedSeq
+    val tagged = cols.zipWithIndex.map { case (c, i) =>
+        df.select(lit(i).as("ci"), col(c).cast("string").as("value"))
+      }.reduce(_ union _).distinct()
+    val dict = tagged.orderBy("ci", "value")
+      .rdd.map(r => (r.getInt(0), r.getString(1))).zipWithIndex()
+      .map { case ((ci, v), id) => (colName(ci), v, id) }
+      .toDF("column", "value", "feature")
+      .transform(graft.graph.Iterate.ckpt)
     val base = df.select(
       monotonically_increasing_id().as("example_id") +:
         col(targetCol).cast("double").as("y") +:
         cols.map(c => col(c).cast("string").as(s"__$c")): _*)
-    val joined = cols.zip(dicts).foldLeft(base) { case (acc, (c, d)) =>
-      acc.join(broadcast(d.select(col("value").as(s"__$c"),
-        col("feature").as(s"__f_$c"))), s"__$c")
+    val joined = cols.foldLeft(base) { case (acc, c) =>
+      acc.join(broadcast(dict.where(col("column") === c)
+        .select(col("value").as(s"__$c"), col("feature").as(s"__f_$c"))), s"__$c")
     }
     val examples = joined.select(col("example_id"),
       array(cols.map(c => col(s"__f_$c")): _*).as("features"), col("y"))
