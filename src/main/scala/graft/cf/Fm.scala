@@ -103,21 +103,22 @@ object Fm {
       .withColumn("w", lit(0.0d))
       .transform(graft.graph.Iterate.ckpt)
 
-    // NOTE: unlike the other trainers, FM keeps its trace collect
-    // INLINE. Deferring it holds every iteration's perEx checkpoint
-    // referenced until the end of the loop, which blocks the
-    // ContextCleaner from freeing old blocks mid-query — measured as
-    // 3-5× in-suite spikes on q53/q86 (10 iterations × a 600k-row
-    // checkpoint each) while the deferral saved only ~10 tiny jobs.
+    // The per-example frame is NEVER materialized (see MfSgd.train):
+    // its aggregation is exchange-free (flat is hash-partitioned on
+    // example_id and the weight side broadcasts), so the gradient job
+    // recomputes it straight off the cached flat — cheaper than writing
+    // and re-reading a |R|-row checkpoint per iteration. With no
+    // |R|-row checkpoint to pin, the trace defers safely too: the lazy
+    // per-iteration RMSE frames reference only that iteration's
+    // |F|-sized weight checkpoint, and collect in one end-of-loop job.
     var rmses = Vector.empty[Double]
-    for (_ <- 1 to iterations) {
+    var rmseFrames = Vector.empty[DataFrame]
+    for (iter <- 1 to iterations) {
       val joined = flat.join(w, "feature")
       // group on example_id alone (y is constant per example): the
       // grouping key then matches flat's partitioning, so when AQE
       // broadcasts the small weight side the 600k-row re-shuffle per
       // iteration disappears.
-      // checkpoint carries only what the gradient pass reads: err + the
-      // per-example factor sum S (S2/wsum/pred fold into err and die)
       val perEx = joined.groupBy("example_id").agg(
           first("y").as("y"),
           vecSum(col("v"), rank).as("S"),
@@ -127,8 +128,8 @@ object Fm {
           lit(0.5) * aggregate(zip_with(col("S"), col("S2"),
             (s, s2) => s * s - s2), lit(0.0d), (acc, x) => acc + x))
         .select(col("example_id"), col("S"), (col("y") - col("pred")).as("err"))
-        .transform(graft.graph.Iterate.ckpt)
-      rmses :+= perEx.agg(sqrt(avg(pow(col("err"), 2)))).collect()(0).getDouble(0)
+      rmseFrames :+= perEx.agg(sqrt(avg(pow(col("err"), 2))).as("rmse"))
+        .select(lit(iter).as("it"), col("rmse"))
       // feature gradients: ∂/∂w_f = err; ∂/∂v_f = err·(S − v_f)
       // = err·S − v_f·err, so the pass aggregates Σ err·S and Σ err per
       // feature (no weight re-join — v_f is constant per group and is
@@ -151,6 +152,9 @@ object Fm {
             .otherwise(col("w")).as("w"))
         .transform(graft.graph.Iterate.ckpt)
     }
+    if (rmseFrames.nonEmpty)
+      rmses = rmseFrames.reduce(_ unionAll _).orderBy("it").collect()
+        .map(_.getDouble(1)).toVector
     Model(w0, w, rmses)
   }
 }
