@@ -13,6 +13,27 @@ object Bench {
     // so the first measured query doesn't absorb JVM startup.
     spark.range(1000000L).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(10).count()
+    // Untimed mini-trainer: the first gradient-trainer query of a session
+    // otherwise absorbs ~20 s of one-time C2/codegen compilation of the
+    // shared superstep stage shapes (join → native vector aggregate →
+    // checkpoint) — measured as a 2-3× spike concentrated in its first
+    // iterations while every later trainer runs steady-state. Same
+    // methodology as the throughput probe's untimed warm run (and
+    // BASELINE.md, whose published times exclude one-time costs).
+    locally {
+      import org.apache.spark.sql.functions._
+      val warm = spark.range(2000L).select(
+        (col("id") % 50).as("user"), (col("id") % 40).as("item"),
+        (col("id") % 5).cast("double").as("rating"))
+      graft.cf.MfSgd.train(warm, rank = 4, iterations = 2)
+      graft.cf.Fm.train(
+        graft.cf.Fm.featuresFromRatings(warm, Seq("user", "item")),
+        rank = 4, iterations = 2)
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      spark.catalog.clearCache()
+      System.gc()
+    }
     // Host-speed calibration: a fixed, deterministic, purely-CPU Spark
     // job (xxhash64 over 200M longs across all cores), timed 3× with the
     // median published as calib_sec. Observed host noise swings

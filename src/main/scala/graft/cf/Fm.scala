@@ -113,7 +113,9 @@ object Fm {
     // |F|-sized weight checkpoint, and collect in one end-of-loop job.
     var rmses = Vector.empty[Double]
     var rmseFrames = Vector.empty[DataFrame]
+    val verbose = sys.env.contains("GRAFT_DEBUG")
     for (iter <- 1 to iterations) {
+      val itStart = System.currentTimeMillis
       val joined = flat.join(w, "feature")
       // group on example_id alone (y is constant per example): the
       // grouping key then matches flat's partitioning, so when AQE
@@ -151,6 +153,8 @@ object Fm {
             col("w") + lit(lr) * (col("gw") / col("n") - lit(reg) * col("w")))
             .otherwise(col("w")).as("w"))
         .transform(graft.graph.Iterate.ckpt)
+      if (verbose) System.err.println(
+        s"[fm] iter $iter ${System.currentTimeMillis - itStart} ms")
     }
     if (rmseFrames.nonEmpty)
       rmses = rmseFrames.reduce(_ unionAll _).orderBy("it").collect()
