@@ -183,12 +183,30 @@ object AlsTensor {
       rmseFrames :+= joined.agg(sqrt(avg(pow(col("err"), 2))).as("rmse"))
         .select(lit(iter).as("it"), col("rmse"))
 
-      val gu = joined
-        .groupBy("user").agg(
-          vecScaleSum(col("err"), col("qi"), rank).as("gp"),
-          vecScaleSum(col("err"), col("zt"), rank).as("gx"),
-          sum("err").as("gb"))
+      // ONE scan computes all three gradient families: each joined row
+      // explodes into three (kind, key) tagged rows — user, item, time —
+      // and a single groupBy(kind, key) aggregates them with map-side
+      // partial combine, so the shuffle carries exactly the same per-key
+      // partials the three separate passes carried, but the expensive
+      // 4-way join is evaluated once per iteration instead of three
+      // times. (va/vb are the per-kind vectors each gradient scales by
+      // err; kinds that need only one use a zero vb.)
+      val zeroVec = array_repeat(lit(0.0d), rank)
+      val tagged = joined.select(explode(array(
+          struct(lit("u").as("kind"), col("user").as("key"),
+            col("qi").as("va"), col("zt").as("vb"), col("err")),
+          struct(lit("i").as("kind"), col("item").as("key"),
+            col("puimp").as("va"), zeroVec.as("vb"), col("err")),
+          struct(lit("t").as("kind"), col("time").as("key"),
+            col("xu").as("va"), zeroVec.as("vb"), col("err")))).as("x"))
+        .select(col("x.kind"), col("x.key"), col("x.va"), col("x.vb"), col("x.err"))
+      val g = tagged.groupBy("kind", "key").agg(
+          vecScaleSum(col("err"), col("va"), rank).as("ga"),
+          vecScaleSum(col("err"), col("vb"), rank).as("gvb"),
+          sum("err").as("gs"), count(lit(1)).as("gn"))
         .transform(graft.graph.Iterate.ckpt)
+      val gu = g.filter(col("kind") === "u").select(col("key").as("user"),
+        col("ga").as("gp"), col("gvb").as("gx"), col("gs").as("gb"))
       val newUf = uf.join(gu, Seq("user"), "left").select(
         col("user"),
         when(col("gp").isNotNull, zip_with(col("pu"), col("gp"),
@@ -198,10 +216,8 @@ object AlsTensor {
           .otherwise(col("bu")).as("bu"),
         when(col("gx").isNotNull, zip_with(col("xu"), col("gx"),
           (x, g) => x + lit(lr) * (g - lit(reg) * x))).otherwise(col("xu")).as("xu"))
-      val gi = joined
-        .groupBy("item").agg(
-          vecScaleSum(col("err"), col("puimp"), rank).as("gq"),
-          sum("err").as("gb"))
+      val gi = g.filter(col("kind") === "i").select(col("key").as("item"),
+        col("ga").as("gq"), col("gs").as("gb"))
       val newVf = vf.join(gi, Seq("item"), "left").select(
         col("item"),
         when(col("gq").isNotNull, zip_with(col("qi"), col("gq"),
@@ -212,12 +228,10 @@ object AlsTensor {
       // time buckets aggregate FAR more ratings than any user/item, so
       // the time-side gradient is averaged, not summed — a summed
       // gradient over ~n/|T| ratings diverges at any fixed step size
-      val gt = joined
-        .groupBy("time").agg(
-          vecScaleSum(col("err"), col("xu"), rank).as("gzsum"),
-          avg("err").as("gb"), count(lit(1)).as("gn"))
-        .select(col("time"), transform(col("gzsum"), g => g / col("gn")).as("gz"),
-          col("gb"))
+      val gt = g.filter(col("kind") === "t")
+        .select(col("key").as("time"),
+          transform(col("ga"), x => x / col("gn")).as("gz"),
+          (col("gs") / col("gn")).as("gb"))
       val newTf = tf.join(gt, Seq("time"), "left").select(
         col("time"),
         when(col("gz").isNotNull, zip_with(col("zt"), col("gz"),
