@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import scala.jdk.CollectionConverters._
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -35,27 +36,79 @@ object Bench {
       System.gc()
     }
     // Host-speed calibration: a fixed, deterministic, purely-CPU Spark
-    // job (xxhash64 over 200M longs across all cores), timed 3× with the
+    // job (xxhash64 over 2B longs across all cores), timed 5× with the
     // median published as calib_sec. Observed host noise swings
     // identical-code wall times several-fold between measurement windows
     // (r4: probe 1.3 vs 10.3 M edge-iters/s on the same commit), so
     // cross-round per-query comparisons need a common yardstick: divide
     // query times by (calib_sec of their run) to compare rounds on equal
-    // footing.
-    val calibRuns = (1 to 5).map { _ =>
+    // footing. Isolated in a try like the probes: a calibration failure
+    // must not abort the query suite or suppress the artifact line.
+    val calibRuns = try (1 to 5).map { _ =>
       val t0 = System.nanoTime()
       // modulo keeps the ANSI-mode sum far from Long overflow
       spark.range(2000000000L).selectExpr("sum(xxhash64(id) % 1000000)").collect()
       (System.nanoTime() - t0) / 1e9
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] calibration failed: ${e.getMessage}"); Seq()
     }
-    val calib = calibRuns.sorted.apply(calibRuns.size / 2)
-    System.err.println(f"[bench] calib_sec $calib%.3f (median of 5: " +
-      calibRuns.map(t => f"$t%.2f").mkString(", ") + ")")
+    // Second yardstick, shuffle-bound: the r4 CPU calib did NOT track a
+    // window where the (shuffle-heavy) probes ran 1.7× slow, so publish
+    // a shuffle-path speed too — 100M longs exchanged into 1M groups,
+    // ~800 MB through the shuffle machinery, 3× with the median
+    // published as calib_shuffle_sec. Trainer/probe queries (shuffle+IO
+    // dominated) should be normalized by this one; scan/agg queries by
+    // the CPU calib.
+    val calibShuffleRuns = try (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(100000000L).selectExpr("id % 1048576 as k")
+        .repartition(32, org.apache.spark.sql.functions.col("k"))
+        .selectExpr("max(k)").collect()
+      (System.nanoTime() - t0) / 1e9
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] shuffle calibration failed: ${e.getMessage}"); Seq()
+    }
+    def medianOf(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+    val calibJson =
+      (if (calibRuns.nonEmpty)
+        Seq(s""""calib_sec":${medianOf(calibRuns)}""",
+          s""""calib_sec_runs":${calibRuns.mkString("[", ",", "]")}""")
+      else Seq()) ++
+      (if (calibShuffleRuns.nonEmpty)
+        Seq(s""""calib_shuffle_sec":${medianOf(calibShuffleRuns)}""",
+          s""""calib_shuffle_sec_runs":${calibShuffleRuns.mkString("[", ",", "]")}""")
+      else Seq()) match {
+        case Seq() => ""
+        case fields => fields.mkString(",", ",", "")
+      }
+    if (calibRuns.nonEmpty)
+      System.err.println(f"[bench] calib_sec ${medianOf(calibRuns)}%.3f (median of 5: " +
+        calibRuns.map(t => f"$t%.2f").mkString(", ") + ")")
+    if (calibShuffleRuns.nonEmpty)
+      System.err.println(f"[bench] calib_shuffle_sec ${medianOf(calibShuffleRuns)}%.3f (median of 3: " +
+        calibShuffleRuns.map(t => f"$t%.2f").mkString(", ") + ")")
     // Optional comma-separated name-prefix filter for local tuning runs.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSeq)
+    // Per-query JVM-health telemetry (GRAFT_DEBUG): the suite runs 90+
+    // queries in ONE JVM, so resources that grow monotonically across
+    // queries (JIT code cache, metaspace, loaded classes) can degrade
+    // late queries in ways solo A/B runs never reproduce. Deltas of the
+    // compilation- and GC-time beans per query localize that.
+    import java.lang.management.ManagementFactory
+    val debug = sys.env.contains("GRAFT_DEBUG")
+    def codeCacheUsed: Long = ManagementFactory.getMemoryPoolMXBeans
+      .asScala.filter(_.getName.startsWith("CodeHeap"))
+      .map(_.getUsage.getUsed).sum
+    def gcMillis: Long = ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(_.getCollectionTime).sum
+    def jitMillis: Long = ManagementFactory.getCompilationMXBean
+      .getTotalCompilationTime
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
       .map { case (name, fn) =>
+      val (cc0, gc0, jit0, cls0) =
+        (codeCacheUsed, gcMillis, jitMillis,
+          ManagementFactory.getClassLoadingMXBean.getLoadedClassCount)
       val t0 = System.nanoTime()
       // A failing query is recorded as an error, never as a fast success.
       val err = try { fn(spark, sfDir).count(); None } catch {
@@ -78,6 +131,12 @@ object Bench {
       System.gc()
       System.err.println(f"[bench] $name%-28s $dt%8.2f s" +
         err.map(m => s"  ERROR: $m").getOrElse(""))
+      if (debug) System.err.println(
+        f"[bench-jvm] $name%-28s codecache ${codeCacheUsed / 1048576.0}%6.1f MB" +
+          f" (+${(codeCacheUsed - cc0) / 1048576.0}%5.1f)" +
+          f" gc +${gcMillis - gc0}%5d ms  jit +${jitMillis - jit0}%5d ms" +
+          f"  classes ${ManagementFactory.getClassLoadingMXBean.getLoadedClassCount}%7d" +
+          f" (+${ManagementFactory.getClassLoadingMXBean.getLoadedClassCount - cls0}%5d)")
       (name, dt, err)
     }
     def jstr(s: String): String =
@@ -137,8 +196,11 @@ object Bench {
       // ContextCleaner reclaims it. Own try: a triangle failure must not
       // erase the PageRank fields.
       val tc = try {
-        graft.graph.Algorithms.totalTriangles(g.limit(1000000))
-        val tcRuns = (1 to 2).map { _ =>
+        // Warm at 25% of the edges (not 3%): r4's 1M-edge warm left
+        // scale-dependent AQE/codegen plans cold and the first timed run
+        // ran 3× the second. 3 timed runs so best-of has support.
+        graft.graph.Algorithms.totalTriangles(g.limit(8000000))
+        val tcRuns = (1 to 3).map { _ =>
           val t0 = System.nanoTime()
           graft.graph.Algorithms.totalTriangles(g)
           (System.nanoTime() - t0) / 1e9
@@ -158,7 +220,7 @@ object Bench {
     }
     System.err.println("[bench] metrics " +
       graft.metrics.MetricsReporter.json(mlistener.metrics))
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","calib_sec":$calib,"calib_sec_runs":${calibRuns.mkString("[", ",", "]")}$thr}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"$calibJson$thr}"""
     println(line)
     // Persist the complete per-query JSON too — the round artifact only
     // keeps the stdout tail, which truncated half the r2 numbers. Full
@@ -167,7 +229,7 @@ object Bench {
     if (only.isEmpty && sfDir.contains("sf0.1"))
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE",
-          "/root/repo/bench_full_r04.json")), line + "\n")
+          "/root/repo/bench_full_r05.json")), line + "\n")
     spark.stop()
   }
 }

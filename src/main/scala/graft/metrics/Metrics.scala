@@ -78,6 +78,16 @@ final class SparkMetricsListener(name: String = "graft") extends SparkListener {
       metrics.add("output_bytes", tm.outputMetrics.bytesWritten.toDouble)
       metrics.add("memory_spill_bytes", tm.memoryBytesSpilled.toDouble)
     }
+    // Application accumulators in the graft namespace (e.g. the LSH
+    // bucket-cap drop counters, Dedup.DroppedBuckets) surface in the
+    // engine report automatically: sum the per-task deltas by name.
+    te.taskInfo.accumulables.foreach { ai =>
+      if (ai.name.exists(_.startsWith("graft.")))
+        ai.update.foreach {
+          case l: java.lang.Long => metrics.add(ai.name.get, l.toDouble)
+          case _ =>
+        }
+    }
   }
 }
 

@@ -17,6 +17,32 @@ object Dedup {
   def normText(text: Column): Column =
     regexp_replace(lower(trim(text)), "\\s+", " ")
 
+  /** Named accumulators making [[capBuckets]]' recall loss observable:
+    * how many LSH buckets (and member rows) the size cap discarded.
+    * Named `graft.*`, so [[graft.metrics.SparkMetricsListener]] harvests
+    * them off the scheduler bus into the engine-metrics report (the
+    * surface q92 oracles). One pair per SparkContext; values accumulate
+    * across calls — read deltas around a job, or reset() between runs.
+    * Task retries/speculation can over-count (standard non-result-stage
+    * accumulator semantics) — these are observability counters, not
+    * exact-once statistics.
+    */
+  object DroppedBuckets {
+    import org.apache.spark.SparkContext
+    import org.apache.spark.util.LongAccumulator
+    private val regs =
+      new java.util.concurrent.ConcurrentHashMap[SparkContext,
+        (LongAccumulator, LongAccumulator)]
+    /** (droppedBuckets, droppedRows) for this context. */
+    def of(sc: SparkContext): (LongAccumulator, LongAccumulator) =
+      regs.computeIfAbsent(sc, c => (
+        c.longAccumulator("graft.lsh.dropped_buckets"),
+        c.longAccumulator("graft.lsh.dropped_rows")))
+    def reset(sc: SparkContext): Unit = {
+      val (b, r) = of(sc); b.reset(); r.reset()
+    }
+  }
+
   /** Drop rows belonging to LSH buckets with more than `maxBucketSize`
     * members — the cap on within-bucket pair generation, playing the
     * same role as itemcf's `maxUserDegree`: a degenerate bucket (empty
@@ -30,9 +56,19 @@ object Dedup {
                                 maxBucketSize: Int): DataFrame =
     if (maxBucketSize <= 0) bucketed
     else {
+      val (dBuckets, dRows) =
+        DroppedBuckets.of(bucketed.sparkSession.sparkContext)
+      // The counting hook rides the oversized-bucket rows themselves —
+      // tiny by construction — so observability costs nothing on the
+      // non-degenerate path. Non-deterministic so the optimizer neither
+      // duplicates the call nor reorders it ahead of the size predicate
+      // (And short-circuits: the hook fires only for oversized buckets).
+      val track = udf { n: Long =>
+        dBuckets.add(1L); dRows.add(n); true
+      }.asNondeterministic()
       val oversized = bucketed.groupBy(keys.map(col): _*)
         .agg(count(lit(1)).as("__bsz"))
-        .filter(col("__bsz") > maxBucketSize)
+        .filter(col("__bsz") > maxBucketSize && track(col("__bsz")))
         .select(keys.map(col): _*)
       bucketed.join(oversized, keys, "left_anti")
     }

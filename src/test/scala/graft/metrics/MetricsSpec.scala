@@ -26,6 +26,23 @@ class MetricsSpec extends SparkSpec {
     spark.sparkContext.removeSparkListener(l)
   }
 
+  test("listener surfaces graft.* accumulators (LSH bucket-cap drops)") {
+    val l = SparkMetricsListener.install(spark, "spec-acc")
+    import spark.implicits._
+    graft.text.Dedup.DroppedBuckets.reset(spark.sparkContext)
+    val docs = ((1L to 30L).map(i => (i, "identical boilerplate body")) ++
+      Seq((100L, "something else entirely here"))).toDF("doc_id", "text")
+    graft.text.Dedup.minHashDuplicatePairs(docs, "doc_id", "text",
+      maxBucketSize = 10).count()
+    org.apache.spark.sql.GraftShims.waitListenerBus(spark)
+    val e = l.metrics.entries.toMap
+    assert(e.contains("graft.lsh.dropped_rows"),
+      s"expected drop counters in ${e.keys.toSeq.sorted}")
+    assert(e("graft.lsh.dropped_rows").value == 240.0)
+    assert(e("graft.lsh.dropped_buckets").value == 8.0)
+    spark.sparkContext.removeSparkListener(l)
+  }
+
   test("reporters: basic grouping, json shape, file key=value") {
     val m = new Metrics("t")
     m.add("edges", 5); m.add("edges", 7)

@@ -76,16 +76,27 @@ class TextSpec extends SparkSpec {
       threshold = 0.5).count()
     assert(uncapped == 30L * 29 / 2 + 1)
     // capped at 10: the 30-doc degenerate bucket is dropped everywhere,
-    // the 2-doc near pair's buckets survive
+    // the 2-doc near pair's buckets survive — and the drop counters make
+    // the recall loss observable: identical docs collide in all 8 bands,
+    // so exactly 8 (band,bucket) groups × 30 member rows are discarded.
+    val sc = spark.sparkContext
+    Dedup.DroppedBuckets.reset(sc)
     val capped = Dedup.minHashDuplicatePairs(docs, "doc_id", "text",
       threshold = 0.5, maxBucketSize = 10)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(capped == Set((100L, 101L)))
-    // simhash block LSH: same degenerate group capped away
+    val (dBuckets, dRows) = Dedup.DroppedBuckets.of(sc)
+    assert(dBuckets.value == 8L, s"dropped buckets ${dBuckets.value}")
+    assert(dRows.value == 240L, s"dropped rows ${dRows.value}")
+    // simhash block LSH: same degenerate group capped away — 4 16-bit
+    // blocks, so 4 buckets × 30 rows counted dropped
+    Dedup.DroppedBuckets.reset(sc)
     val simCapped = Dedup.simHashDuplicatePairs(docs, "doc_id", "text",
       maxBucketSize = 10).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(!simCapped.exists(p => p._1 <= 30L || p._2 <= 30L))
+    assert(dBuckets.value == 4L, s"dropped buckets ${dBuckets.value}")
+    assert(dRows.value == 120L, s"dropped rows ${dRows.value}")
   }
 
   test("minHash LSH flags near-duplicates, not unrelated docs") {
