@@ -49,7 +49,7 @@ object Bench {
       // modulo keeps the ANSI-mode sum far from Long overflow
       spark.range(2000000000L).selectExpr("sum(xxhash64(id) % 1000000)").collect()
       (System.nanoTime() - t0) / 1e9
-    } catch { case e: Throwable =>
+    } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] calibration failed: ${e.getMessage}"); Seq()
     }
     // Second yardstick, shuffle-bound: the r4 CPU calib did NOT track a
@@ -65,7 +65,7 @@ object Bench {
         .repartition(32, org.apache.spark.sql.functions.col("k"))
         .selectExpr("max(k)").collect()
       (System.nanoTime() - t0) / 1e9
-    } catch { case e: Throwable =>
+    } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] shuffle calibration failed: ${e.getMessage}"); Seq()
     }
     def medianOf(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
@@ -101,14 +101,16 @@ object Bench {
       .map(_.getUsage.getUsed).sum
     def gcMillis: Long = ManagementFactory.getGarbageCollectorMXBeans
       .asScala.map(_.getCollectionTime).sum
-    def jitMillis: Long = ManagementFactory.getCompilationMXBean
-      .getTotalCompilationTime
+    // getCompilationMXBean is null on JVMs without a JIT — fall back to 0
+    def jitMillis: Long = Option(ManagementFactory.getCompilationMXBean)
+      .map(_.getTotalCompilationTime).getOrElse(0L)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
       .map { case (name, fn) =>
       val (cc0, gc0, jit0, cls0) =
-        (codeCacheUsed, gcMillis, jitMillis,
+        if (debug) (codeCacheUsed, gcMillis, jitMillis,
           ManagementFactory.getClassLoadingMXBean.getLoadedClassCount)
+        else (0L, 0L, 0L, 0)
       val t0 = System.nanoTime()
       // A failing query is recorded as an error, never as a fast success.
       val err = try { fn(spark, sfDir).count(); None } catch {
@@ -163,12 +165,15 @@ object Bench {
         .transform(graft.graph.Iterate.ckpt)
       val nEdges = g.count()
       val iters = 4
-      // Steady-state methodology: one untimed 2-iteration run first, so
-      // C2/codegen compilation of the superstep stages (measured ~8x the
-      // steady-state cost on the first large run in a fresh JVM) is not
-      // billed to the probe — BASELINE.md's published numbers likewise
-      // time the engine run, not one-time preprocessing.
-      graft.graph.Algorithms.pageRank(g, 2)
+      // Steady-state methodology: one untimed FULL-SIZE run first, so
+      // C2/codegen compilation AND the scale-dependent AQE plan shapes
+      // are both warm before the first timed run — BASELINE.md's
+      // published numbers likewise time the engine run, not one-time
+      // preprocessing. (A reduced 2-iteration warm left the first timed
+      // run 7× the best in the r5 driver artifact: the 4-iteration loop
+      // body compiles different stage shapes than the 2-iteration one
+      // never reached steady state.)
+      graft.graph.Algorithms.pageRank(g, iterations = iters)
         .agg(org.apache.spark.sql.functions.sum("pr")).collect()
       // 3 timed runs, ALL persisted (pr_sec_runs) so the spread is
       // auditable: host-level noise on this box swings a single run
@@ -196,10 +201,12 @@ object Bench {
       // ContextCleaner reclaims it. Own try: a triangle failure must not
       // erase the PageRank fields.
       val tc = try {
-        // Warm at 25% of the edges (not 3%): r4's 1M-edge warm left
-        // scale-dependent AQE/codegen plans cold and the first timed run
-        // ran 3× the second. 3 timed runs so best-of has support.
-        graft.graph.Algorithms.totalTriangles(g.limit(8000000))
+        // Full-size untimed warm: r4's 1M-edge warm and r5's 25% warm
+        // both left scale-dependent AQE/codegen plans cold (first timed
+        // run 1.8× the best in the r5 artifact) — only the identical
+        // computation warms the identical plan. 3 timed runs so best-of
+        // has support.
+        graft.graph.Algorithms.totalTriangles(g)
         val tcRuns = (1 to 3).map { _ =>
           val t0 = System.nanoTime()
           graft.graph.Algorithms.totalTriangles(g)
@@ -229,7 +236,7 @@ object Bench {
     if (only.isEmpty && sfDir.contains("sf0.1"))
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE",
-          "/root/repo/bench_full_r05.json")), line + "\n")
+          "/root/repo/bench_full_r06.json")), line + "\n")
     spark.stop()
   }
 }

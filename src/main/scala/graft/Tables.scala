@@ -21,15 +21,23 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
-  /** events.ts is TIMESTAMP(NANOS) in the fixtures; Spark reads it as a
-    * nanosecond long (legacy.parquet.nanosAsLong) and we convert to a
-    * proper microsecond timestamp here.
+  /** events.ts has shipped under three physical encodings across fixture
+    * generations: TIMESTAMP(NANOS) (Spark reads it as a nanosecond long
+    * via legacy.parquet.nanosAsLong), timestamp[us] WITHOUT timezone
+    * (Spark 4 reads it as TIMESTAMP_NTZ — which `withWatermark` rejects
+    * with EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE), and timestamp[us] UTC
+    * (plain TimestampType). Normalize all three to TimestampType here so
+    * every downstream consumer — batch and streaming alike — sees one
+    * schema. The NTZ→timestamp cast is value-preserving because the
+    * session timezone is pinned UTC (GraftSession).
     */
   def events(s: SparkSession, d: String): DataFrame = {
     val df = load(s, d, "events")
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
       case _ => df
     }
   }

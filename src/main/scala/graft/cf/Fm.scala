@@ -61,21 +61,34 @@ object Fm {
   def featuresWithDictionary(df: DataFrame, targetCol: String,
                              cols: Seq[String]): (DataFrame, DataFrame) = {
     val spark = df.sparkSession
-    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
     // One pass for ALL per-column dictionaries: tag each column's values
-    // with the column's position, distinct, sort by (position, value) and
-    // number globally. Sorting on position first makes the id blocks
-    // consecutive per column — identical numbering to per-column
-    // zipWithIndex + running offset, without #cols sequential
-    // distinct/sort/count round-trips on the driver.
+    // with the column's position, distinct, then number inside each
+    // column's block with a row_number() window partitioned by ci and
+    // add the block's running offset (a #cols-row aggregate, broadcast).
+    // Identical numbering to a global (ci, value) sort + zipWithIndex —
+    // per-column blocks consecutive, value-sorted within — but the whole
+    // pipeline stays in Tungsten (no RDD hop, no InternalRow↔Row
+    // conversion), and the sort parallelism is per column rather than a
+    // single global range sort.
     val colName = cols.toIndexedSeq
     val tagged = cols.zipWithIndex.map { case (c, i) =>
         df.select(lit(i).as("ci"), col(c).cast("string").as("value"))
       }.reduce(_ union _).distinct()
-    val dict = tagged.orderBy("ci", "value")
-      .rdd.map(r => (r.getInt(0), r.getString(1))).zipWithIndex()
-      .map { case ((ci, v), id) => (colName(ci), v, id) }
-      .toDF("column", "value", "feature")
+    // running offset of each column's id block: sum of the lower blocks
+    val offsets = tagged.groupBy("ci").agg(count(lit(1)).as("n"))
+      .select(col("ci"), (sum("n").over(
+        Window.orderBy("ci").rowsBetween(Window.unboundedPreceding, -1)))
+        .as("off"))
+      .na.fill(0L, Seq("off"))
+    val nameCol = element_at(
+      array(colName.map(lit): _*), col("ci") + 1)
+    val dict = tagged
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("ci").orderBy("value")))
+      .join(broadcast(offsets), "ci")
+      .select(nameCol.as("column"), col("value"),
+        (col("off") + col("rn") - 1).as("feature"))
       .transform(graft.graph.Iterate.ckpt)
     val base = df.select(
       monotonically_increasing_id().as("example_id") +:

@@ -23,9 +23,14 @@ object Dedup {
     * them off the scheduler bus into the engine-metrics report (the
     * surface q92 oracles). One pair per SparkContext; values accumulate
     * across calls — read deltas around a job, or reset() between runs.
-    * Task retries/speculation can over-count (standard non-result-stage
-    * accumulator semantics) — these are observability counters, not
-    * exact-once statistics.
+    * These are observability counters, not exact-once statistics: task
+    * retries/speculation over-count (standard non-result-stage
+    * accumulator semantics), and so does PLAN re-execution — the
+    * oversized-bucket subtree sits on both sides of the LSH self-join,
+    * and only exchange/subquery reuse collapses it to one physical
+    * execution; with reuse disabled (or a plan shape defeating it) each
+    * side counts once, i.e. values arrive as small integer multiples of
+    * the true drop count. Interpret magnitudes, not exact values.
     */
   object DroppedBuckets {
     import org.apache.spark.SparkContext
@@ -33,11 +38,20 @@ object Dedup {
     private val regs =
       new java.util.concurrent.ConcurrentHashMap[SparkContext,
         (LongAccumulator, LongAccumulator)]
-    /** (droppedBuckets, droppedRows) for this context. */
+    /** (droppedBuckets, droppedRows) for this context. Registration also
+      * hooks application end so the map never retains accumulators of
+      * stopped contexts (a slow leak for harnesses cycling contexts).
+      */
     def of(sc: SparkContext): (LongAccumulator, LongAccumulator) =
-      regs.computeIfAbsent(sc, c => (
-        c.longAccumulator("graft.lsh.dropped_buckets"),
-        c.longAccumulator("graft.lsh.dropped_rows")))
+      regs.computeIfAbsent(sc, c => {
+        c.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+            regs.remove(c)
+        })
+        (c.longAccumulator("graft.lsh.dropped_buckets"),
+          c.longAccumulator("graft.lsh.dropped_rows"))
+      })
     def reset(sc: SparkContext): Unit = {
       val (b, r) = of(sc); b.reset(); r.reset()
     }

@@ -50,6 +50,34 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet == liveOnce)
   }
 
+  test("GraphState: replay ACROSS a compaction boundary is set-idempotent") {
+    // The harder retry case: a batch is delivered, compaction runs (its
+    // tombstoned edges are physically gone, duplicates collapsed), and
+    // THEN the same batch replays. The replayed delete must be a no-op
+    // against the compacted table (its target row no longer exists to
+    // re-tombstone), and the replayed insert must only re-add rows that
+    // are already logically present — live edge SET unchanged either
+    // side of the boundary.
+    val base = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val st = new EdgeStream.GraphState(spark, base)
+    val batch = Seq((3L, 1L, false), (1L, 2L, true)).toDF("src", "dst", "deleted")
+    st.applyDelta(batch, compactEvery = 2)                     // batch 1
+    st.applyDelta(Seq.empty[(Long, Long, Boolean)]
+      .toDF("src", "dst", "deleted"), compactEvery = 2)        // batch 2: compacts
+    assert(st.edges.filter(col("deleted")).count() == 0)
+    val compacted = st.liveEdges.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(compacted == Set((2L, 3L), (3L, 1L)))
+    st.applyDelta(batch, compactEvery = 2)                     // batch 3: the replay
+    assert(st.liveEdges.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == compacted)
+    st.applyDelta(Seq.empty[(Long, Long, Boolean)]
+      .toDF("src", "dst", "deleted"), compactEvery = 2)        // batch 4: compacts again
+    assert(st.edges.count() == 2) // replay duplicates physically collapsed
+    assert(st.liveEdges.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == compacted)
+  }
+
   test("streamingPageRank processes edge-delta files incrementally") {
     val dir = Files.createTempDirectory("graftstream")
     val base = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
