@@ -64,7 +64,9 @@ object AdPredictor {
       .select(col("feature"), lit(0.0d).as("mean"), lit(priorVariance).as("variance"))
       .transform(graft.graph.Iterate.ckpt)
 
-    for (_ <- 1 to sweeps) {
+    val verbose = sys.env.contains("GRAFT_DEBUG")
+    for (sweep <- 1 to sweeps) {
+      val swStart = System.currentTimeMillis
       val joined = flat.join(weights, "feature")
       val perExample = joined.groupBy("example_id", "label")
         .agg(sum("mean").as("mu"), sum("variance").as("s2"))
@@ -83,6 +85,8 @@ object AdPredictor {
           (first("variance") * greatest(lit(1e-6),
             lit(1.0) - avg("shrink"))).as("variance"))
         .transform(graft.graph.Iterate.ckpt)
+      if (verbose) System.err.println(
+        s"[adpredictor] sweep $sweep ${System.currentTimeMillis - swStart} ms")
     }
     weights
   }
