@@ -89,6 +89,23 @@ object Bench {
         calibShuffleRuns.map(t => f"$t%.2f").mkString(", ") + ")")
     // Optional comma-separated name-prefix filter for local tuning runs.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSeq)
+    // In-suite calibration timeline: the start-of-suite calibrations
+    // cannot see host contention that arrives MID-run — exactly what the
+    // r5 artifact showed (per-query inflation vs r4 ramping from ~1.26×
+    // in the suite's first minute to ~2× by minute 4+, while the suite
+    // head's calib read only the baseline slowdown; the same queries at
+    // identical shuffle-calib readings ran 3-4× faster in the r6
+    // evidence window). A 1/20-scale CPU mini-calib before every 10th
+    // query timestamps host speed THROUGH the run; the artifact's
+    // calib_timeline [[query_index, sec], …] lets any per-query number
+    // be normalized by the host speed at the moment it ran, not the
+    // speed at suite start.
+    val calibTimeline = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+    def miniCalib(idx: Int): Unit = {
+      val t0 = System.nanoTime()
+      spark.range(100000000L).selectExpr("sum(xxhash64(id) % 1000000)").collect()
+      calibTimeline += ((idx, (System.nanoTime() - t0) / 1e9))
+    }
     // Per-query JVM-health telemetry (GRAFT_DEBUG): the suite runs 90+
     // queries in ONE JVM, so resources that grow monotonically across
     // queries (JIT code cache, metaspace, loaded classes) can degrade
@@ -106,7 +123,9 @@ object Bench {
       .map(_.getTotalCompilationTime).getOrElse(0L)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
-      .map { case (name, fn) =>
+      .zipWithIndex
+      .map { case ((name, fn), qIdx) =>
+      if (qIdx % 10 == 0) miniCalib(qIdx)
       val (cc0, gc0, jit0, cls0) =
         if (debug) (codeCacheUsed, gcMillis, jitMillis,
           ManagementFactory.getClassLoadingMXBean.getLoadedClassCount)
@@ -141,6 +160,7 @@ object Bench {
           f" (+${ManagementFactory.getClassLoadingMXBean.getLoadedClassCount - cls0}%5d)")
       (name, dt, err)
     }
+    if (results.nonEmpty) miniCalib(results.size)
     def jstr(s: String): String =
       "\"" + s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString } + "\""
@@ -151,8 +171,10 @@ object Bench {
     val total = results.map(_._2).sum
     // Throughput probe at a larger edge scale (synthetic, deterministic):
     // per-edge-iteration PageRank rate, comparable to BASELINE.md's
-    // published edge-throughput numbers (README.md:118).
-    val thr = try {
+    // published edge-throughput numbers (README.md:118). Skipped for
+    // SPARK_GRAFT_BENCH_ONLY subset runs: a local tuning loop on two
+    // queries should not pay two 32M-edge probes.
+    val thr = if (only.nonEmpty) "" else try {
       // 2M vertices × 16 = 32M edges: large enough that per-superstep
       // scheduling overhead amortizes and the rate is comparable to
       // BASELINE.md's edge-throughput numbers. Blocking cleanup first:
@@ -175,6 +197,19 @@ object Bench {
       // never reached steady state.)
       graft.graph.Algorithms.pageRank(g, iterations = iters)
         .agg(org.apache.spark.sql.functions.sum("pr")).collect()
+      // Each run leaves the previous run's localCheckpoint blocks dead
+      // but not yet reclaimed; the ContextCleaner removes them only
+      // after a GC notices the weak refs. Without an explicit settle the
+      // FIRST timed run absorbs the WARM run's whole eviction/GC debt
+      // (r6 evidence: 44.7/13.4/15.4 s with a full-size warm but no
+      // settle — the cold first run survived warming because it was
+      // never about compilation). gc + bus-drain OUTSIDE every timed
+      // region, same hygiene as the inter-query cleanup above.
+      def settle(): Unit = {
+        System.gc()
+        org.apache.spark.sql.GraftShims.waitListenerBus(spark)
+        Thread.sleep(1000)
+      }
       // 3 timed runs, ALL persisted (pr_sec_runs) so the spread is
       // auditable: host-level noise on this box swings a single run
       // ±50% (observed 7.6 vs 4.0 M edge-iters/s on identical code).
@@ -183,6 +218,7 @@ object Bench {
       // the median rides along for comparison with mean/median-based
       // measurements.
       val runs = (1 to 3).map { _ =>
+        settle()
         val t0 = System.nanoTime()
         graft.graph.Algorithms.pageRank(g, iterations = iters)
           .agg(org.apache.spark.sql.functions.sum("pr")).collect()
@@ -208,6 +244,7 @@ object Bench {
         // has support.
         graft.graph.Algorithms.totalTriangles(g)
         val tcRuns = (1 to 3).map { _ =>
+          settle()
           val t0 = System.nanoTime()
           graft.graph.Algorithms.totalTriangles(g)
           (System.nanoTime() - t0) / 1e9
@@ -225,9 +262,14 @@ object Bench {
       System.err.println(s"[bench] throughput probe failed: ${e.getMessage}")
       ""
     }
+    if (calibTimeline.nonEmpty) System.err.println("[bench] calib_timeline " +
+      calibTimeline.map { case (i, t) => f"$i:$t%.2f" }.mkString(" "))
     System.err.println("[bench] metrics " +
       graft.metrics.MetricsReporter.json(mlistener.metrics))
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"$calibJson$thr}"""
+    val timelineJson = if (calibTimeline.isEmpty) "" else
+      s""","calib_timeline":${calibTimeline
+        .map { case (i, t) => s"[$i,$t]" }.mkString("[", ",", "]")}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"$calibJson$timelineJson$thr}"""
     println(line)
     // Persist the complete per-query JSON too — the round artifact only
     // keeps the stdout tail, which truncated half the r2 numbers. Full
