@@ -89,6 +89,9 @@ object Bench {
         calibShuffleRuns.map(t => f"$t%.2f").mkString(", ") + ")")
     // Optional comma-separated name-prefix filter for local tuning runs.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSeq)
+    // Probe-only mode: skip the query suite, run just the throughput
+    // probes (for probe-methodology tuning without an 8-minute suite).
+    val probeOnly = sys.env.contains("SPARK_GRAFT_PROBE_ONLY")
     // In-suite calibration timeline: the start-of-suite calibrations
     // cannot see host contention that arrives MID-run — exactly what the
     // r5 artifact showed (per-query inflation vs r4 ramping from ~1.26×
@@ -122,7 +125,8 @@ object Bench {
     def jitMillis: Long = Option(ManagementFactory.getCompilationMXBean)
       .map(_.getTotalCompilationTime).getOrElse(0L)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
+      .filter { case (name, _) =>
+        !probeOnly && only.forall(_.exists(name.startsWith)) }
       .zipWithIndex
       .map { case ((name, fn), qIdx) =>
       if (qIdx % 10 == 0) miniCalib(qIdx)
@@ -174,7 +178,7 @@ object Bench {
     // published edge-throughput numbers (README.md:118). Skipped for
     // SPARK_GRAFT_BENCH_ONLY subset runs: a local tuning loop on two
     // queries should not pay two 32M-edge probes.
-    val thr = if (only.nonEmpty) "" else try {
+    val thr = if (only.nonEmpty && !probeOnly) "" else try {
       // 2M vertices × 16 = 32M edges: large enough that per-superstep
       // scheduling overhead amortizes and the rate is comparable to
       // BASELINE.md's edge-throughput numbers. Blocking cleanup first:
@@ -187,6 +191,9 @@ object Bench {
         .transform(graft.graph.Iterate.ckpt)
       val nEdges = g.count()
       val iters = 4
+      // g's blocks must survive every settle below; everything persisted
+      // from here on is a dead intermediate of a finished probe run.
+      val keepIds = spark.sparkContext.getPersistentRDDs.keySet
       // Steady-state methodology: one untimed FULL-SIZE run first, so
       // C2/codegen compilation AND the scale-dependent AQE plan shapes
       // are both warm before the first timed run — BASELINE.md's
@@ -199,16 +206,31 @@ object Bench {
         .agg(org.apache.spark.sql.functions.sum("pr")).collect()
       // Each run leaves the previous run's localCheckpoint blocks dead
       // but not yet reclaimed; the ContextCleaner removes them only
-      // after a GC notices the weak refs. Without an explicit settle the
-      // FIRST timed run absorbs the WARM run's whole eviction/GC debt
-      // (r6 evidence: 44.7/13.4/15.4 s with a full-size warm but no
-      // settle — the cold first run survived warming because it was
-      // never about compilation). gc + bus-drain OUTSIDE every timed
-      // region, same hygiene as the inter-query cleanup above.
+      // after a GC notices the weak refs, and removal itself is async.
+      // Without an explicit settle the FIRST timed run absorbs the WARM
+      // run's whole eviction/GC debt (r6 evidence: 44.7/13.4/15.4 s
+      // with a full-size warm but no settle). Deterministic version:
+      // unpersist the dead intermediates BLOCKING while they are still
+      // strongly referenced (getPersistentRDDs holds weak values — act
+      // before gc clears them), then gc + bus-drain, all OUTSIDE the
+      // timed region.
       def settle(): Unit = {
+        spark.sparkContext.getPersistentRDDs
+          .filterNot { case (id, _) => keepIds.contains(id) }
+          .values.foreach(_.unpersist(blocking = true))
         System.gc()
         org.apache.spark.sql.GraftShims.waitListenerBus(spark)
-        Thread.sleep(1000)
+        Thread.sleep(500)
+      }
+      // Host-speed sample right before each timed probe run (1/20-scale
+      // CPU mini-calib, outside the timed region): the probes run
+      // minutes after the suite-head calibration, and r6's clean run
+      // showed 3× probe spread on identical code — *_calib_runs lets a
+      // wide spread be attributed to the host window vs the engine.
+      def probeCalib(): Double = {
+        val t0 = System.nanoTime()
+        spark.range(100000000L).selectExpr("sum(xxhash64(id) % 1000000)").collect()
+        (System.nanoTime() - t0) / 1e9
       }
       // 3 timed runs, ALL persisted (pr_sec_runs) so the spread is
       // auditable: host-level noise on this box swings a single run
@@ -217,8 +239,10 @@ object Bench {
       // matching how BASELINE.md's published numbers were taken) and
       // the median rides along for comparison with mean/median-based
       // measurements.
+      val prCalibs = scala.collection.mutable.ArrayBuffer.empty[Double]
       val runs = (1 to 3).map { _ =>
         settle()
+        prCalibs += probeCalib()
         val t0 = System.nanoTime()
         graft.graph.Algorithms.pageRank(g, iterations = iters)
           .agg(org.apache.spark.sql.functions.sum("pr")).collect()
@@ -243,8 +267,10 @@ object Bench {
         // computation warms the identical plan. 3 timed runs so best-of
         // has support.
         graft.graph.Algorithms.totalTriangles(g)
+        val tcCalibs = scala.collection.mutable.ArrayBuffer.empty[Double]
         val tcRuns = (1 to 3).map { _ =>
           settle()
+          tcCalibs += probeCalib()
           val t0 = System.nanoTime()
           graft.graph.Algorithms.totalTriangles(g)
           (System.nanoTime() - t0) / 1e9
@@ -252,12 +278,12 @@ object Bench {
         val tcDt = tcRuns.min
         val tcRate = nEdges.toDouble / tcDt
         System.err.println(f"[bench] triangle_throughput $nEdges%d edges = $tcDt%.2f s best (${tcRate / 1e3}%.0f k edges/s)")
-        s""","tc_sec":$tcDt,"tc_sec_runs":${tcRuns.mkString("[", ",", "]")},"tc_edges_per_sec":$tcRate"""
+        s""","tc_sec":$tcDt,"tc_sec_runs":${tcRuns.mkString("[", ",", "]")},"tc_calib_runs":${tcCalibs.mkString("[", ",", "]")},"tc_edges_per_sec":$tcRate"""
       } catch { case e: Throwable =>
         System.err.println(s"[bench] triangle probe failed: ${e.getMessage}")
         ""
       }
-      s""","pr_edges":$nEdges,"pr_iters":$iters,"pr_sec":$dt,"pr_sec_median":$dtMed,"pr_sec_runs":${runs.mkString("[", ",", "]")},"pr_edge_iters_per_sec":$rate$tc"""
+      s""","pr_edges":$nEdges,"pr_iters":$iters,"pr_sec":$dt,"pr_sec_median":$dtMed,"pr_sec_runs":${runs.mkString("[", ",", "]")},"pr_calib_runs":${prCalibs.mkString("[", ",", "]")},"pr_edge_iters_per_sec":$rate$tc"""
     } catch { case e: Throwable =>
       System.err.println(s"[bench] throughput probe failed: ${e.getMessage}")
       ""
@@ -275,7 +301,7 @@ object Bench {
     // keeps the stdout tail, which truncated half the r2 numbers. Full
     // (unfiltered) runs at sf0.1 only, so neither a local subset run nor
     // a small-sf smoke run ever clobbers the judge's sf0.1 artifact.
-    if (only.isEmpty && sfDir.contains("sf0.1"))
+    if (only.isEmpty && !probeOnly && sfDir.contains("sf0.1"))
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE",
           "/root/repo/bench_full_r06.json")), line + "\n")
