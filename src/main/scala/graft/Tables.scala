@@ -14,6 +14,14 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  // Fixture-fragility audit (r6): of all driver tables, only events.ts
+  // feeds a streaming surface (withWatermark, which rejects
+  // TIMESTAMP_NTZ) and so only events needs encoding normalization.
+  // lineitem.l_shipdate / orders.o_orderdate are also timestamp[us]-NTZ
+  // in the current fixtures but have batch-only consumers, where NTZ
+  // compares/formats identically under the UTC session — oracle-hash
+  // green across rounds on both encodings. If either ever gains a
+  // streaming consumer, normalize it the way events does below.
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")
