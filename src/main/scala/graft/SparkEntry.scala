@@ -1342,7 +1342,16 @@ object SparkEntry {
       histBack.crossJoin(phaseBack)
         .withColumn("scalar_roundtrip",
           lit(math.abs(muBack - mu) <= 5e-7)) // %.6f fixed-point write
-    })
+    }),
+
+    // Training-pipeline: Gopher/C4-style repetition quality signals —
+    // duplicate-word fraction, dominant-token share, duplicate 2-/3-gram
+    // fractions per document (the filters that drop boilerplate and
+    // degenerate repetition before training).
+    "q95_repetition" -> ((s, d) =>
+      graft.text.TextAnalysis
+        .repetitionSignals(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id"))
   )
 
   private def b2l(b: Boolean): Long = if (b) 1L else 0L
@@ -1602,8 +1611,9 @@ object SparkEntry {
                 THEN 1.0 ELSE 0.5 END AS wordScore
               FROM q)
          SELECT l.doc_id, l.lang_pred,
-                round(s.lenScore * 0.25 + s.alphaRatio * 0.35 +
-                      s.punctPenalty * 0.25 + s.wordScore * 0.15, 4) AS quality
+                floor((s.lenScore * 0.25 + s.alphaRatio * 0.35 +
+                       s.punctPenalty * 0.25 + s.wordScore * 0.15) * 10000)
+                  / 10000 AS quality
          FROM lang l JOIN score s ON l.doc_id = s.doc_id ORDER BY l.doc_id""",
 
     "q23_knn_bruteforce" ->
@@ -2612,6 +2622,38 @@ object SparkEntry {
                 CAST(SUM(src) AS BIGINT) AS sum_src,
                 CAST(SUM(dst) AS BIGINT) AS sum_dst,
                 true AS scalar_roundtrip
-         FROM e"""
+         FROM e""",
+
+    // IEEE-deterministic: both engines divide the same exact integer
+    // counts in double, so the fractions hash bit-identically.
+    "q95_repetition" ->
+      """WITH base AS (SELECT doc_id,
+              list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                          x -> x <> '') AS toks FROM documents),
+            wc AS (SELECT doc_id, w, COUNT(*) AS c
+                   FROM (SELECT doc_id, unnest(toks) AS w FROM base)
+                   GROUP BY doc_id, w),
+            stats AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+                COUNT(*) AS n_distinct, MAX(c) AS top_c
+                FROM wc GROUP BY doc_id),
+            grams AS (SELECT doc_id,
+              CASE WHEN len(toks) >= 2 THEN list_transform(
+                range(len(toks) - 1), i -> toks[i+1] || ' ' || toks[i+2])
+                ELSE [] END AS g2,
+              CASE WHEN len(toks) >= 3 THEN list_transform(
+                range(len(toks) - 2),
+                i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
+                ELSE [] END AS g3 FROM base)
+         SELECT s.doc_id, s.n_words,
+                1 - CAST(s.n_distinct AS DOUBLE) / s.n_words AS rep_word_frac,
+                CAST(s.top_c AS DOUBLE) / s.n_words AS top_word_frac,
+                CASE WHEN len(g.g2) = 0 THEN 0.0
+                  ELSE 1 - CAST(len(list_distinct(g.g2)) AS DOUBLE) / len(g.g2)
+                  END AS rep_2gram_frac,
+                CASE WHEN len(g.g3) = 0 THEN 0.0
+                  ELSE 1 - CAST(len(list_distinct(g.g3)) AS DOUBLE) / len(g.g3)
+                  END AS rep_3gram_frac
+         FROM stats s JOIN grams g USING (doc_id)
+         ORDER BY s.doc_id"""
   )
 }

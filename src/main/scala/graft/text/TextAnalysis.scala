@@ -74,7 +74,14 @@ object TextAnalysis {
     val punctPenalty = lit(1.0) - least(when(n > 0, punct / n).otherwise(lit(0.0)) * 4, lit(1.0))
     val meanWord = when(toks > 0, alpha / toks).otherwise(lit(0.0))
     val wordScore = when(meanWord.between(3.0, 10.0), lit(1.0)).otherwise(lit(0.5))
-    round(lenScore * 0.25 + alphaRatio * 0.35 + punctPenalty * 0.25 + wordScore * 0.15, 4)
+    // floor-truncate to 4 decimals instead of round(…, 4): the score is
+    // a sum of terminating-decimal terms, so exact .xxxx5 half-way cases
+    // occur in real data, and Spark (BigDecimal HALF_UP on the shortest
+    // decimal repr) and DuckDB (acts on the raw binary double) disagree
+    // on them. floor(x·10⁴)/10⁴ is pure double arithmetic — identical
+    // inputs give identical bits on both engines.
+    floor((lenScore * 0.25 + alphaRatio * 0.35 + punctPenalty * 0.25 +
+      wordScore * 0.15) * 10000) / 10000
   }
 
   /** Word k-shingles of the lowercased text. */
@@ -128,5 +135,50 @@ object TextAnalysis {
         round(log((col("co") * nDocs) / (col("df1") * col("df2"))), 4).as("pmi"))
       .orderBy(desc("co"), asc("t1"), asc("t2"))
       .limit(topPairs)
+  }
+
+  /** Word `n`-grams of a token array as a codegen'd projection (empty
+    * when the doc is shorter than `n` — guarded because Spark's
+    * `sequence(0, negative)` would count DOWN, not produce empty).
+    */
+  private def ngrams(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*)))
+      .otherwise(array().cast("array<string>"))
+
+  /** Gopher/C4-style repetition quality signals per document — the
+    * training-pipeline filters that drop boilerplate and degenerate
+    * repetition (duplicate words, duplicate word n-grams, one dominant
+    * token). Output per doc: n_words, rep_word_frac (1 − distinct/total
+    * words), top_word_frac (most frequent word's share), rep_2gram_frac,
+    * rep_3gram_frac.
+    *
+    * Scale shape: the n-gram fractions are a pure PROJECTION
+    * (`array_distinct` over in-row n-gram arrays — whole-stage codegen,
+    * zero shuffle at any corpus size); only the word stats shuffle, and
+    * only (doc_id, word) count rows — two map-side-combined aggregates,
+    * never a per-doc `collect_list`. Empty docs drop out of both sides
+    * identically (explode/unnest of an empty token list).
+    */
+  def repetitionSignals(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = transform(wsTokens(col(textCol)), t => lower(t))
+    val wordCounts = docs
+      .select(col(idCol).as("doc_id"), explode(toks).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+    val stats = wordCounts.groupBy("doc_id").agg(
+      sum("c").as("n_words"), count(lit(1)).as("n_distinct"), max("c").as("top_c"))
+    def repFrac(g: Column): Column =
+      when(size(g) === 0, lit(0.0d))
+        .otherwise(lit(1.0d) - size(array_distinct(g)).cast("double") / size(g))
+    val grams = docs.select(col(idCol).as("doc_id"),
+      repFrac(ngrams(toks, 2)).as("rep_2gram_frac"),
+      repFrac(ngrams(toks, 3)).as("rep_3gram_frac"))
+    stats.join(grams, "doc_id").select(
+      col("doc_id"), col("n_words"),
+      (lit(1.0d) - col("n_distinct").cast("double") / col("n_words"))
+        .as("rep_word_frac"),
+      (col("top_c").cast("double") / col("n_words")).as("top_word_frac"),
+      col("rep_2gram_frac"), col("rep_3gram_frac"))
   }
 }

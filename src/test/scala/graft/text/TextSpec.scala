@@ -16,6 +16,23 @@ class TextSpec extends SparkSpec {
     assert(rows(2) == ((0, 0)))
   }
 
+  test("repetitionSignals: hand-computed word/ngram repetition fractions") {
+    val docs = Seq(
+      (1L, "a a b a b c"), // 6 words, 3 distinct; top a=3; 5 2grams 4 distinct; 4 3grams all distinct
+      (2L, "x y"),         // no repetition; 3grams empty
+      (3L, "z"),           // single word: both gram arrays empty
+      (4L, "")             // empty: drops out entirely
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionSignals(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(out.length == 3) // empty doc gone
+    assert(out(0) == ((1L, 6L, 0.5, 0.5, 1.0 - 4.0 / 5.0, 0.0)))
+    assert(out(1) == ((2L, 2L, 0.0, 0.5, 0.0, 0.0)))
+    assert(out(2) == ((3L, 1L, 0.0, 1.0, 0.0, 0.0)))
+  }
+
   test("langId picks English for English text") {
     val df = Seq(
       "the cat sat on the mat and it is happy for now",
