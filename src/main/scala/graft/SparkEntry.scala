@@ -1351,7 +1351,29 @@ object SparkEntry {
     "q95_repetition" -> ((s, d) =>
       graft.text.TextAnalysis
         .repetitionSignals(Tables.documents(s, d), "doc_id", "text")
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Training-pipeline rollup: gap-based sessionization of the event
+    // log (30-min inactivity splits), one exchange on user_id shared by
+    // the window pass and the rollup.
+    "q96_sessionize" -> ((s, d) =>
+      graft.streaming.Sessionize.sessions(Tables.events(s, d))
+        .orderBy("user_id", "session")),
+
+    // Training-pipeline mixing: deterministic stratified downsample of
+    // the corpus by language (systematic id-modulus rule — stable under
+    // retries, unlike rand()), with the per-stratum audit counts.
+    "q97_stratified_sample" -> ((s, d) =>
+      graft.text.Sampling.stratifiedAudit(
+        Tables.documents(s, d), "doc_id", "lang",
+        Map("en" -> 250, "de" -> 500), defaultRate = 750)
+        .orderBy("lang")),
+
+    // Training-pipeline keywords: top-5 tf-idf terms per document.
+    "q98_tfidf" -> ((s, d) =>
+      graft.text.TextAnalysis
+        .tfIdfTopTerms(Tables.documents(s, d), "doc_id", "text", k = 5)
+        .orderBy("doc_id", "rn"))
   )
 
   private def b2l(b: Boolean): Long = if (b) 1L else 0L
@@ -2654,6 +2676,52 @@ object SparkEntry {
                   ELSE 1 - CAST(len(list_distinct(g.g3)) AS DOUBLE) / len(g.g3)
                   END AS rep_3gram_frac
          FROM stats s JOIN grams g USING (doc_id)
-         ORDER BY s.doc_id"""
+         ORDER BY s.doc_id""",
+
+    // Microsecond arithmetic end-to-end (epoch_us == unix_micros);
+    // session ordinal cast to BIGINT (DuckDB window SUM is HUGEINT).
+    "q96_sessionize" ->
+      """WITH s AS (SELECT event_id, ts, user_id, value,
+              CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                  (PARTITION BY user_id ORDER BY ts, event_id)
+                > 1800 * 1000000 THEN 1 ELSE 0 END AS brk
+              FROM events),
+            t AS (SELECT user_id, ts, value,
+              CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) + 1 AS BIGINT) AS session
+              FROM s)
+         SELECT user_id, session, COUNT(*) AS n_events,
+                MIN(ts) AS start_ts, MAX(ts) AS end_ts,
+                CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT)
+                  AS duration_us,
+                ROUND(SUM(value), 2) AS sum_value
+         FROM t GROUP BY user_id, session ORDER BY user_id, session""",
+
+    "q97_stratified_sample" ->
+      """SELECT lang, COUNT(*) AS n_total,
+                CAST(SUM(CASE WHEN doc_id % 1000 <
+                  (CASE lang WHEN 'en' THEN 250 WHEN 'de' THEN 500
+                    ELSE 750 END) THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+         FROM documents GROUP BY lang ORDER BY lang""",
+
+    // Rank on the ROUNDED score (4 decimals, the established cross-engine
+    // log precision — see q64) so row_number ordering is engine-agnostic.
+    "q98_tfidf" ->
+      """WITH tok AS (SELECT doc_id, t.token FROM documents,
+              UNNEST(string_split_regex(trim(lower(text)), '\s+'))
+                AS t(token)
+              WHERE t.token <> ''),
+            tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok
+                   GROUP BY doc_id, token),
+            dfx AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+            scored AS (SELECT tf.doc_id, tf.token, tf.tf, dfx.df,
+              ROUND(tf.tf * LN((SELECT COUNT(*) FROM documents) / dfx.df),
+                4) AS score
+              FROM tf JOIN dfx USING (token)),
+            ranked AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                ORDER BY score DESC, token) AS BIGINT) AS rn
+              FROM scored)
+         SELECT doc_id, rn, token, tf, df, score FROM ranked
+         WHERE rn <= 5 ORDER BY doc_id, rn"""
   )
 }

@@ -251,7 +251,12 @@ object Algorithms {
     * relabeling bounds pivot memory), then count wedge closures with one
     * self-join + one semi-join against the edge set.
     */
-  def triangleCounts(edges: DataFrame): DataFrame = {
+  /** Shared triangle pre-pass: canonicalize/dedup the undirected edge
+    * set, degree-order relabel, and enumerate closed wedges. Returns
+    * (closed wedges `(u, x, y)` — one row per triangle — and the
+    * newid→id mapping for callers that need original ids).
+    */
+  private def closedWedges(edges: DataFrame): (DataFrame, DataFrame) = {
     val und = edges.select("src", "dst").filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("src"),
               greatest(col("src"), col("dst")).as("dst"))
@@ -273,6 +278,11 @@ object Algorithms {
     val closed = wedges.join(
       oriented.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"),
       "left_semi")
+    (closed, mapping)
+  }
+
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val (closed, mapping) = closedWedges(edges)
     // Per-vertex counts: each triangle increments all three corners.
     val perNew = closed.select(explode(array(col("u"), col("x"), col("y"))).as("newid"))
       .groupBy("newid").agg(count(lit(1)).as("triangles"))
@@ -280,12 +290,13 @@ object Algorithms {
       .select(mapping("id"), col("triangles"))
   }
 
-  /** Total triangle count (each triangle once). */
-  def totalTriangles(edges: DataFrame): Long = {
-    val per = triangleCounts(edges)
-    val s = per.agg(sum("triangles")).collect()(0)
-    if (s.isNullAt(0)) 0L else s.getLong(0) / 3
-  }
+  /** Total triangle count (each triangle once). Counts closed wedges
+    * directly — each oriented closed wedge IS one triangle — skipping
+    * the per-vertex explode (3 rows/triangle), its groupBy shuffle, and
+    * the join back through the id mapping that `triangleCounts` needs.
+    */
+  def totalTriangles(edges: DataFrame): Long =
+    closedWedges(edges)._1.count()
 
   /** Random walks: `nWalks` walkers from each source vertex take `steps`
     * uniform random out-edge steps; returns visit counts per vertex —

@@ -1,0 +1,55 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Gap-based sessionization of an event log — the classic
+  * training-data-pipeline rollup (user activity → sessions) the
+  * reference has no counterpart for (its streaming side ingests graph
+  * deltas only, `src/engine/dynamic_graphs/`). Spark-first: one window
+  * pass per user assigns session ordinals (lag + running sum of
+  * gap-breaks), one aggregation rolls sessions up. Both steps shuffle
+  * once on `user_id` and the second reuses the first's partitioning, so
+  * at 100 TB this is a single exchange of the event log; no state is
+  * held per user beyond the window frame (nothing like `collect_list`).
+  */
+object Sessionize {
+
+  /** Per-event session ordinals: adds `session` (1-based per user).
+    * An event starts a new session when it is the user's first or
+    * arrives more than `gapSeconds` after the previous event.
+    * Ordering is (`ts`, `eventId`) — the id tie-break keeps the
+    * numbering deterministic under equal timestamps.
+    */
+  def assign(events: DataFrame, userCol: String = "user_id",
+             tsCol: String = "ts", idCol: String = "event_id",
+             gapSeconds: Long = 1800L): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+    // microsecond arithmetic end-to-end: cast-to-seconds truncation has
+    // engine-specific semantics, unix_micros/epoch_us agree exactly.
+    val newSess = when(
+      unix_micros(col(tsCol)) - lag(unix_micros(col(tsCol)), 1).over(w)
+        > gapSeconds * 1000000L, 1L).otherwise(0L)
+    // first row per user: lag is null → when() yields 0; the +1 below
+    // makes ordinals 1-based either way.
+    events.withColumn("session",
+      sum(newSess).over(w.rowsBetween(Window.unboundedPreceding, 0)) + 1L)
+  }
+
+  /** Session rollup: one row per (user, session) with event count,
+    * start/end, duration in microseconds, and the summed `value`.
+    */
+  def sessions(events: DataFrame, userCol: String = "user_id",
+               tsCol: String = "ts", idCol: String = "event_id",
+               valueCol: String = "value",
+               gapSeconds: Long = 1800L): DataFrame =
+    assign(events, userCol, tsCol, idCol, gapSeconds)
+      .groupBy(col(userCol), col("session"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col(tsCol)).as("start_ts"),
+        max(col(tsCol)).as("end_ts"),
+        (max(unix_micros(col(tsCol))) - min(unix_micros(col(tsCol))))
+          .as("duration_us"),
+        round(sum(col(valueCol)), 2).as("sum_value"))
+}

@@ -181,4 +181,35 @@ object TextAnalysis {
       (col("top_c").cast("double") / col("n_words")).as("top_word_frac"),
       col("rep_2gram_frac"), col("rep_3gram_frac"))
   }
+
+  /** Top-`k` terms per document by tf·idf — the per-document keyword
+    * view a corpus-curation pipeline publishes next to dedup and
+    * quality signals. score = tf · ln(N / df), rounded to 4 decimals
+    * (the established cross-engine log precision — see tokenPmi).
+    *
+    * Scale shape: tf is one map-side-combined (doc, token) aggregate;
+    * df re-aggregates tf's output (`count` over its rows — no second
+    * scan of the corpus); the tf⋈df join shuffles on token; the final
+    * top-k is a per-doc window over at most |tf| rows. Nothing holds a
+    * whole document's terms in one buffer.
+    */
+  def tfIdfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs.select(col(idCol).as("doc_id"),
+        explode(transform(wsTokens(col(textCol)), (t: Column) => lower(t))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val nDocs = docs.count().toDouble
+    val scored = tf.join(df, "token")
+      .withColumn("score", round(col("tf") * log(lit(nDocs) / col("df")), 4))
+    // Rank on the ROUNDED score (bit-identical across engines) with the
+    // token as a total-order tie-break, so row_number is deterministic.
+    val w = Window.partitionBy("doc_id").orderBy(desc("score"), asc("token"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      // long rank: DuckDB's ROW_NUMBER is BIGINT, Spark's is int
+      .select(col("doc_id"), col("rn").cast("long").as("rn"), col("token"),
+        col("tf"), col("df"), col("score"))
+  }
 }

@@ -1,0 +1,41 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import graft.SparkSpec
+
+class SessionizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(sec: Long) = new Timestamp(sec * 1000L)
+
+  test("gap rule splits sessions; ordinals are per-user and 1-based") {
+    val ev = Seq(
+      (1L, ts(0), 10L, 1.0),     // u10 s1
+      (2L, ts(100), 10L, 2.0),   // u10 s1 (gap 100 <= 1800)
+      (3L, ts(2000), 10L, 3.0),  // u10 s2 (gap 1900 > 1800)
+      (4L, ts(0), 20L, 4.0),     // u20 s1
+      (5L, ts(1800), 20L, 5.0),  // u20 s1 (gap exactly 1800: NOT >)
+      (6L, ts(3601), 20L, 6.0)   // u20 s2 (gap 1801)
+    ).toDF("event_id", "ts", "user_id", "value")
+    val s = Sessionize.sessions(ev, gapSeconds = 1800L)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(5), r.getDouble(6)))).toMap
+    assert(s((10L, 1L)) == ((2L, 100L * 1000000L, 3.0)))
+    assert(s((10L, 2L)) == ((1L, 0L, 3.0)))
+    assert(s((20L, 1L)) == ((2L, 1800L * 1000000L, 9.0)))
+    assert(s((20L, 2L)) == ((1L, 0L, 6.0)))
+  }
+
+  test("equal timestamps tie-break on event_id deterministically") {
+    val ev = Seq(
+      (2L, ts(0), 1L, 1.0),
+      (1L, ts(0), 1L, 1.0),
+      (3L, ts(5000), 1L, 1.0)
+    ).toDF("event_id", "ts", "user_id", "value")
+    val a = Sessionize.assign(ev, gapSeconds = 1800L)
+      .select("event_id", "session")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(a == Map(1L -> 1L, 2L -> 1L, 3L -> 2L))
+  }
+}

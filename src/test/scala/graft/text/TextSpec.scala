@@ -168,4 +168,39 @@ class TextSpec extends SparkSpec {
     assert(pairs.length == 1 && pairs(0)._1 == 1L && pairs(0)._2 == 2L
       && pairs(0)._3 == 1.0)
   }
+
+  test("stratifiedSystematic keeps exactly id % denom < rate per stratum") {
+    val docs = (0L until 100L).map(i => (i, if (i < 60) "en" else "de"))
+      .toDF("doc_id", "lang")
+    val s = Sampling.stratifiedSystematic(docs, "doc_id", "lang",
+      Map("en" -> 3), defaultRate = 7, denom = 10)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // en rows: ids 0-59 with id%10 in {0,1,2}; de rows: 60-99, id%10 < 7
+    val expected = (0L until 100L).map(i => (i, if (i < 60) "en" else "de"))
+      .filter { case (i, l) => i % 10 < (if (l == "en") 3 else 7) }.toSet
+    assert(s == expected)
+    val audit = Sampling.stratifiedAudit(docs, "doc_id", "lang",
+      Map("en" -> 3), defaultRate = 7, denom = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(audit == Set(("en", 60L, 18L), ("de", 40L, 28L)))
+  }
+
+  test("tfIdfTopTerms: hand-computed tf/df/rank") {
+    val docs = Seq(
+      (1L, "apple apple banana"),   // apple tf=2 df=2, banana tf=1 df=1
+      (2L, "apple cherry"),
+      (3L, "durian durian durian")
+    ).toDF("doc_id", "text")
+    val top = TextAnalysis.tfIdfTopTerms(docs, "doc_id", "text", k = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toList.sortBy(t => (t._1, t._2))
+    // doc1: banana score 1*ln(3/1)=1.0986 beats apple 2*ln(3/2)=0.8109
+    assert(top.map(t => (t._1, t._2, t._3)) == List(
+      (1L, 1L, "banana"), (1L, 2L, "apple"),
+      (2L, 1L, "cherry"), (2L, 2L, "apple"),
+      (3L, 1L, "durian")))
+    val d1 = top.filter(_._1 == 1L).map(t => t._6)
+    assert(d1 == List(1.0986, 0.8109))
+  }
 }
