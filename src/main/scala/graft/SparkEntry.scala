@@ -1373,7 +1373,16 @@ object SparkEntry {
     "q98_tfidf" -> ((s, d) =>
       graft.text.TextAnalysis
         .tfIdfTopTerms(Tables.documents(s, d), "doc_id", "text", k = 5)
-        .orderBy("doc_id", "rn"))
+        .orderBy("doc_id", "rn")),
+
+    // Exact n-gram Jaccard, brute force on a bounded id range — the
+    // oracle cross-check for the LSH-pruned ngramJaccardPairs scale path
+    // (same pattern as q23 for ANN).
+    "q99_ngram_jaccard" -> ((s, d) =>
+      graft.text.Dedup.ngramJaccardBrute(
+        Tables.documents(s, d), "doc_id", "text",
+        shingleK = 3, threshold = 0.05, maxId = 500L)
+        .orderBy("id1", "id2"))
   )
 
   private def b2l(b: Boolean): Long = if (b) 1L else 0L
@@ -2722,6 +2731,27 @@ object SparkEntry {
                 ORDER BY score DESC, token) AS BIGINT) AS rn
               FROM scored)
          SELECT doc_id, rn, token, tf, df, score FROM ranked
-         WHERE rn <= 5 ORDER BY doc_id, rn"""
+         WHERE rn <= 5 ORDER BY doc_id, rn""",
+
+    // Shingle semantics mirror TextAnalysis.shingles: docs shorter than
+    // k collapse to ONE whole-doc shingle. jaccard divides the same
+    // integer set sizes in double → bit-exact across engines.
+    "q99_ngram_jaccard" ->
+      """WITH base AS (SELECT doc_id,
+              list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                          x -> x <> '') AS toks
+              FROM documents WHERE doc_id < 500),
+            sh AS (SELECT doc_id, list_distinct(
+              CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                ELSE list_transform(range(len(toks) - 2),
+                  i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
+                END) AS sset FROM base)
+         SELECT a.doc_id AS id1, b.doc_id AS id2,
+                CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE) /
+                  len(list_distinct(list_concat(a.sset, b.sset))) AS jaccard
+         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         WHERE CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE) /
+           len(list_distinct(list_concat(a.sset, b.sset))) >= 0.05
+         ORDER BY id1, id2"""
   )
 }

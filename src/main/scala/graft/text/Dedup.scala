@@ -251,4 +251,27 @@ object Dedup {
          size(array_union(col("s1"), col("s2")))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** Brute-force exact n-gram Jaccard over a bounded id range — the
+    * oracle cross-check for [[ngramJaccardPairs]] (whose LSH candidate
+    * pruning is the scale path), the same role q23's broadcast
+    * brute-force kNN plays for the IVF/LSH ANN paths. The id bound
+    * keeps the all-pairs join a fixed-size broadcast nested loop at any
+    * corpus scale; jaccard is a ratio of the same integer set sizes in
+    * both engines, so it compares bit-exactly.
+    */
+  def ngramJaccardBrute(docs: DataFrame, idCol: String, textCol: String,
+                        shingleK: Int = 3, threshold: Double = 0.1,
+                        maxId: Long = 500L): DataFrame = {
+    val sh = docs.filter(col(idCol) < maxId)
+      .select(col(idCol).as("sid"),
+        array_distinct(TextAnalysis.shingles(col(textCol), shingleK)).as("sset"))
+    val a = sh.select(col("sid").as("id1"), col("sset").as("s1"))
+    val b = sh.select(col("sid").as("id2"), col("sset").as("s2"))
+    a.join(b, col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        (size(array_intersect(col("s1"), col("s2"))).cast("double") /
+         size(array_union(col("s1"), col("s2")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
 }

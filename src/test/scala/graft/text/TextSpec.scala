@@ -169,6 +169,20 @@ class TextSpec extends SparkSpec {
       && pairs(0)._3 == 1.0)
   }
 
+  test("ngramJaccardBrute: hand-computed jaccard, id bound respected") {
+    val docs = Seq(
+      (1L, "a b c d"),     // shingles {a b c, b c d}
+      (2L, "a b c e"),     // shingles {a b c, b c e} -> jaccard 1/3
+      (3L, "x y"),         // short doc: single whole-doc shingle "x y"
+      (4L, "x y"),         // identical short doc -> jaccard 1.0
+      (600L, "a b c d")    // beyond maxId: excluded
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardBrute(docs, "doc_id", "text",
+      shingleK = 3, threshold = 0.3, maxId = 500L)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs == Map((1L, 2L) -> 1.0 / 3.0, (3L, 4L) -> 1.0))
+  }
+
   test("stratifiedSystematic keeps exactly id % denom < rate per stratum") {
     val docs = (0L until 100L).map(i => (i, if (i < 60) "en" else "de"))
       .toDF("doc_id", "lang")
