@@ -1382,7 +1382,32 @@ object SparkEntry {
       graft.text.Dedup.ngramJaccardBrute(
         Tables.documents(s, d), "doc_id", "text",
         shingleK = 3, threshold = 0.05, maxId = 500L)
-        .orderBy("id1", "id2"))
+        .orderBy("id1", "id2")),
+
+    // §2.13 stateful streaming: native session_window under a watermark,
+    // APPEND mode — each session emits exactly once when the watermark
+    // passes its end (the at-scale mode; q80's complete-mode windowed
+    // counts are the replay-everything cross-check). Sessions still open
+    // at end-of-stream stay in state and are withheld; the oracle
+    // applies the same emission predicate.
+    "q100_stream_sessions" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val dir = java.nio.file.Files.createTempDirectory("graft_q100_").toString
+      ev.write.mode("overwrite").parquet(dir)
+      val src = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 2).parquet(dir)
+      val q = graft.streaming.Sessionize.streamingSessions(src)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("graft_q100")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("graft_q100")
+        .select(col("user_id"), col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"), col("n_events"),
+          col("sum_value"))
+        .orderBy("user_id", "session_start")
+    })
   )
 
   private def b2l(b: Boolean): Long = if (b) 1L else 0L
@@ -2752,6 +2777,28 @@ object SparkEntry {
          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          WHERE CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE) /
            len(list_distinct(list_concat(a.sset, b.sset))) >= 0.05
-         ORDER BY id1, id2"""
+         ORDER BY id1, id2""",
+
+    // session_window semantics: split at gap >= 30 min (vs q96's > 30
+    // min), window end = last event + gap; APPEND emission = sessions
+    // whose end the final watermark (max ts, 0s delay) has passed.
+    "q100_stream_sessions" ->
+      """WITH s AS (SELECT ts, user_id, value,
+              CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                  (PARTITION BY user_id ORDER BY ts, event_id)
+                >= 1800 * 1000000 THEN 1 ELSE 0 END AS brk,
+              event_id FROM events),
+            t AS (SELECT user_id, ts, value,
+              CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session
+              FROM s),
+            agg AS (SELECT user_id, session, COUNT(*) AS n_events,
+              MIN(ts) AS session_start,
+              MAX(ts) + INTERVAL 1800 SECOND AS session_end,
+              ROUND(SUM(value), 2) AS sum_value
+              FROM t GROUP BY user_id, session)
+         SELECT user_id, session_start, session_end, n_events, sum_value
+         FROM agg WHERE session_end <= (SELECT MAX(ts) FROM events)
+         ORDER BY user_id, session_start"""
   )
 }

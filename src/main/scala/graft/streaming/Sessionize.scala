@@ -52,4 +52,23 @@ object Sessionize {
         (max(unix_micros(col(tsCol))) - min(unix_micros(col(tsCol))))
           .as("duration_us"),
         round(sum(col(valueCol)), 2).as("sum_value"))
+
+  /** Streaming session windows: Spark's native `session_window` under a
+    * watermark — the stateful-streaming counterpart of [[sessions]]
+    * (merge-on-overlap state kept per user by the engine, evicted once
+    * the watermark passes a session's end). Append mode: a session
+    * emits exactly once, when it can no longer grow — the semantics a
+    * 100 TB event pipeline wants (no complete-mode state replay).
+    * Boundary note: `session_window` merges events strictly closer
+    * than `gap` (split at diff ≥ gap); [[sessions]] splits at > gap.
+    */
+  def streamingSessions(events: DataFrame, userCol: String = "user_id",
+                        tsCol: String = "ts", valueCol: String = "value",
+                        gapSeconds: Long = 1800L,
+                        watermark: String = "0 seconds"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(col(userCol), session_window(col(tsCol), s"$gapSeconds seconds"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col(valueCol)), 2).as("sum_value"))
 }

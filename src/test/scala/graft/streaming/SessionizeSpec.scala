@@ -27,6 +27,30 @@ class SessionizeSpec extends SparkSpec {
     assert(s((20L, 2L)) == ((1L, 0L, 6.0)))
   }
 
+  test("streamingSessions append mode: closed sessions emit once, open ones are withheld") {
+    val ev = Seq(
+      (1L, ts(0), 1L, "a", 1.0, ""),
+      (2L, ts(100), 1L, "a", 2.0, ""),   // same session (gap 100 < 1800)
+      (3L, ts(10000), 1L, "a", 4.0, "")  // new session; still open at EOS
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("graft_sess_").toString
+    ev.write.mode("overwrite").parquet(dir)
+    val src = spark.readStream.schema(ev.schema).parquet(dir)
+    val q = Sessionize.streamingSessions(src)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sess_spec")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val rows = spark.table("sess_spec")
+      .select("user_id", "n_events", "sum_value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // watermark reaches max ts (10000); the first session's window end
+    // (100 + 1800 = 1900) has passed -> emitted; the second (end 11800)
+    // has not -> withheld in state
+    assert(rows.toList == List((1L, 2L, 3.0)))
+  }
+
   test("equal timestamps tie-break on event_id deterministically") {
     val ev = Seq(
       (2L, ts(0), 1L, 1.0),
