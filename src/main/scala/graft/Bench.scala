@@ -21,15 +21,32 @@ object Bench {
     // iterations while every later trainer runs steady-state. Same
     // methodology as the throughput probe's untimed warm run (and
     // BASELINE.md, whose published times exclude one-time costs).
+    //
+    // r6: the GRAFT_DEBUG JVM telemetry showed the 2k-row warm was not
+    // enough — the suite's first trainer of EACH distinct plan family
+    // still absorbed tens of seconds of JIT (q41 trainMulti +53 s jit,
+    // q48 als_tensor +59 s in a subset run), because (a) 2k rows over 32
+    // partitions never drives any generated loop past C2's invocation
+    // thresholds, and (b) trainMulti / als_tensor / timesvdpp compile
+    // codegen classes the plain-train warm never touches. So: 20k rows
+    // in 4 partitions (≥5k rows per task puts the hot per-row loops into
+    // C2 territory) and one warm iteration per distinct trainer family.
     locally {
       import org.apache.spark.sql.functions._
-      val warm = spark.range(2000L).select(
+      val warm = spark.range(20000L).select(
         (col("id") % 50).as("user"), (col("id") % 40).as("item"),
         (col("id") % 5).cast("double").as("rating"))
+        .repartition(4).transform(graft.graph.Iterate.ckpt)
       graft.cf.MfSgd.train(warm, rank = 4, iterations = 2)
+      graft.cf.MfSgd.trainMulti(warm,
+        Seq(graft.cf.MfSgd.AbsLoss, graft.cf.MfSgd.LogisticLoss,
+          graft.cf.MfSgd.SquareLoss), rank = 4, iterations = 1)
       graft.cf.Fm.train(
         graft.cf.Fm.featuresFromRatings(warm, Seq("user", "item")),
         rank = 4, iterations = 2)
+      val warmT = warm.withColumn("time", col("item") % 3)
+      graft.cf.AlsTensor.train(warmT, rank = 2, iterations = 1)
+      graft.cf.AlsTensor.trainTimeSvdPP(warmT, rank = 2, iterations = 1)
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
       spark.catalog.clearCache()
