@@ -1407,6 +1407,46 @@ object SparkEntry {
           col("session_window.end").as("session_end"), col("n_events"),
           col("sum_value"))
         .orderBy("user_id", "session_start")
+    }),
+
+    // Training-pipeline decontamination: 4-gram overlap of every corpus
+    // document against a benchmark set (docs with doc_id % 50 == 0 play
+    // the eval suite); only contaminated docs survive the inner join.
+    // Real pipelines use 8-13-grams; the fixtures' short word-soup docs
+    // need n=4 for a non-trivial contaminated population (n=5 → 1 doc).
+    "q101_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.text.Dedup.contamination(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0),
+        "doc_id", "text", n = 4)
+        .orderBy("doc_id")
+    }),
+
+    // Training-pipeline span dedup: per-document fraction of 20-token
+    // chunks shared with at least one other document (C4-style repeated
+    // span signal between n-gram dedup and whole-doc exact dedup).
+    "q102_chunk_dedup" -> ((s, d) =>
+      graft.text.Dedup.chunkDuplication(
+        Tables.documents(s, d), "doc_id", "text", chunkTokens = 20)
+        .orderBy("doc_id")),
+
+    // Training-pipeline scrubbing: PII redaction (email/IPv4/phone →
+    // typed tags) + per-doc counts. The fixtures' word-soup text carries
+    // no PII, so each row gets a deterministic synthetic suffix built
+    // from doc_id — identically in the oracle — making every row
+    // exercise all three patterns.
+    "q103_pii_redact" -> ((s, d) => {
+      val full = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.com from 10."),
+        (col("doc_id") % 200).cast("string"),
+        lit(".0.1 call 555-"),
+        lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-0199"))
+      Tables.documents(s, d)
+        .select(col("doc_id") +: (graft.text.TextAnalysis.piiCounts(full) :+
+          graft.text.TextAnalysis.redactPii(full).as("redacted")): _*)
+        .orderBy("doc_id")
     })
   )
 
@@ -2799,6 +2839,72 @@ object SparkEntry {
               FROM t GROUP BY user_id, session)
          SELECT user_id, session_start, session_end, n_events, sum_value
          FROM agg WHERE session_end <= (SELECT MAX(ts) FROM events)
-         ORDER BY user_id, session_start"""
+         ORDER BY user_id, session_start""",
+
+    "q101_decontaminate" ->
+      """WITH base AS (SELECT doc_id,
+              list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                          x -> x <> '') AS toks FROM documents),
+            ngr AS (SELECT doc_id, list_distinct(
+              CASE WHEN len(toks) < 4 THEN [array_to_string(toks, ' ')]
+                ELSE list_transform(range(len(toks) - 3),
+                  i -> array_to_string(toks[i+1:i+4], ' ')) END) AS ngs
+              FROM base),
+            bench AS (SELECT DISTINCT unnest(ngs) AS ng FROM ngr
+              WHERE doc_id % 50 = 0),
+            cand AS (SELECT doc_id, len(ngs) AS n_ngrams, unnest(ngs) AS ng
+              FROM ngr WHERE doc_id % 50 <> 0)
+         SELECT c.doc_id, c.n_ngrams, COUNT(*) AS n_contaminated,
+                CAST(COUNT(*) AS DOUBLE) / c.n_ngrams AS contaminated_frac
+         FROM cand c JOIN bench b ON c.ng = b.ng
+         GROUP BY c.doc_id, c.n_ngrams
+         ORDER BY c.doc_id""",
+
+    "q102_chunk_dedup" ->
+      """WITH base AS (SELECT doc_id,
+              list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                          x -> x <> '') AS toks FROM documents),
+            ch AS (SELECT doc_id, list_distinct(list_transform(
+              range(CAST(ceil(len(toks) / 20.0) AS BIGINT)),
+              i -> array_to_string(toks[i*20+1 : i*20+20], ' '))) AS cs
+              FROM base WHERE len(toks) > 0),
+            occ AS (SELECT doc_id, unnest(cs) AS chunk FROM ch),
+            bc AS (SELECT chunk, COUNT(*) AS n_docs FROM occ GROUP BY 1)
+         SELECT o.doc_id, COUNT(*) AS n_chunks,
+                CAST(SUM(CASE WHEN bc.n_docs > 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_dup_chunks,
+                CAST(SUM(CASE WHEN bc.n_docs > 1 THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*) AS dup_frac
+         FROM occ o JOIN bc ON o.chunk = bc.chunk
+         GROUP BY o.doc_id ORDER BY o.doc_id""",
+
+    // Same staged counting as TextAnalysis.piiCounts: each pattern is
+    // counted with the earlier patterns already redacted, so counts =
+    // replacements made.
+    "q103_pii_redact" ->
+      """WITH f AS (SELECT doc_id,
+              text || ' contact user' || CAST(doc_id AS VARCHAR)
+                || '@mail.example.com from 10.'
+                || CAST(doc_id % 200 AS VARCHAR) || '.0.1 call 555-'
+                || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                || '-0199' AS full_text
+              FROM documents),
+            r1 AS (SELECT doc_id, full_text, regexp_replace(full_text,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+              '<EMAIL>', 'g') AS t1 FROM f),
+            r2 AS (SELECT doc_id, full_text, t1, regexp_replace(t1,
+              '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t2
+              FROM r1)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(full_text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+             AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t1,
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+           CAST(len(regexp_extract_all(t2,
+             '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
+           regexp_replace(t2, '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g')
+             AS redacted
+         FROM r2 ORDER BY doc_id"""
   )
 }

@@ -274,4 +274,85 @@ object Dedup {
          size(array_union(col("s1"), col("s2")))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** Benchmark decontamination: for each corpus document, the count and
+    * fraction of its distinct word n-grams that also occur anywhere in
+    * `benchmark` — the standard eval-set contamination check a training
+    * pipeline runs before a corpus ships. Only contaminated documents
+    * (≥1 matching n-gram, the inner join) are returned; everything else
+    * is clean by construction.
+    *
+    * Scale shape: benchmark n-gram sets are small (eval suites are MBs
+    * even when the corpus is TBs), so the distinct benchmark side
+    * broadcasts under AQE and the corpus side never shuffles its
+    * exploded n-grams — one hash aggregate keyed by document closes the
+    * plan. `hashed=true` matches on `xxhash64(ngram)` instead of the
+    * string — 8 bytes/row through the join instead of ~6·n — the right
+    * call at 100 TB (a 2⁻⁶⁴ collision alters one count, not the set of
+    * survivors); the string path is kept for the bit-exact oracle.
+    */
+  def contamination(corpus: DataFrame, benchmark: DataFrame, idCol: String,
+                    textCol: String, n: Int = 5,
+                    hashed: Boolean = false): DataFrame = {
+    def key(c: Column): Column = if (hashed) xxhash64(c) else c
+    val docNg = corpus.select(col(idCol),
+      array_distinct(TextAnalysis.shingles(col(textCol), n)).as("ngs"))
+    // long count: DuckDB's len() is BIGINT, Spark's size() is int
+    val cand = docNg.select(col(idCol),
+      size(col("ngs")).cast("long").as("n_ngrams"),
+      explode(col("ngs")).as("ng0")).select(
+        col(idCol), col("n_ngrams"), key(col("ng0")).as("ng"))
+    val benchNg = benchmark.select(
+        explode(array_distinct(TextAnalysis.shingles(col(textCol), n))).as("ng0"))
+      .select(key(col("ng0")).as("ng")).distinct()
+    cand.join(benchNg, "ng")
+      .groupBy(col(idCol), col("n_ngrams"))
+      .agg(count(lit(1)).as("n_contaminated"))
+      .select(col(idCol), col("n_ngrams"), col("n_contaminated"),
+        (col("n_contaminated").cast("double") / col("n_ngrams"))
+          .as("contaminated_frac"))
+  }
+
+  /** Chunk-level exact duplication: split each document into
+    * non-overlapping `chunkTokens`-token windows and report, per
+    * document, how many of its distinct chunks also occur in at least
+    * one OTHER document — the C4-style "repeated span" dedup signal at
+    * chunk granularity (coarser than n-grams, finer than whole-doc
+    * [[exactDuplicates]]). Documents with zero tokens are dropped.
+    *
+    * Scale shape: two shuffles — one keyed by chunk (count distinct
+    * documents per chunk; map-side partial applies), one keyed by
+    * document. No `collect_list`, no unbounded groups: a chunk's group
+    * carries one count, and a pathological boilerplate chunk shared by
+    * millions of documents still aggregates to a single row.
+    * `hashed=true` shuffles `xxhash64(chunk)` (8 bytes) instead of the
+    * ~120-byte chunk string — the 100 TB path; strings keep the oracle
+    * bit-exact.
+    */
+  def chunkDuplication(docs: DataFrame, idCol: String, textCol: String,
+                       chunkTokens: Int = 20,
+                       hashed: Boolean = false): DataFrame = {
+    val toks = transform(TextAnalysis.wsTokens(col(textCol)),
+      t => lower(t))
+    val chunks = docs
+      .select(col(idCol), toks.as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col(idCol), array_distinct(transform(
+          sequence(lit(0),
+            ceil(size(col("toks")).cast("double") / chunkTokens)
+              .cast("int") - 1),
+          i => concat_ws(" ", slice(col("toks"), i * chunkTokens + 1,
+            lit(chunkTokens))))).as("chunks"))
+    val occ = chunks
+      .select(col(idCol), explode(col("chunks")).as("chunk0"))
+      .select(col(idCol),
+        (if (hashed) xxhash64(col("chunk0")) else col("chunk0")).as("chunk"))
+    val byChunk = occ.groupBy("chunk").agg(count(lit(1)).as("n_docs"))
+    occ.join(byChunk, "chunk")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .select(col(idCol), col("n_chunks"), col("n_dup_chunks"),
+        (col("n_dup_chunks").cast("double") / col("n_chunks")).as("dup_frac"))
+  }
 }

@@ -212,4 +212,42 @@ object TextAnalysis {
       .select(col("doc_id"), col("rn").cast("long").as("rn"), col("token"),
         col("tf"), col("df"), col("score"))
   }
+
+  /** PII patterns shared by [[redactPii]] and [[piiCounts]]. Kept to the
+    * regex subset that means the same thing in java.util.regex and RE2
+    * (no backreferences, no lookaround; `\b` is the ASCII word boundary
+    * in both), so an external audit with any RE2-based scanner agrees
+    * with the engine.
+    */
+  val EmailRe: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re: String = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe: String = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+  /** PII redaction: replace emails, IPv4 addresses, and NANP-style phone
+    * numbers with typed placeholder tags — the scrubbing pass a training
+    * pipeline runs before anything ships. Email runs first (its local
+    * part may contain digits a later pattern would see); order is part
+    * of the contract. Pure per-row codegen'd `regexp_replace` chain: no
+    * UDF, no shuffle, scales with the scan.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  /** (n_emails, n_ips, n_phones) found by the [[redactPii]] patterns.
+    * Each count runs against the text with the EARLIER patterns already
+    * redacted — the same staging as [[redactPii]] — so the counts equal
+    * exactly the number of replacements redaction makes even when a
+    * later pattern could match inside an earlier match.
+    */
+  def piiCounts(text: Column): Seq[Column] = Seq(
+    regexp_count(text, lit(EmailRe)).cast("long").as("n_emails"),
+    regexp_count(regexp_replace(text, EmailRe, "<EMAIL>"), lit(Ipv4Re))
+      .cast("long").as("n_ips"),
+    regexp_count(regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"), lit(PhoneRe))
+      .cast("long").as("n_phones"))
 }

@@ -217,4 +217,61 @@ class TextSpec extends SparkSpec {
     val d1 = top.filter(_._1 == 1L).map(t => t._6)
     assert(d1 == List(1.0986, 0.8109))
   }
+
+  test("contamination: hand-computed benchmark 5-gram overlap") {
+    // bench doc: tokens a b c d e f  → 5-grams {a b c d e, b c d e f}
+    val bench = Seq((100L, "a b c d e f")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "a b c d e x y z q r"),   // 6 distinct 5-grams, 1 matches
+      (2L, "x y z q r s"),           // 2 distinct 5-grams, 0 match → absent
+      (3L, "b c d e f")              // 1 five-gram, matches
+    ).toDF("doc_id", "text")
+    val out = Dedup.contamination(corpus, bench, "doc_id", "text", n = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toList.sortBy(_._1)
+    assert(out == List((1L, 6L, 1L, 1.0 / 6), (3L, 1L, 1L, 1.0)))
+    // hashed path: identical counts through xxhash64 keys
+    val hashed = Dedup.contamination(corpus, bench, "doc_id", "text", n = 5,
+        hashed = true)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toList.sortBy(_._1)
+    assert(hashed == List((1L, 1L), (3L, 1L)))
+  }
+
+  test("chunkDuplication: shared and unique chunks per doc") {
+    // chunkTokens = 3: doc1 = [a b c][d e f], doc2 = [a b c][x y z],
+    // doc3 = [p q] — one chunk, unique; empty doc dropped.
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c x y z"),
+      (3L, "p q"),
+      (4L, "   ")
+    ).toDF("doc_id", "text")
+    val out = Dedup.chunkDuplication(docs, "doc_id", "text", chunkTokens = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toList.sortBy(_._1)
+    assert(out == List((1L, 2L, 1L, 0.5), (2L, 2L, 1L, 0.5),
+      (3L, 1L, 0L, 0.0)))
+    // hashed path preserves the counts
+    val hashed = Dedup.chunkDuplication(docs, "doc_id", "text",
+        chunkTokens = 3, hashed = true)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toList.sortBy(_._1)
+    assert(hashed == List((1L, 1L), (2L, 1L), (3L, 0L)))
+  }
+
+  test("redactPii + piiCounts: staged email/ip/phone redaction") {
+    val df = Seq(
+      "write bob.smith+x@corp.example.org or ping 192.168.0.1 then 555-123-4567",
+      "no pii here",
+      "double 1.2.3.4 5.6.7.8 and a@b.io"
+    ).toDF("text")
+    val out = df.select(
+        TextAnalysis.piiCounts(col("text")) :+
+          TextAnalysis.redactPii(col("text")).as("r"): _*)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toList
+    assert(out(0) == ((1L, 1L, 1L,
+      "write <EMAIL> or ping <IP> then <PHONE>")))
+    assert(out(1) == ((0L, 0L, 0L, "no pii here")))
+    assert(out(2) == ((1L, 2L, 0L, "double <IP> <IP> and <EMAIL>")))
+  }
 }
