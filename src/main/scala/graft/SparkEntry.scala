@@ -1447,7 +1447,16 @@ object SparkEntry {
         .select(col("doc_id") +: (graft.text.TextAnalysis.piiCounts(full) :+
           graft.text.TextAnalysis.redactPii(full).as("redacted")): _*)
         .orderBy("doc_id")
-    })
+    }),
+
+    // Training-pipeline mixture audit: per-language doc counts, char
+    // volume, EXACT n_chars quantiles (Spark `percentile` ≡ DuckDB
+    // `quantile_cont`, bit-identical linear interpolation), mean token
+    // count — the stats that set language sampling weights.
+    "q104_corpus_stats" -> ((s, d) =>
+      graft.text.TextAnalysis.corpusStats(
+        Tables.documents(s, d), "lang", "n_chars", "text")
+        .orderBy("lang"))
   )
 
   private def b2l(b: Boolean): Long = if (b) 1L else 0L
@@ -2905,6 +2914,18 @@ object SparkEntry {
              '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
            regexp_replace(t2, '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g')
              AS redacted
-         FROM r2 ORDER BY doc_id"""
+         FROM r2 ORDER BY doc_id""",
+
+    "q104_corpus_stats" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+                CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+                AVG(n_chars) AS avg_chars,
+                quantile_cont(n_chars, 0.25) AS p25,
+                quantile_cont(n_chars, 0.5) AS p50,
+                quantile_cont(n_chars, 0.75) AS p75,
+                quantile_cont(n_chars, 0.9) AS p90,
+                AVG(len(list_filter(string_split_regex(trim(text), '\s+'),
+                    x -> x <> ''))) AS avg_tokens
+         FROM documents GROUP BY lang ORDER BY lang"""
   )
 }

@@ -243,6 +243,27 @@ object TextAnalysis {
     * exactly the number of replacements redaction makes even when a
     * later pattern could match inside an earlier match.
     */
+  /** Per-group corpus length statistics: doc count, char volume, exact
+    * quantiles of `lenCol`, and mean whitespace-token count — the
+    * mixture/length audit a pipeline publishes per language (or per
+    * source) before fixing sampling weights. Exact `percentile` (one
+    * sorted-buffer aggregate per group) is fine while groups are
+    * languages/sources (dozens); at billions of rows per group swap in
+    * `percentile_approx` (t-digest, fixed memory) — same call shape,
+    * documented trade.
+    */
+  def corpusStats(docs: DataFrame, groupCol: String, lenCol: String,
+                  textCol: String): DataFrame =
+    docs.groupBy(groupCol).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col(lenCol)).as("total_chars"),
+      avg(col(lenCol)).as("avg_chars"),
+      percentile(col(lenCol), lit(0.25)).as("p25"),
+      percentile(col(lenCol), lit(0.5)).as("p50"),
+      percentile(col(lenCol), lit(0.75)).as("p75"),
+      percentile(col(lenCol), lit(0.9)).as("p90"),
+      avg(tokenCount(col(textCol))).as("avg_tokens"))
+
   def piiCounts(text: Column): Seq[Column] = Seq(
     regexp_count(text, lit(EmailRe)).cast("long").as("n_emails"),
     regexp_count(regexp_replace(text, EmailRe, "<EMAIL>"), lit(Ipv4Re))

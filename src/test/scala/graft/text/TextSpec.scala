@@ -258,6 +258,22 @@ class TextSpec extends SparkSpec {
     assert(hashed == List((1L, 1L), (2L, 1L), (3L, 0L)))
   }
 
+  test("corpusStats: hand-computed counts and interpolated quantiles") {
+    val docs = Seq(
+      ("en", 10L, "a b"), ("en", 20L, "c"), ("en", 30L, "d e f"),
+      ("de", 5L, "x")
+    ).toDF("lang", "n_chars", "text")
+    val out = TextAnalysis.corpusStats(docs, "lang", "n_chars", "text")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6),
+        r.getDouble(7), r.getDouble(8))).toList.sortBy(_._1)
+    // en: n_chars {10,20,30} → p25 = 10 + 0.5*10 = 15 (linear interp),
+    // p50 = 20, p75 = 25, p90 = 28; avg_tokens = (2+1+3)/3 = 2.0
+    assert(out == List(
+      ("de", 1L, 5L, 5.0, 5.0, 5.0, 5.0, 5.0, 1.0),
+      ("en", 3L, 60L, 20.0, 15.0, 20.0, 25.0, 28.0, 2.0)))
+  }
+
   test("redactPii + piiCounts: staged email/ip/phone redaction") {
     val df = Seq(
       "write bob.smith+x@corp.example.org or ping 192.168.0.1 then 555-123-4567",
