@@ -1456,7 +1456,29 @@ object SparkEntry {
     "q104_corpus_stats" -> ((s, d) =>
       graft.text.TextAnalysis.corpusStats(
         Tables.documents(s, d), "lang", "n_chars", "text")
-        .orderBy("lang"))
+        .orderBy("lang")),
+
+    // Training-pipeline dedup resolution: pairwise near-dup hits are not
+    // a dedup decision until transitively clustered — a∼b, b∼c must keep
+    // ONE of {a,b,c}. Pairs (exact n-gram Jaccard on a bounded id range,
+    // the q99 oracle path; LSH feeds the same shape at scale) → min-label
+    // connected components → keeper = min doc_id per cluster; singleton
+    // docs keep themselves. The oracle rebuilds the clusters with a
+    // recursive transitive-closure CTE.
+    "q105_dedup_clusters" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = graft.text.Dedup.ngramJaccardBrute(docs, "doc_id", "text",
+        shingleK = 3, threshold = 0.05, maxId = 500L)
+      val cc = graft.graph.Algorithms.connectedComponents(
+        pairs.select(col("id1").as("src"), col("id2").as("dst")))
+      val scoped = docs.filter(col("doc_id") < 500).select("doc_id")
+      scoped.join(cc, scoped("doc_id") === cc("id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("keeper"),
+          (coalesce(col("component"), col("doc_id")) === col("doc_id"))
+            .as("is_keeper"))
+        .orderBy("doc_id")
+    })
   )
 
   private def b2l(b: Boolean): Long = if (b) 1L else 0L
@@ -2926,6 +2948,33 @@ object SparkEntry {
                 quantile_cont(n_chars, 0.9) AS p90,
                 AVG(len(list_filter(string_split_regex(trim(text), '\s+'),
                     x -> x <> ''))) AS avg_tokens
-         FROM documents GROUP BY lang ORDER BY lang"""
+         FROM documents GROUP BY lang ORDER BY lang""",
+
+    "q105_dedup_clusters" ->
+      """WITH RECURSIVE base AS (SELECT doc_id,
+              list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                          x -> x <> '') AS toks
+              FROM documents WHERE doc_id < 500),
+            sh AS (SELECT doc_id, list_distinct(
+              CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                ELSE list_transform(range(len(toks) - 2),
+                  i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
+                END) AS sset FROM base),
+            pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE) /
+                len(list_distinct(list_concat(a.sset, b.sset))) >= 0.05),
+            edges AS (SELECT id1 AS s, id2 AS t FROM pairs
+              UNION SELECT id2, id1 FROM pairs),
+            reach AS (SELECT s AS id, t AS r FROM edges
+              UNION SELECT e.s, reach.r FROM edges e
+                JOIN reach ON e.t = reach.id),
+            comp AS (SELECT id, LEAST(id, MIN(r)) AS keeper
+              FROM reach GROUP BY id)
+         SELECT d.doc_id, COALESCE(c.keeper, d.doc_id) AS keeper,
+                (COALESCE(c.keeper, d.doc_id) = d.doc_id) AS is_keeper
+         FROM (SELECT doc_id FROM documents WHERE doc_id < 500) d
+           LEFT JOIN comp c ON d.doc_id = c.id
+         ORDER BY d.doc_id"""
   )
 }

@@ -274,6 +274,28 @@ class TextSpec extends SparkSpec {
       ("en", 3L, 60L, 20.0, 15.0, 20.0, 25.0, 28.0, 2.0)))
   }
 
+  test("dedup clusters: transitive near-dup chain keeps one doc") {
+    // a∼b and b∼c by 3-gram jaccard, a≁c directly — transitive
+    // clustering must still put all three under keeper 1.
+    val docs = Seq(
+      (1L, "p q r s t u v w"),
+      (2L, "p q r s t u x y"),   // shares a prefix with 1
+      (3L, "s t u x y z z2 z3"), // shares a suffix with 2, little with 1
+      (4L, "completely different words here now")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardBrute(docs, "doc_id", "text",
+      shingleK = 3, threshold = 0.15, maxId = 500L)
+    val got = pairs.select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 2L)) && got.contains((2L, 3L)) &&
+      !got.contains((1L, 3L)))
+    val cc = graft.graph.Algorithms.connectedComponents(
+      pairs.select(col("id1").as("src"), col("id2").as("dst")))
+    val comp = cc.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(comp(1L) == 1L && comp(2L) == 1L && comp(3L) == 1L)
+    assert(!comp.contains(4L)) // singleton: keeps itself downstream
+  }
+
   test("redactPii + piiCounts: staged email/ip/phone redaction") {
     val df = Seq(
       "write bob.smith+x@corp.example.org or ping 192.168.0.1 then 555-123-4567",
