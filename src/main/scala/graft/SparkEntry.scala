@@ -1478,6 +1478,29 @@ object SparkEntry {
           (coalesce(col("component"), col("doc_id")) === col("doc_id"))
             .as("is_keeper"))
         .orderBy("doc_id")
+    }),
+
+    // §2.13 streaming exactly-once-by-key: the event log is written
+    // TWICE (an at-least-once delivery), the stream drops replayed ids
+    // under a watermark, and per-user counts must equal the batch oracle
+    // over the single copy. One AvailableNow batch (no file cap) so
+    // every duplicate is in-watermark — arrival order of a file source
+    // is not event-time order, and a multi-batch run would expose
+    // replayed OLD events to late-data drop instead of dedup; the
+    // cross-batch path is spec'd separately (StreamingSpec).
+    "q106_stream_dedup" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val dir = java.nio.file.Files.createTempDirectory("graft_q106_").toString
+      ev.write.mode("overwrite").parquet(dir)
+      ev.write.mode("append").parquet(dir)
+      val src = s.readStream.schema(ev.schema).parquet(dir)
+      val q = graft.streaming.Sessionize.streamingDedupCounts(src)
+        .writeStream.outputMode("complete").format("memory")
+        .queryName("graft_q106")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("graft_q106").orderBy("user_id")
     })
   )
 
@@ -2975,6 +2998,10 @@ object SparkEntry {
                 (COALESCE(c.keeper, d.doc_id) = d.doc_id) AS is_keeper
          FROM (SELECT doc_id FROM documents WHERE doc_id < 500) d
            LEFT JOIN comp c ON d.doc_id = c.id
-         ORDER BY d.doc_id"""
+         ORDER BY d.doc_id""",
+
+    "q106_stream_dedup" ->
+      """SELECT user_id, COUNT(*) AS n_events
+         FROM events GROUP BY user_id ORDER BY user_id"""
   )
 }

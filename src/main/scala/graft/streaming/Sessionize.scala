@@ -71,4 +71,22 @@ object Sessionize {
       .groupBy(col(userCol), session_window(col(tsCol), s"$gapSeconds seconds"))
       .agg(count(lit(1)).as("n_events"),
         round(sum(col(valueCol)), 2).as("sum_value"))
+
+  /** Streaming exactly-once-by-key ingestion: drop replayed events by id
+    * under a watermark, then count per user. At-least-once sources
+    * (file re-lists, kafka redelivery, micro-batch replay after a crash)
+    * deliver duplicates; `dropDuplicatesWithinWatermark` keeps one row
+    * per `idCol` while the engine holds only the watermark-bounded slice
+    * of key state — the 100 TB shape (a plain `dropDuplicates` would pin
+    * every id ever seen). Complete-mode counts so the result is a plain
+    * frame the batch oracle reproduces with one COUNT(DISTINCT).
+    */
+  def streamingDedupCounts(events: DataFrame, userCol: String = "user_id",
+                           idCol: String = "event_id", tsCol: String = "ts",
+                           watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(idCol)
+      .groupBy(col(userCol))
+      .agg(count(lit(1)).as("n_events"))
 }

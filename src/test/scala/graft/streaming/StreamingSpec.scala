@@ -92,6 +92,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingDedupCounts drops a replayed batch across micro-batches") {
+    // at-least-once delivery: batch 2 replays batch 1's events (same
+    // event ids, in-watermark timestamps). Counts must see each id once.
+    val dir = Files.createTempDirectory("graftdedup")
+    val mk = (rows: Seq[(Long, Long, String)]) => rows
+      .toDF("event_id", "user_id", "ts0")
+      .select(col("event_id"), col("user_id"),
+        to_timestamp(col("ts0")).as("ts"))
+    val b1 = mk(Seq((1L, 10L, "2026-01-01 10:00:00"),
+      (2L, 10L, "2026-01-01 10:01:00"), (3L, 20L, "2026-01-01 10:02:00")))
+    b1.coalesce(1).write.mode("append").parquet(dir.toString)
+    val src = spark.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+    val q = Sessionize.streamingDedupCounts(src, watermark = "1 hour")
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("graft_dedup_spec").start()
+    try {
+      q.processAllAvailable()
+      // replay batch 1 plus one genuinely new event
+      b1.union(mk(Seq((4L, 20L, "2026-01-01 10:03:00"))))
+        .coalesce(1).write.mode("append").parquet(dir.toString)
+      q.processAllAvailable()
+      val got = spark.table("graft_dedup_spec").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got == Map(10L -> 2L, 20L -> 2L))
+    } finally q.stop()
+  }
+
   test("windowedEventCounts compiles against a batch frame semantically") {
     // batch-mode equivalent of the streaming aggregation (same plan shape)
     val ev = Seq(("2026-01-01 10:05:00", "click", 1.0),
