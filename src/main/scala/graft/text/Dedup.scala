@@ -25,12 +25,10 @@ object Dedup {
     * across calls — read deltas around a job, or reset() between runs.
     * These are observability counters, not exact-once statistics: task
     * retries/speculation over-count (standard non-result-stage
-    * accumulator semantics), and so does PLAN re-execution — the
-    * oversized-bucket subtree sits on both sides of the LSH self-join,
-    * and only exchange/subquery reuse collapses it to one physical
-    * execution; with reuse disabled (or a plan shape defeating it) each
-    * side counts once, i.e. values arrive as small integer multiples of
-    * the true drop count. Interpret magnitudes, not exact values.
+    * accumulator semantics). Plan re-execution does NOT: capBuckets
+    * eagerly materializes the counting subtree (see below), so the hook
+    * runs in exactly one job regardless of how many plan sides reuse
+    * the capped frame.
     */
   object DroppedBuckets {
     import org.apache.spark.SparkContext
@@ -80,10 +78,19 @@ object Dedup {
       val track = udf { n: Long =>
         dBuckets.add(1L); dRows.add(n); true
       }.asNondeterministic()
+      // Eager localCheckpoint: the capped subtree sits on BOTH sides of
+      // the LSH self-joins downstream, and only exchange reuse would
+      // otherwise collapse the two executions of this filter — with
+      // reuse disabled (or a plan shape defeating it) the accumulators
+      // would double-count. Materializing the oversized keys (tiny by
+      // construction) pins exactly one execution of the counting hook,
+      // making the drop counters exact up to task retries. The extra
+      // job is one map-side-combined aggregate over bucket keys.
       val oversized = bucketed.groupBy(keys.map(col): _*)
         .agg(count(lit(1)).as("__bsz"))
         .filter(col("__bsz") > maxBucketSize && track(col("__bsz")))
         .select(keys.map(col): _*)
+        .transform(graft.graph.Iterate.ckpt)
       bucketed.join(oversized, keys, "left_anti")
     }
 
