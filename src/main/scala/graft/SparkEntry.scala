@@ -1381,7 +1381,7 @@ object SparkEntry {
     "q99_ngram_jaccard" -> ((s, d) =>
       graft.text.Dedup.ngramJaccardBrute(
         Tables.documents(s, d), "doc_id", "text",
-        shingleK = 3, threshold = 0.05, maxId = 500L)
+        shingleK = 3, threshold = 0.05, maxId = 500L, hashed = true)
         .orderBy("id1", "id2")),
 
     // §2.13 stateful streaming: native session_window under a watermark,
@@ -1419,7 +1419,7 @@ object SparkEntry {
       graft.text.Dedup.contamination(
         docs.filter(col("doc_id") % 50 =!= 0),
         docs.filter(col("doc_id") % 50 === 0),
-        "doc_id", "text", n = 4)
+        "doc_id", "text", n = 4, hashed = true)
         .orderBy("doc_id")
     }),
 
@@ -1468,7 +1468,7 @@ object SparkEntry {
     "q105_dedup_clusters" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val pairs = graft.text.Dedup.ngramJaccardBrute(docs, "doc_id", "text",
-        shingleK = 3, threshold = 0.05, maxId = 500L)
+        shingleK = 3, threshold = 0.05, maxId = 500L, hashed = true)
       val cc = graft.graph.Algorithms.connectedComponents(
         pairs.select(col("id1").as("src"), col("id2").as("dst")))
       val scoped = docs.filter(col("doc_id") < 500).select("doc_id")

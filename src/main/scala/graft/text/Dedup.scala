@@ -267,12 +267,26 @@ object Dedup {
     * corpus scale; jaccard is a ratio of the same integer set sizes in
     * both engines, so it compares bit-exactly.
     */
+  /** Distinct n-gram SET of a text column. `hashed=true` runs the
+    * compiled [[graft.functions.ShingleHashes]] kernel (sorted distinct
+    * xxhash64 per n-gram, 8 bytes each) — the hot path for every
+    * set-shaped n-gram operator; `hashed=false` keeps the n-gram
+    * strings (the interpreted HOF chain) for bit-exact string oracles.
+    * Set sizes, intersections, and join hits are identical between the
+    * two up to xxhash64 collisions (~2⁻⁶⁴ per pair).
+    */
+  private[graft] def ngramSet(text: Column, n: Int, hashed: Boolean): Column =
+    if (hashed)
+      graft.functions.ShingleHashes.of(TextAnalysis.wsTokens(text), n)
+    else array_distinct(TextAnalysis.shingles(text, n))
+
   def ngramJaccardBrute(docs: DataFrame, idCol: String, textCol: String,
                         shingleK: Int = 3, threshold: Double = 0.1,
-                        maxId: Long = 500L): DataFrame = {
+                        maxId: Long = 500L,
+                        hashed: Boolean = false): DataFrame = {
     val sh = docs.filter(col(idCol) < maxId)
       .select(col(idCol).as("sid"),
-        array_distinct(TextAnalysis.shingles(col(textCol), shingleK)).as("sset"))
+        ngramSet(col(textCol), shingleK, hashed).as("sset"))
     val a = sh.select(col("sid").as("id1"), col("sset").as("s1"))
     val b = sh.select(col("sid").as("id2"), col("sset").as("s2"))
     a.join(b, col("id1") < col("id2"))
@@ -301,17 +315,13 @@ object Dedup {
   def contamination(corpus: DataFrame, benchmark: DataFrame, idCol: String,
                     textCol: String, n: Int = 5,
                     hashed: Boolean = false): DataFrame = {
-    def key(c: Column): Column = if (hashed) xxhash64(c) else c
-    val docNg = corpus.select(col(idCol),
-      array_distinct(TextAnalysis.shingles(col(textCol), n)).as("ngs"))
+    val docNg = corpus.select(col(idCol), ngramSet(col(textCol), n, hashed).as("ngs"))
     // long count: DuckDB's len() is BIGINT, Spark's size() is int
     val cand = docNg.select(col(idCol),
       size(col("ngs")).cast("long").as("n_ngrams"),
-      explode(col("ngs")).as("ng0")).select(
-        col(idCol), col("n_ngrams"), key(col("ng0")).as("ng"))
-    val benchNg = benchmark.select(
-        explode(array_distinct(TextAnalysis.shingles(col(textCol), n))).as("ng0"))
-      .select(key(col("ng0")).as("ng")).distinct()
+      explode(col("ngs")).as("ng"))
+    val benchNg = benchmark
+      .select(explode(ngramSet(col(textCol), n, hashed)).as("ng")).distinct()
     cand.join(benchNg, "ng")
       .groupBy(col(idCol), col("n_ngrams"))
       .agg(count(lit(1)).as("n_contaminated"))

@@ -59,6 +59,23 @@ class FunctionsSpec extends SparkSpec {
     assert(agree > 0 && agree < 16)
   }
 
+  test("ShingleHashes: set-equal to xxhash64 over the HOF shingle path") {
+    val df = Seq(("The quick Brown fox jumps over the lazy dog", 0),
+      ("a b", 1), ("x x x x x", 2), ("", 3)).toDF("text", "id")
+    val native = df.select(col("id"),
+        ShingleHashes.of(graft.text.TextAnalysis.wsTokens(col("text")), 3)
+          .as("hs"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    val hof = df.select(col("id"),
+        array_sort(array_distinct(transform(
+          graft.text.TextAnalysis.shingles(col("text"), 3), xxhash64(_))))
+          .as("hs"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    assert(native == hof)
+    assert(native(2).length == 1)  // repeated shingle deduped
+    assert(native(1).length == 1)  // short doc: one shingle of everything
+  }
+
   test("SimHash64: identity, case-insensitivity, near-text locality") {
     def sig(s: String): Long =
       Seq(s).toDF("t")
