@@ -248,8 +248,7 @@ object Dedup {
       .distinct()
     val sh = docs.join(candIds, docs(idCol) === col("cid"), "left_semi")
       .select(col(idCol).as("sid"),
-        array_distinct(transform(TextAnalysis.shingles(col(textCol), shingleK),
-          s => xxhash64(s))).as("sset"))
+        ngramSet(col(textCol), shingleK, hashed = true).as("sset"))
       .repartition(col("sid"))  // barrier: shingle sets materialized once
     cands.join(sh, cands("id1") === sh("sid")).withColumnRenamed("sset", "s1").drop("sid")
       .join(sh.withColumnRenamed("sset", "s2"), cands("id2") === col("sid")).drop("sid")
