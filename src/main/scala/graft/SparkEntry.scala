@@ -1501,7 +1501,23 @@ object SparkEntry {
         .start()
       q.awaitTermination()
       s.table("graft_q106").orderBy("user_id")
-    })
+    }),
+
+    // Training-pipeline curation gate: composite keep/drop verdict from
+    // token count, quality score, and word-repetition fraction, rules in
+    // priority order. All inputs are bit-identical cross-engine, so the
+    // threshold cuts are deterministic.
+    "q107_quality_verdict" -> ((s, d) =>
+      graft.text.TextAnalysis.qualityVerdict(
+        Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // Training-pipeline boilerplate detection: corpus-wide top-20 most
+    // document-frequent 3-grams (template text span dedup then strips).
+    "q108_boilerplate" -> ((s, d) =>
+      graft.text.TextAnalysis.boilerplateNgrams(
+        Tables.documents(s, d), "doc_id", "text", n = 3, k = 20)
+        .orderBy("rn"))
   )
 
   private def b2l(b: Boolean): Long = if (b) 1L else 0L
@@ -3002,6 +3018,55 @@ object SparkEntry {
 
     "q106_stream_dedup" ->
       """SELECT user_id, COUNT(*) AS n_events
-         FROM events GROUP BY user_id ORDER BY user_id"""
+         FROM events GROUP BY user_id ORDER BY user_id""",
+
+    // n_words / rep_word_frac per q95's formulas; quality per q22's.
+    "q107_quality_verdict" ->
+      """WITH base AS (SELECT doc_id,
+              list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                          x -> x <> '') AS toks FROM documents),
+            wc AS (SELECT doc_id, w, COUNT(*) AS c
+                   FROM (SELECT doc_id, unnest(toks) AS w FROM base)
+                   GROUP BY doc_id, w),
+            stats AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+                COUNT(*) AS n_distinct FROM wc GROUP BY doc_id),
+            q AS (SELECT doc_id,
+              CAST(length(text) AS DOUBLE) AS n,
+              CAST(length(regexp_replace(text, '[^\p{L}]', '', 'g')) AS DOUBLE) AS alpha,
+              CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE) AS punct,
+              CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                       x -> x <> '')) AS DOUBLE) AS toks
+              FROM documents),
+            score AS (SELECT doc_id,
+              floor((least(n / 500.0, 1.0) * 0.25 +
+                     (CASE WHEN n > 0 THEN alpha / n ELSE 0.0 END) * 0.35 +
+                     (1.0 - least((CASE WHEN n > 0 THEN punct / n ELSE 0.0 END) * 4,
+                        1.0)) * 0.25 +
+                     (CASE WHEN toks > 0 AND (alpha / toks) BETWEEN 3.0 AND 10.0
+                        THEN 1.0 ELSE 0.5 END) * 0.15) * 10000) / 10000 AS quality
+              FROM q)
+         SELECT s.doc_id, s.n_words, sc.quality,
+                1 - CAST(s.n_distinct AS DOUBLE) / s.n_words AS rep_word_frac,
+                CASE WHEN s.n_words < 20 THEN 'too_short'
+                     WHEN sc.quality < 0.78 THEN 'low_quality'
+                     WHEN 1 - CAST(s.n_distinct AS DOUBLE) / s.n_words > 0.62
+                       THEN 'repetitive'
+                     ELSE 'keep' END AS verdict
+         FROM stats s JOIN score sc USING (doc_id)
+         ORDER BY s.doc_id""",
+
+    "q108_boilerplate" ->
+      """WITH base AS (SELECT doc_id,
+              list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                          x -> x <> '') AS toks FROM documents),
+            ngr AS (SELECT doc_id, unnest(list_distinct(
+              CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                ELSE list_transform(range(len(toks) - 2),
+                  i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
+                END)) AS ngram FROM base),
+            cnt AS (SELECT ngram, COUNT(*) AS n_docs FROM ngr GROUP BY ngram)
+         SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_docs DESC, ngram ASC)
+                  AS BIGINT) AS rn, ngram, n_docs
+         FROM cnt ORDER BY n_docs DESC, ngram ASC LIMIT 20"""
   )
 }

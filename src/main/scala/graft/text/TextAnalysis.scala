@@ -213,6 +213,54 @@ object TextAnalysis {
         col("tf"), col("df"), col("score"))
   }
 
+  /** Composite keep/drop decision — the gate a curation pipeline applies
+    * after computing its per-document signals. Rules fire in priority
+    * order (first hit names the verdict): too_short (token count), then
+    * low_quality ([[qualityScore]]), then repetitive (duplicate-word
+    * fraction from [[repetitionSignals]]); survivors are 'keep'. Every
+    * input is bit-identical cross-engine (integer ratios and the
+    * floor-truncated score), so the threshold comparisons — and hence
+    * the verdicts — are deterministic, not float-fragile.
+    */
+  def qualityVerdict(docs: DataFrame, idCol: String, textCol: String,
+                     minTokens: Long = 20, minQuality: Double = 0.78,
+                     maxRepWordFrac: Double = 0.62): DataFrame = {
+    val rep = repetitionSignals(docs, idCol, textCol)
+      .select(col("doc_id"), col("n_words"), col("rep_word_frac"))
+    val q = docs.select(col(idCol).as("doc_id"),
+      qualityScore(col(textCol)).as("quality"))
+    rep.join(q, "doc_id").select(
+      col("doc_id"), col("n_words"), col("quality"), col("rep_word_frac"),
+      when(col("n_words") < minTokens, "too_short")
+        .when(col("quality") < minQuality, "low_quality")
+        .when(col("rep_word_frac") > maxRepWordFrac, "repetitive")
+        .otherwise("keep").as("verdict"))
+  }
+
+  /** Corpus-wide boilerplate detection: the `k` most document-frequent
+    * word n-grams (an n-gram in many documents is template/boilerplate
+    * text — navigation chrome, license headers — that span dedup then
+    * strips). Per-doc distinct n-grams → one map-side-combined count by
+    * n-gram → global top-k (tie-broken on the n-gram string, so the cut
+    * is deterministic). String n-grams are the point here (the output
+    * is read by humans); the hashed kernel path serves the set
+    * operators.
+    */
+  def boilerplateNgrams(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byNgram = docs
+      .select(explode(array_distinct(shingles(col(textCol), n))).as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("n_docs"))
+    // Distributed top-k first (sort+limit = per-partition top-k, then a
+    // k-row merge on the driver side of the exchange); the rank window
+    // then runs over k rows, never over the corpus vocabulary.
+    val top = byNgram.orderBy(desc("n_docs"), asc("ngram")).limit(k)
+    val w = Window.orderBy(desc("n_docs"), asc("ngram"))
+    top.withColumn("rn", row_number().over(w))
+      .select(col("rn").cast("long").as("rn"), col("ngram"), col("n_docs"))
+  }
+
   /** PII patterns shared by [[redactPii]] and [[piiCounts]]. Kept to the
     * regex subset that means the same thing in java.util.regex and RE2
     * (no backreferences, no lookaround; `\b` is the ASCII word boundary

@@ -274,6 +274,37 @@ class TextSpec extends SparkSpec {
       ("en", 3L, 60L, 20.0, 15.0, 20.0, 25.0, 28.0, 2.0)))
   }
 
+  test("qualityVerdict: rule priority and thresholds") {
+    val long = ("word" + (1 to 120).map(i => s" tok$i").mkString) // 121 distinct tokens
+    val repet = (1 to 60).map(_ => "same same other").mkString(" ")
+    val docs = Seq(
+      (1L, "a b c"),      // 3 words → too_short
+      (2L, long),         // long, distinct, clean → keep
+      (3L, repet)         // 180 words, 3 distinct → repetitive (if quality ok)
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.qualityVerdict(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(out(1L) == "too_short")
+    assert(out(2L) == "keep")
+    assert(out(3L) == "repetitive" || out(3L) == "low_quality")
+    // priority: a short AND repetitive doc reports too_short first
+    val short2 = Seq((9L, "x x x")).toDF("doc_id", "text")
+    assert(TextAnalysis.qualityVerdict(short2, "doc_id", "text")
+      .collect()(0).getString(4) == "too_short")
+  }
+
+  test("boilerplateNgrams: doc-frequency ranking with deterministic ties") {
+    val docs = Seq(
+      (1L, "the quick fox jumps high"),
+      (2L, "the quick fox runs far"),
+      (3L, "the quick fox runs far"),
+      (4L, "zz yy xx ww vv")
+    ).toDF("doc_id", "text")
+    val top = TextAnalysis.boilerplateNgrams(docs, "doc_id", "text", n = 3, k = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toList
+    assert(top == List((1L, "the quick fox", 3L), (2L, "fox runs far", 2L)))
+  }
+
   test("dedup clusters: transitive near-dup chain keeps one doc") {
     // a∼b and b∼c by 3-gram jaccard, a≁c directly — transitive
     // clustering must still put all three under keeper 1.
