@@ -319,8 +319,12 @@ object Dedup {
     val cand = docNg.select(col(idCol),
       size(col("ngs")).cast("long").as("n_ngrams"),
       explode(col("ngs")).as("ng"))
-    val benchNg = benchmark
-      .select(explode(ngramSet(col(textCol), n, hashed)).as("ng")).distinct()
+    // Explicit broadcast: the benchmark side is small BY DESIGN (eval
+    // suites are MBs against a TB corpus), but at test scale the
+    // planner's size estimates can pick the corpus side to build —
+    // backwards at 100 TB. The hint makes the right shape structural.
+    val benchNg = broadcast(benchmark
+      .select(explode(ngramSet(col(textCol), n, hashed)).as("ng")).distinct())
     cand.join(benchNg, "ng")
       .groupBy(col(idCol), col("n_ngrams"))
       .agg(count(lit(1)).as("n_contaminated"))
