@@ -249,6 +249,21 @@ object Bench {
         spark.range(100000000L).selectExpr("sum(xxhash64(id) % 1000000)").collect()
         (System.nanoTime() - t0) / 1e9
       }
+      // Calib-normalized runs: each timed run ÷ the host speed sampled
+      // right before it (its probeCalib, rescaled so a steady host gives
+      // normalized == raw: the mini-calib is the suite-head CPU calib at
+      // 1/20 scale). The r6 artifact's raw TC spread was 3.65× while its
+      // per-run calibs swung ~5× — the spread was the host window, not
+      // the engine — but attributing that required manual cross-reading.
+      // *_sec_runs_normalized publishes the attribution: the ≤2 bar is
+      // gated on the normalized max/min.
+      def normalize(runs: Seq[Double], calibs: Seq[Double]): Seq[Double] = {
+        val ref = if (calibRuns.nonEmpty) medianOf(calibRuns) / 20.0
+          else if (calibs.nonEmpty) calibs.min else 1.0
+        runs.zip(calibs).map { case (r, c) => if (c > 0) r * ref / c else r }
+      }
+      def spread(runs: Seq[Double]): Double =
+        if (runs.isEmpty || runs.min <= 0) 0.0 else runs.max / runs.min
       // 3 timed runs, ALL persisted (pr_sec_runs) so the spread is
       // auditable: host-level noise on this box swings a single run
       // ±50% (observed 7.6 vs 4.0 M edge-iters/s on identical code).
@@ -268,7 +283,8 @@ object Bench {
       val dt = runs.min
       val dtMed = runs.sorted.apply(runs.size / 2)
       val rate = nEdges.toDouble * iters / dt
-      System.err.println(f"[bench] pagerank_throughput $nEdges%d edges x $iters iters = $dt%.2f s best / $dtMed%.2f s median (${rate / 1e6}%.2f M edge-iters/s best)")
+      val prNorm = normalize(runs, prCalibs.toSeq)
+      System.err.println(f"[bench] pagerank_throughput $nEdges%d edges x $iters iters = $dt%.2f s best / $dtMed%.2f s median (${rate / 1e6}%.2f M edge-iters/s best); spread raw ${spread(runs)}%.2fx / normalized ${spread(prNorm)}%.2fx")
       // Second commensurable baseline row: triangle counting — BASELINE.md
       // times twitter-2010 (1.5 B edges) at 55 min ≈ 454k edges/s. Same
       // synthetic graph, one warm run (codegen) + 2 timed runs, best
@@ -294,13 +310,14 @@ object Bench {
         }
         val tcDt = tcRuns.min
         val tcRate = nEdges.toDouble / tcDt
-        System.err.println(f"[bench] triangle_throughput $nEdges%d edges = $tcDt%.2f s best (${tcRate / 1e3}%.0f k edges/s)")
-        s""","tc_sec":$tcDt,"tc_sec_runs":${tcRuns.mkString("[", ",", "]")},"tc_calib_runs":${tcCalibs.mkString("[", ",", "]")},"tc_edges_per_sec":$tcRate"""
+        val tcNorm = normalize(tcRuns, tcCalibs.toSeq)
+        System.err.println(f"[bench] triangle_throughput $nEdges%d edges = $tcDt%.2f s best (${tcRate / 1e3}%.0f k edges/s); spread raw ${spread(tcRuns)}%.2fx / normalized ${spread(tcNorm)}%.2fx")
+        s""","tc_sec":$tcDt,"tc_sec_runs":${tcRuns.mkString("[", ",", "]")},"tc_calib_runs":${tcCalibs.mkString("[", ",", "]")},"tc_sec_runs_normalized":${tcNorm.mkString("[", ",", "]")},"tc_spread_normalized":${spread(tcNorm)},"tc_edges_per_sec":$tcRate"""
       } catch { case e: Throwable =>
         System.err.println(s"[bench] triangle probe failed: ${e.getMessage}")
         ""
       }
-      s""","pr_edges":$nEdges,"pr_iters":$iters,"pr_sec":$dt,"pr_sec_median":$dtMed,"pr_sec_runs":${runs.mkString("[", ",", "]")},"pr_calib_runs":${prCalibs.mkString("[", ",", "]")},"pr_edge_iters_per_sec":$rate$tc"""
+      s""","pr_edges":$nEdges,"pr_iters":$iters,"pr_sec":$dt,"pr_sec_median":$dtMed,"pr_sec_runs":${runs.mkString("[", ",", "]")},"pr_calib_runs":${prCalibs.mkString("[", ",", "]")},"pr_sec_runs_normalized":${prNorm.mkString("[", ",", "]")},"pr_spread_normalized":${spread(prNorm)},"pr_edge_iters_per_sec":$rate$tc"""
     } catch { case e: Throwable =>
       System.err.println(s"[bench] throughput probe failed: ${e.getMessage}")
       ""
@@ -321,7 +338,7 @@ object Bench {
     if (only.isEmpty && !probeOnly && sfDir.contains("sf0.1"))
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE",
-          "/root/repo/bench_full_r06.json")), line + "\n")
+          "/root/repo/bench_full_r07.json")), line + "\n")
     spark.stop()
   }
 }

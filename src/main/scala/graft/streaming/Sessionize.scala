@@ -37,6 +37,65 @@ object Sessionize {
       sum(newSess).over(w.rowsBetween(Window.unboundedPreceding, 0)) + 1L)
   }
 
+  /** Skew-safe two-phase [[assign]] — bit-identical session ordinals,
+    * without serializing a user onto one task. [[assign]]'s
+    * `Window.partitionBy(user)` is a running sum (streaming frame, no
+    * per-user buffer), so it is latency/skew-bound, not OOM-bound — but
+    * one bot user with 10⁸ events is still ONE task at 100 TB. Here the
+    * per-event work partitions by (user, coarse time bucket): local
+    * gap-breaks are computed within each bucket (hot users split across
+    * `bucketSeconds` slices), then ONE aggregate row per non-empty
+    * (user, bucket) — min/max event time and local break count — flows
+    * through a per-user window (rows = active buckets per user, not
+    * events per user) that resolves the bucket-boundary break (first
+    * event of a bucket vs the previous non-empty bucket's last event)
+    * and each bucket's running session offset; a join on (user, bucket)
+    * — the partitioning the local window already established — hands
+    * every event its offset.
+    *
+    * Equal timestamps always share a bucket (buckets cut on event time),
+    * so the (`ts`, `idCol`) tie-break order is preserved exactly.
+    */
+  def assignBucketed(events: DataFrame, userCol: String = "user_id",
+                     tsCol: String = "ts", idCol: String = "event_id",
+                     gapSeconds: Long = 1800L,
+                     bucketSeconds: Long = 86400L): DataFrame = {
+    val gapUs = gapSeconds * 1000000L
+    val us = unix_micros(col(tsCol))
+    val wLocal = Window.partitionBy(col(userCol), col("__bkt"))
+      .orderBy(col(tsCol), col(idCol))
+    val ev = events
+      .withColumn("__bkt", floor(us / lit(bucketSeconds * 1000000L)).cast("long"))
+      .withColumn("__brk",
+        when(us - lag(us, 1).over(wLocal) > gapUs, 1L).otherwise(0L))
+    // One row per (user, bucket): local breaks + boundary timestamps.
+    val buckets = ev.groupBy(col(userCol), col("__bkt"))
+      .agg(min(us).as("__min_us"), max(us).as("__max_us"),
+        sum(col("__brk")).as("__local"))
+    val wUser = Window.partitionBy(col(userCol)).orderBy(col("__bkt"))
+    // Break at the bucket seam: the bucket's first event vs the previous
+    // non-empty bucket's last event (a user's very first event breaks 0,
+    // exactly like assign's null-lag case).
+    val seam = when(
+      col("__min_us") - lag(col("__max_us"), 1).over(wUser) > gapUs, 1L)
+      .otherwise(0L)
+    val offsets = buckets
+      .withColumn("__seam", seam)
+      .withColumn("__base",
+        coalesce(sum(col("__local") + col("__seam"))
+          .over(wUser.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+          + col("__seam"))
+      .select(col(userCol), col("__bkt"), col("__base"))
+    // session = (breaks in all previous buckets + this bucket's seam
+    // break) + running local breaks + 1 — the same cumulative-break sum
+    // assign computes in one frame.
+    ev.join(offsets, Seq(userCol, "__bkt"))
+      .withColumn("session",
+        col("__base") + sum(col("__brk"))
+          .over(wLocal.rowsBetween(Window.unboundedPreceding, 0)) + 1L)
+      .drop("__bkt", "__brk", "__base")
+  }
+
   /** Session rollup: one row per (user, session) with event count,
     * start/end, duration in microseconds, and the summed `value`.
     */

@@ -33,23 +33,12 @@ object Dedup {
   object DroppedBuckets {
     import org.apache.spark.SparkContext
     import org.apache.spark.util.LongAccumulator
-    private val regs =
-      new java.util.concurrent.ConcurrentHashMap[SparkContext,
-        (LongAccumulator, LongAccumulator)]
-    /** (droppedBuckets, droppedRows) for this context. Registration also
-      * hooks application end so the map never retains accumulators of
-      * stopped contexts (a slow leak for harnesses cycling contexts).
+    /** (droppedBuckets, droppedRows) for this context (registry with
+      * context-lifecycle cleanup: [[graft.metrics.NamedAcc]]).
       */
     def of(sc: SparkContext): (LongAccumulator, LongAccumulator) =
-      regs.computeIfAbsent(sc, c => {
-        c.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-          override def onApplicationEnd(
-              end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
-            regs.remove(c)
-        })
-        (c.longAccumulator("graft.lsh.dropped_buckets"),
-          c.longAccumulator("graft.lsh.dropped_rows"))
-      })
+      (graft.metrics.NamedAcc.of(sc, "graft.lsh.dropped_buckets"),
+        graft.metrics.NamedAcc.of(sc, "graft.lsh.dropped_rows"))
     def reset(sc: SparkContext): Unit = {
       val (b, r) = of(sc); b.reset(); r.reset()
     }
@@ -86,6 +75,14 @@ object Dedup {
       // construction) pins exactly one execution of the counting hook,
       // making the drop counters exact up to task retries. The extra
       // job is one map-side-combined aggregate over bucket keys.
+      // Fault-tolerance trade (deliberate): localCheckpoint blocks are
+      // NOT recomputable — on a multi-executor cluster, losing an
+      // executor after this point fails downstream jobs reading the
+      // oversized-keys frame instead of recounting. The frame is a few
+      // rows, so a multi-executor deployment wanting lineage should
+      // swap in cache()+count() (recomputable, at the cost of the hook
+      // possibly re-firing) or a reliable checkpoint; on the bench
+      // topology the non-recomputable block is strictly cheaper.
       val oversized = bucketed.groupBy(keys.map(col): _*)
         .agg(count(lit(1)).as("__bsz"))
         .filter(col("__bsz") > maxBucketSize && track(col("__bsz")))

@@ -114,18 +114,65 @@ object TextAnalysis {
     docs.select(explode(transform(wsTokens(col(textCol)), (t: org.apache.spark.sql.Column) => lower(t))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("cnt"))
 
+  /** Truncate each document's frequent-token set to its `maxTokensPerDoc`
+    * highest-df tokens (df desc, token asc — a deterministic total order)
+    * before [[tokenPmi]]'s pair self-join. `minDf` bounds the TOKEN side
+    * of that join; this bounds the DOC side: one pathological document
+    * with t frequent distinct tokens would otherwise emit C(t,2) pairs
+    * from a single join key (a 10k-token doc is 5·10⁷ rows on one
+    * reducer). Same observability contract as [[Dedup.capBuckets]]:
+    * exact `graft.pmi.capped_docs` / `graft.pmi.dropped_tokens` counters
+    * (harvested by the q92 metrics surface), truncation pinned to one
+    * execution by the eager-checkpoint pattern. Only oversized docs pay
+    * the rank window — the normal path is one anti-join against a frame
+    * that is empty/tiny by construction. `maxTokensPerDoc <= 0` disables.
+    */
+  private[graft] def capDocTokens(filtered: DataFrame,
+                                  maxTokensPerDoc: Int): DataFrame =
+    if (maxTokensPerDoc <= 0) filtered
+    else {
+      import org.apache.spark.sql.expressions.Window
+      val sc = filtered.sparkSession.sparkContext
+      val cDocs = graft.metrics.NamedAcc.of(sc, "graft.pmi.capped_docs")
+      val cToks = graft.metrics.NamedAcc.of(sc, "graft.pmi.dropped_tokens")
+      // Nondeterministic so the optimizer neither duplicates nor
+      // reorders the hook ahead of the size predicate (And
+      // short-circuits: fires only for oversized docs).
+      val track = udf { n: Long => cDocs.add(1L); cToks.add(n); true }
+        .asNondeterministic()
+      val oversized = filtered.groupBy("doc")
+        .agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > maxTokensPerDoc &&
+          track(col("__n") - maxTokensPerDoc))
+        .select("doc")
+        .transform(graft.graph.Iterate.ckpt)
+      val truncated = filtered.join(oversized, Seq("doc"))
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy("doc").orderBy(desc("df"), asc("token"))))
+        .filter(col("__rn") <= maxTokensPerDoc).drop("__rn")
+      filtered.join(oversized, Seq("doc"), "left_anti")
+        .unionByName(truncated)
+    }
+
   /** Pointwise mutual information between co-occurring tokens — the
     * reference's `toolkits/parsers/mi.cpp`. Computed from per-doc
     * distinct tokens; restricted to tokens with document frequency ≥
     * `minDf` to bound the pair join (same role as the reference's
-    * `min_allowed_intersection` pruning).
+    * `min_allowed_intersection` pruning, `itemcf.cpp:52-58` — but that
+    * prunes the token side only). `maxTokensPerDoc` bounds the doc side
+    * — see [[capDocTokens]] — so no single document can quadratically
+    * explode one join key; at default settings the cap sits far above
+    * any real document's frequent-token fan-out and the output is
+    * unchanged.
     */
   def tokenPmi(docs: DataFrame, idCol: String, textCol: String,
-               minDf: Long = 10L, topPairs: Int = 100): DataFrame = {
+               minDf: Long = 10L, topPairs: Int = 100,
+               maxTokensPerDoc: Int = 2000): DataFrame = {
     val tok = docs.select(col(idCol).as("doc"),
         explode(array_distinct(transform(wsTokens(col(textCol)), (t: org.apache.spark.sql.Column) => lower(t)))).as("token"))
     val df = tok.groupBy("token").agg(count(lit(1)).as("df")).filter(col("df") >= minDf)
-    val filtered = tok.join(broadcast(df), "token")
+    val filtered = capDocTokens(tok.join(broadcast(df), "token"),
+      maxTokensPerDoc)
     val nDocs = docs.count().toDouble
     val pairs = filtered.select(col("doc"), col("token").as("t1"), col("df").as("df1"))
       .join(filtered.select(col("doc"), col("token").as("t2"), col("df").as("df2")), "doc")
@@ -261,6 +308,58 @@ object TextAnalysis {
       .select(col("rn").cast("long").as("rn"), col("ngram"), col("n_docs"))
   }
 
+  /** Boilerplate STRIP — the step after [[boilerplateNgrams]]' detect in
+    * the C4-style loop (detect → strip → re-measure): remove every token
+    * covered by an occurrence of a top-`k` boilerplate `n`-gram and emit
+    * (doc_id, n_tokens, n_boilerplate_tokens, boilerplate_frac,
+    * cleaned_text). The span rule is deterministic: token position `p`
+    * is boilerplate iff some n-gram occurrence starting in
+    * [p−n+1, p] ∩ [0, L−n] matches the top-k set — overlapping
+    * occurrences merge naturally, so the rule (and the DuckDB oracle)
+    * has no order dependence. `cleaned_text` is whitespace/case
+    * normalized (rebuilt from lowercased tokens — the same normalization
+    * the detector tokenizes under); docs shorter than `n` tokens carry
+    * no proper n-gram and pass through un-stripped.
+    *
+    * Scale shape: two corpus scans — the detect aggregate (distributed
+    * top-k, see [[boilerplateNgrams]]) whose k-row result broadcasts,
+    * then one pure-projection strip pass (per-row HOFs over ≤ k-element
+    * membership tests, whole-stage codegen, zero shuffle).
+    */
+  def stripBoilerplate(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, k: Int = 20): DataFrame = {
+    val bp = broadcast(boilerplateNgrams(docs, idCol, textCol, n, k)
+      .agg(collect_list("ngram").as("__bp")))
+    val toks = transform(wsTokens(col(textCol)), t => lower(t))
+    val withToks = docs.crossJoin(bp)
+      .select(col(idCol).as("doc_id"), toks.as("toks"), col("__bp"))
+    val L = size(col("toks"))
+    // sequence(0, negative) counts DOWN — every sequence below is
+    // guarded by an L >= n (or zip_with) shape that keeps hi >= lo.
+    val grams = when(L >= n,
+        transform(sequence(lit(0), L - n),
+          j => concat_ws(" ",
+            (0 until n).map(i => element_at(col("toks"), j + i + 1)): _*)))
+      .otherwise(array().cast("array<string>"))
+    val covered = when(L >= n,
+        transform(sequence(lit(0), L - 1),
+          p => exists(
+            sequence(greatest(p - (n - 1), lit(0)), least(p, L - n)),
+            j => array_contains(col("__bp"),
+              element_at(col("__grams"), j + 1)))))
+      .otherwise(transform(col("toks"), _ => lit(false)))
+    withToks.withColumn("__grams", grams)
+      .withColumn("__cov", covered)
+      .select(col("doc_id"),
+        L.cast("long").as("n_tokens"),
+        size(filter(col("__cov"), c => c)).cast("long")
+          .as("n_boilerplate_tokens"),
+        when(L > 0, size(filter(col("__cov"), c => c)).cast("double") / L)
+          .otherwise(lit(0.0d)).as("boilerplate_frac"),
+        array_join(filter(zip_with(col("toks"), col("__cov"),
+          (t, c) => when(!c, t)), x => x.isNotNull), " ").as("cleaned_text"))
+  }
+
   /** PII patterns shared by [[redactPii]] and [[piiCounts]]. Kept to the
     * regex subset that means the same thing in java.util.regex and RE2
     * (no backreferences, no lookaround; `\b` is the ASCII word boundary
@@ -285,33 +384,40 @@ object TextAnalysis {
         Ipv4Re, "<IP>"),
       PhoneRe, "<PHONE>")
 
+  /** Per-group corpus length statistics: doc count, char volume,
+    * quantiles of `lenCol`, and mean whitespace-token count — the
+    * mixture/length audit a pipeline publishes per language (or per
+    * source) before fixing sampling weights. `exact = true` uses exact
+    * `percentile` (one sorted-buffer aggregate per group) — fine while
+    * groups are languages/sources (dozens), and the cross-engine-exact
+    * oracle path; `exact = false` switches to `percentile_approx`
+    * (fixed-memory sketch, rank error ≤ 1/accuracy) — the flag flip for
+    * groups with billions of rows, where buffering a group's values is
+    * the one unbounded allocation in this aggregate.
+    */
+  def corpusStats(docs: DataFrame, groupCol: String, lenCol: String,
+                  textCol: String, exact: Boolean = true,
+                  approxAccuracy: Int = 10000): DataFrame = {
+    def q(p: Double, name: String): Column =
+      (if (exact) percentile(col(lenCol), lit(p))
+       // cast: percentile_approx returns the input type (a real item,
+       // not an interpolation) — keep the schema identical across modes
+       else percentile_approx(col(lenCol), lit(p), lit(approxAccuracy))
+         .cast("double")).as(name)
+    docs.groupBy(groupCol).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col(lenCol)).as("total_chars"),
+      avg(col(lenCol)).as("avg_chars"),
+      q(0.25, "p25"), q(0.5, "p50"), q(0.75, "p75"), q(0.9, "p90"),
+      avg(tokenCount(col(textCol))).as("avg_tokens"))
+  }
+
   /** (n_emails, n_ips, n_phones) found by the [[redactPii]] patterns.
     * Each count runs against the text with the EARLIER patterns already
     * redacted — the same staging as [[redactPii]] — so the counts equal
     * exactly the number of replacements redaction makes even when a
     * later pattern could match inside an earlier match.
     */
-  /** Per-group corpus length statistics: doc count, char volume, exact
-    * quantiles of `lenCol`, and mean whitespace-token count — the
-    * mixture/length audit a pipeline publishes per language (or per
-    * source) before fixing sampling weights. Exact `percentile` (one
-    * sorted-buffer aggregate per group) is fine while groups are
-    * languages/sources (dozens); at billions of rows per group swap in
-    * `percentile_approx` (t-digest, fixed memory) — same call shape,
-    * documented trade.
-    */
-  def corpusStats(docs: DataFrame, groupCol: String, lenCol: String,
-                  textCol: String): DataFrame =
-    docs.groupBy(groupCol).agg(
-      count(lit(1)).as("n_docs"),
-      sum(col(lenCol)).as("total_chars"),
-      avg(col(lenCol)).as("avg_chars"),
-      percentile(col(lenCol), lit(0.25)).as("p25"),
-      percentile(col(lenCol), lit(0.5)).as("p50"),
-      percentile(col(lenCol), lit(0.75)).as("p75"),
-      percentile(col(lenCol), lit(0.9)).as("p90"),
-      avg(tokenCount(col(textCol))).as("avg_tokens"))
-
   def piiCounts(text: Column): Seq[Column] = Seq(
     regexp_count(text, lit(EmailRe)).cast("long").as("n_emails"),
     regexp_count(regexp_replace(text, EmailRe, "<EMAIL>"), lit(Ipv4Re))

@@ -327,6 +327,116 @@ class TextSpec extends SparkSpec {
     assert(!comp.contains(4L)) // singleton: keeps itself downstream
   }
 
+  test("tokenPmi doc-side cap bounds a pathological doc's pair fan-out") {
+    // one 5000-distinct-token doc: uncapped it would emit C(5000,2) ≈
+    // 1.25e7 pairs from ONE join key; capped at 10 it contributes
+    // C(10,2) = 45. The two single-token docs raise t0000/t0001 to
+    // df 2 so the kept set (top-10 by df desc, token asc) is pinned.
+    val hot = (0 until 5000).map(i => f"t$i%04d").mkString(" ")
+    val docs = Seq((1L, hot), (2L, "t0000"), (3L, "t0001"))
+      .toDF("doc_id", "text")
+    val l = graft.metrics.SparkMetricsListener.install(spark, "pmi-cap")
+    val sc = spark.sparkContext
+    graft.metrics.NamedAcc.of(sc, "graft.pmi.capped_docs").reset()
+    graft.metrics.NamedAcc.of(sc, "graft.pmi.dropped_tokens").reset()
+    val pairs = TextAnalysis.tokenPmi(docs, "doc_id", "text",
+        minDf = 1L, topPairs = 1000, maxTokensPerDoc = 10)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs.size == 45, s"expected C(10,2) pairs, got ${pairs.size}")
+    // kept tokens = df-2 pair + the 8 alphabetically-first df-1 tokens
+    val kept = (Seq("t0000", "t0001") ++ (2 until 10).map(i => f"t$i%04d")).toSet
+    assert(pairs.flatMap(p => Seq(p._1, p._2)) == kept)
+    // exact drop counters (eager-checkpoint pinned, capBuckets pattern):
+    // proportionality must hold even if a config re-executes the hook
+    val cDocs = graft.metrics.NamedAcc.of(sc, "graft.pmi.capped_docs").value
+    val cToks = graft.metrics.NamedAcc.of(sc, "graft.pmi.dropped_tokens").value
+    assert(cDocs >= 1L, s"capped docs $cDocs")
+    assert(cToks == cDocs * 4990L, s"dropped tokens $cToks")
+    // ... and they ride the q92 metrics surface like any graft.* counter
+    org.apache.spark.sql.GraftShims.waitListenerBus(spark)
+    assert(l.metrics.entries.toMap.contains("graft.pmi.capped_docs"))
+    sc.removeSparkListener(l)
+    // cap above the fan-out: output identical to the uncapped path
+    val small = Seq((1L, "a b c d"), (2L, "a b x y"), (3L, "c d x y"))
+      .toDF("doc_id", "text")
+    def run(cap: Int) = TextAnalysis.tokenPmi(small, "doc_id", "text",
+        minDf = 1L, topPairs = 100, maxTokensPerDoc = cap)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(run(10) == run(0))
+  }
+
+  test("stripBoilerplate: span coverage, overlap merge, short docs untouched") {
+    val docs = Seq(
+      (1L, "click here now alpha beta gamma"),
+      (2L, "alpha click here now beta"),
+      (3L, "only regular prose tokens present"),
+      (4L, "xx yy"),                            // L < n: passes through
+      (5L, "click here now zz qq rr"),
+      (6L, "click here now click here now"),    // overlapping occurrences
+      (7L, "Click HERE now extra tokens here")  // case-normalized match
+    ).toDF("doc_id", "text")
+    // "click here now" df=5 — the unique top-1 boilerplate 3-gram
+    val out = TextAnalysis.stripBoilerplate(docs, "doc_id", "text", n = 3, k = 1)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getString(4)))).toMap
+    assert(out(1L) == ((6L, 3L, 0.5, "alpha beta gamma")))
+    assert(out(2L) == ((5L, 3L, 0.6, "alpha beta")))
+    assert(out(3L) == ((5L, 0L, 0.0, "only regular prose tokens present")))
+    assert(out(4L) == ((2L, 0L, 0.0, "xx yy")))
+    assert(out(5L) == ((6L, 3L, 0.5, "zz qq rr")))
+    assert(out(6L) == ((6L, 6L, 1.0, "")))
+    assert(out(7L) == ((6L, 3L, 0.5, "extra tokens here")))
+  }
+
+  test("corpusStats approx mode: same schema, quantiles within item spacing") {
+    val docs = (1 to 200).map(i => (s"g${i % 2}", i.toLong, "w " * (i % 7)))
+      .toDF("lang", "n_chars", "text")
+    val exact = TextAnalysis.corpusStats(docs, "lang", "n_chars", "text")
+    val approx = TextAnalysis.corpusStats(docs, "lang", "n_chars", "text",
+      exact = false)
+    assert(exact.schema == approx.schema)
+    val e = exact.collect().map(r => r.getString(0) -> r).toMap
+    approx.collect().foreach { r =>
+      val ex = e(r.getString(0))
+      Seq(4, 5, 6, 7).foreach { i => // p25/p50/p75/p90
+        // exact interpolates between items, approx returns an item —
+        // consecutive-integer lengths bound the gap by 2 (spacing is 2
+        // within each parity group)
+        assert(math.abs(r.getDouble(i) - ex.getDouble(i)) <= 2.0,
+          s"quantile col $i: approx ${r.getDouble(i)} vs ${ex.getDouble(i)}")
+      }
+    }
+  }
+
+  test("LSH-path dedup clustering ≡ brute path on a planted near-dup corpus") {
+    // high within-group shingle overlap (j ≈ 0.9) so every true pair is
+    // an LSH candidate at the fixed seeds; threshold keeps cross-group
+    // noise out. The LSH path (signatures → bands → est prefilter →
+    // exact jaccard) must equal the brute all-pairs path pair-for-pair,
+    // and feed connectedComponents to the same keeper assignment —
+    // the in-repo deterministic counterpart of q109.
+    val baseA = (1 to 40).map(i => s"alpha$i").mkString(" ")
+    val baseB = (1 to 40).map(i => s"beta$i").mkString(" ")
+    val docs = Seq(
+      (1L, baseA), (2L, baseA + " tailx"), (3L, baseA + " taily tailz"),
+      (10L, baseB), (11L, baseB + " extra"),
+      (20L, (1 to 40).map(i => s"noise$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df
+      .select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      shingleK = 3, threshold = 0.5)
+    val brute = Dedup.ngramJaccardBrute(docs, "doc_id", "text",
+      shingleK = 3, threshold = 0.5, maxId = 500L)
+    assert(pairSet(lsh) == pairSet(brute))
+    assert(pairSet(lsh) == Set((1L, 2L), (1L, 3L), (2L, 3L), (10L, 11L)))
+    val comp = graft.graph.Algorithms.connectedComponents(
+        lsh.select(col("id1").as("src"), col("id2").as("dst")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("redactPii + piiCounts: staged email/ip/phone redaction") {
     val df = Seq(
       "write bob.smith+x@corp.example.org or ping 192.168.0.1 then 555-123-4567",
