@@ -250,13 +250,20 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       // Calib-normalized runs: each timed run ÷ the host speed sampled
-      // right before it (its probeCalib, rescaled so a steady host gives
-      // normalized == raw: the mini-calib is the suite-head CPU calib at
-      // 1/20 scale). The r6 artifact's raw TC spread was 3.65× while its
-      // per-run calibs swung ~5× — the spread was the host window, not
-      // the engine — but attributing that required manual cross-reading.
+      // around it (geometric mean of a PRE and a POST probeCalib,
+      // rescaled so a steady host gives normalized == raw: the
+      // mini-calib is the suite-head CPU calib at 1/20 scale). The r6
+      // artifact's raw TC spread was 3.65× while its per-run calibs
+      // swung ~5× — the spread was the host window, not the engine —
+      // but attributing that required manual cross-reading.
       // *_sec_runs_normalized publishes the attribution: the ≤2 bar is
-      // gated on the normalized max/min.
+      // gated on the normalized max/min. Bracketing (pre+post) exists
+      // because a single pre-run sample over/under-corrects when a
+      // contention burst starts or ends MID-run (the first r7 rerun's
+      // pre-only normalization turned a 3.6× raw spread into a
+      // nonsense 35× "normalized" one); the bracket geomean is the
+      // best instantaneous estimate of the run's own window, published
+      // raw in *_calib_brackets so the correction is auditable.
       def normalize(runs: Seq[Double], calibs: Seq[Double]): Seq[Double] = {
         val ref = if (calibRuns.nonEmpty) medianOf(calibRuns) / 20.0
           else if (calibs.nonEmpty) calibs.min else 1.0
@@ -272,13 +279,18 @@ object Bench {
       // the median rides along for comparison with mean/median-based
       // measurements.
       val prCalibs = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val prBrackets = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
       val runs = (1 to 3).map { _ =>
         settle()
-        prCalibs += probeCalib()
+        val pre = probeCalib()
         val t0 = System.nanoTime()
         graft.graph.Algorithms.pageRank(g, iterations = iters)
           .agg(org.apache.spark.sql.functions.sum("pr")).collect()
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        val post = probeCalib()
+        prBrackets += ((pre, post))
+        prCalibs += math.sqrt(pre * post)
+        dt
       }
       val dt = runs.min
       val dtMed = runs.sorted.apply(runs.size / 2)
@@ -301,23 +313,29 @@ object Bench {
         // has support.
         graft.graph.Algorithms.totalTriangles(g)
         val tcCalibs = scala.collection.mutable.ArrayBuffer.empty[Double]
+        val tcBrackets = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
         val tcRuns = (1 to 3).map { _ =>
           settle()
-          tcCalibs += probeCalib()
+          val pre = probeCalib()
           val t0 = System.nanoTime()
           graft.graph.Algorithms.totalTriangles(g)
-          (System.nanoTime() - t0) / 1e9
+          val dt = (System.nanoTime() - t0) / 1e9
+          val post = probeCalib()
+          tcBrackets += ((pre, post))
+          tcCalibs += math.sqrt(pre * post)
+          dt
         }
         val tcDt = tcRuns.min
         val tcRate = nEdges.toDouble / tcDt
         val tcNorm = normalize(tcRuns, tcCalibs.toSeq)
         System.err.println(f"[bench] triangle_throughput $nEdges%d edges = $tcDt%.2f s best (${tcRate / 1e3}%.0f k edges/s); spread raw ${spread(tcRuns)}%.2fx / normalized ${spread(tcNorm)}%.2fx")
-        s""","tc_sec":$tcDt,"tc_sec_runs":${tcRuns.mkString("[", ",", "]")},"tc_calib_runs":${tcCalibs.mkString("[", ",", "]")},"tc_sec_runs_normalized":${tcNorm.mkString("[", ",", "]")},"tc_spread_normalized":${spread(tcNorm)},"tc_edges_per_sec":$tcRate"""
+        s""","tc_sec":$tcDt,"tc_sec_runs":${tcRuns.mkString("[", ",", "]")},"tc_calib_runs":${tcCalibs.mkString("[", ",", "]")},"tc_calib_brackets":${tcBrackets.map { case (a, b) => s"[$a,$b]" }.mkString("[", ",", "]")},"tc_sec_runs_normalized":${tcNorm.mkString("[", ",", "]")},"tc_spread_normalized":${spread(tcNorm)},"tc_edges_per_sec":$tcRate"""
       } catch { case e: Throwable =>
-        System.err.println(s"[bench] triangle probe failed: ${e.getMessage}")
+        System.err.println(s"[bench] triangle probe failed: $e")
+        e.printStackTrace()
         ""
       }
-      s""","pr_edges":$nEdges,"pr_iters":$iters,"pr_sec":$dt,"pr_sec_median":$dtMed,"pr_sec_runs":${runs.mkString("[", ",", "]")},"pr_calib_runs":${prCalibs.mkString("[", ",", "]")},"pr_sec_runs_normalized":${prNorm.mkString("[", ",", "]")},"pr_spread_normalized":${spread(prNorm)},"pr_edge_iters_per_sec":$rate$tc"""
+      s""","pr_edges":$nEdges,"pr_iters":$iters,"pr_sec":$dt,"pr_sec_median":$dtMed,"pr_sec_runs":${runs.mkString("[", ",", "]")},"pr_calib_runs":${prCalibs.mkString("[", ",", "]")},"pr_calib_brackets":${prBrackets.map { case (a, b) => s"[$a,$b]" }.mkString("[", ",", "]")},"pr_sec_runs_normalized":${prNorm.mkString("[", ",", "]")},"pr_spread_normalized":${spread(prNorm)},"pr_edge_iters_per_sec":$rate$tc"""
     } catch { case e: Throwable =>
       System.err.println(s"[bench] throughput probe failed: ${e.getMessage}")
       ""

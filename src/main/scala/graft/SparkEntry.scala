@@ -1580,6 +1580,45 @@ object SparkEntry {
             .as("duration_us"),
           round(sum(col("value")), 2).as("sum_value"))
         .orderBy("user_id", "session"))
+,
+    // Training-pipeline perplexity filter (CCNet-style): bits-per-token
+    // under an add-α bigram LM with a capped vocabulary, self-scored on
+    // the corpus. Bigrams are built in-row (no per-doc window), model
+    // tables are vocab-bounded — see TextAnalysis.bigramLmBits.
+    "q112_bigram_lm_bits" -> ((s, d) =>
+      graft.text.TextAnalysis.bigramLmBits(
+        Tables.documents(s, d), "doc_id", "text", vocabSize = 200)
+        .orderBy("doc_id")),
+
+    // Training-pipeline ANN: product-quantization ADC top-k — the
+    // memory-side scale path composing with q65's IVF (bytes-per-vector
+    // vs vectors-per-query). Deterministic codebooks (vid%ksub seed +
+    // rounded Lloyd refinement) so the oracle derives them exactly.
+    "q113_knn_pq" -> ((s, d) =>
+      Similarity.pqTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+          dim = 64, k = 5, queryMaxId = 50L, m = 4, ksub = 8)
+        .orderBy("query_id", "neighbor_id")),
+
+    // Bucketed-storage co-located join: documents + per-doc token counts
+    // both written bucketed by doc_id (graft.io.Bucketed), read back and
+    // joined with NO Exchange on either side (BucketedSpec pins the
+    // plan; this query pins the data round-trip against the oracle).
+    "q114_bucketed_join" -> ((s, d) => {
+      val dirA = java.nio.file.Files.createTempDirectory("graft_q114a_").toString
+      val dirB = java.nio.file.Files.createTempDirectory("graft_q114b_").toString
+      val docs = Tables.documents(s, d)
+      graft.io.Bucketed.writeBucketed(
+        docs.select(col("doc_id"), col("lang"), col("n_chars")),
+        "q114_docs", "doc_id", 8, dirA)
+      graft.io.Bucketed.writeBucketed(
+        docs.select(col("doc_id"),
+          graft.text.TextAnalysis.tokenCount(col("text")).cast("long")
+            .as("n_tokens")),
+        "q114_toks", "doc_id", 8, dirB)
+      graft.io.Bucketed.cocolocatedJoin(s, "q114_docs", "q114_toks", "doc_id")
+        .select("doc_id", "lang", "n_chars", "n_tokens")
+        .orderBy("doc_id")
+    })
   )
 
   private def b2l(b: Boolean): Long = if (b) 1L else 0L
@@ -3224,6 +3263,101 @@ object SparkEntry {
                 CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT)
                   AS duration_us,
                 ROUND(SUM(value), 2) AS sum_value
-         FROM t GROUP BY user_id, session ORDER BY user_id, session"""
+         FROM t GROUP BY user_id, session ORDER BY user_id, session""",
+
+    // Same model derivation as bigramLmBits: top-200 vocab (count desc,
+    // token asc), <unk> mapping, add-0.5 smoothing over the mapped type
+    // count, per-bigram log-probs rounded to 7 dp before the per-doc
+    // average (cross-engine float parity), bits rounded to 4 dp.
+    "q112_bigram_lm_bits" ->
+      """WITH base AS (SELECT doc_id,
+              list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                x -> x <> '') AS ws FROM documents),
+            rawtok AS (SELECT doc_id, t.w FROM base, UNNEST(base.ws) AS t(w)),
+            cnt AS (SELECT w, COUNT(*) AS c FROM rawtok GROUP BY w),
+            vocab AS (SELECT w FROM cnt ORDER BY c DESC, w LIMIT 200),
+            vt AS (SELECT LEAST(COUNT(*), 200) +
+                     CASE WHEN COUNT(*) > 200 THEN 1 ELSE 0 END AS vt FROM cnt),
+            big AS (SELECT doc_id, ws[i] AS r1, ws[i+1] AS r2
+                    FROM base, UNNEST(range(1, len(ws))) AS t(i)),
+            mp AS (SELECT doc_id,
+                     CASE WHEN r1 IN (SELECT w FROM vocab) THEN r1
+                          ELSE '<unk>' END AS w1,
+                     CASE WHEN r2 IN (SELECT w FROM vocab) THEN r2
+                          ELSE '<unk>' END AS w2
+                   FROM big),
+            cb AS (SELECT w1, w2, COUNT(*) AS cb FROM mp GROUP BY 1, 2),
+            cu AS (SELECT w1, SUM(cb) AS cu FROM cb GROUP BY 1),
+            sc AS (SELECT mp.doc_id,
+                     ROUND(LN((cb.cb + 0.5) / (cu.cu + 0.5 * vt.vt)), 7) AS lp
+                   FROM mp JOIN cb USING (w1, w2) JOIN cu USING (w1)
+                   CROSS JOIN vt)
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                ROUND(-AVG(lp) / LN(2), 4) AS bits_per_token
+         FROM sc GROUP BY doc_id ORDER BY doc_id""",
+
+    // Bit-exact replay of pqTopK's deterministic codebook derivation:
+    // vid%8 seed partition → rounded subspace centroids → one Lloyd
+    // refinement → final codes; ADC = per-query (j, cl) dot table
+    // summed over the m=4 code lookups. dim 64, subDim 16, queries
+    // vid < 50, k = 5.
+    "q113_knn_pq" -> {
+      val m = 4; val ksub = 8; val subDim = 16; val qmax = 50; val k = 5
+      def cents(tag: String, asg: String) =
+        s""",
+            pe$tag AS (SELECT a.j, a.cl, i AS pos, s.sv[i] AS val
+                     FROM $asg a JOIN subs s USING (vid, j),
+                          UNNEST(range(1, $subDim + 1)) AS t$tag(i)),
+            cm$tag AS (SELECT j, cl, pos, AVG(val) AS m
+                     FROM pe$tag GROUP BY 1, 2, 3),
+            cent$tag AS (SELECT j, cl, list(ROUND(m, 6) ORDER BY pos) AS cv
+                     FROM cm$tag GROUP BY j, cl)"""
+      def assign(tag: String, cent: String) =
+        s""",
+            ds$tag AS (SELECT s.vid, s.j, c.cl,
+                     ROUND(sqrt(list_sum(list_transform(range(1, $subDim + 1),
+                       i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i])))), 6)
+                       AS dist
+                   FROM subs s JOIN $cent c USING (j)),
+            asg$tag AS (SELECT vid, j, cl FROM (
+                      SELECT vid, j, cl, ROW_NUMBER() OVER (
+                        PARTITION BY vid, j ORDER BY dist, cl) AS rk
+                      FROM ds$tag) WHERE rk = 1)"""
+      s"""WITH e AS (SELECT vec_id AS vid,
+                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v0
+                    FROM embeddings),
+            nr AS (SELECT vid, v0,
+                   sqrt(list_sum(list_transform(v0, x -> x * x))) AS nm
+                   FROM e),
+            nv AS (SELECT vid, CASE WHEN nm > 0
+                     THEN list_transform(v0, x -> x / nm) ELSE v0 END AS v
+                   FROM nr),
+            subs AS (SELECT vid, j, v[(j * $subDim + 1):((j + 1) * $subDim)]
+                       AS sv
+                     FROM nv, UNNEST(range(0, $m)) AS tj(j)),
+            asg0 AS (SELECT vid, j, vid % $ksub AS cl FROM subs)${cents("0", "asg0")}${assign("1", "cent0")}${cents("1", "asg1")}${assign("F", "cent1")},
+            dt AS (SELECT s.vid AS query_id, s.j, c.cl,
+                   ROUND(list_sum(list_transform(range(1, $subDim + 1),
+                     i -> s.sv[i] * c.cv[i])), 6) AS pd
+                   FROM subs s JOIN cent1 c USING (j) WHERE s.vid < $qmax),
+            sc AS (SELECT d.query_id, g.vid AS neighbor_id,
+                   ROUND(SUM(d.pd), 6) AS score
+                   FROM asgF g JOIN dt d USING (j, cl)
+                   WHERE d.query_id <> g.vid
+                   GROUP BY 1, 2)
+         SELECT query_id, neighbor_id, score FROM (
+           SELECT query_id, neighbor_id, score, ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rk
+           FROM sc) WHERE rk <= $k
+         ORDER BY query_id, neighbor_id"""
+    },
+
+    // The bucketed round-trip must reproduce exactly what a plain join
+    // over the source parquet computes (n_tokens = the q11 expression).
+    "q114_bucketed_join" ->
+      """SELECT doc_id, lang, n_chars,
+                CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                     x -> x <> '')) AS BIGINT) AS n_tokens
+         FROM documents ORDER BY doc_id"""
   )
 }

@@ -207,6 +207,75 @@ object Similarity {
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k).drop("rk")
   }
 
+  /** Product-quantization ANN top-k (ADC — asymmetric distance
+    * computation): the memory-side 100 TB path that composes with
+    * [[ivfTopK]]'s list pruning (IVF bounds which vectors a query scans;
+    * PQ bounds the BYTES per scanned vector — `m` one-byte codes instead
+    * of `dim` floats, a `4·dim/m`× compression of the resident corpus).
+    *
+    * Codebooks: the vector splits into `m` subvectors; each subspace
+    * trains `ksub` centroids by Lloyd iterations from the same
+    * deterministic seed partition [[ivfTopK]] uses (`vid % ksub`), with
+    * all centroid components and distances rounded (6 dp) so the DuckDB
+    * oracle derives bit-identical codebooks. Encoding = nearest centroid
+    * per subspace (min Euclidean, ties → low id). Scoring: a query
+    * precomputes its `m·ksub` subspace dot-product table (broadcast-built,
+    * tiny), and each corpus vector's approximate cosine is the sum of `m`
+    * table lookups — the groupBy below. No full-dimension math touches
+    * the corpus after encoding.
+    *
+    * Scale shape: codebook training shuffles only (vid, j, cl, dist)
+    * rows with map-side partials; the score join keys on (j, cl) against
+    * a broadcast table and aggregates m rows per (query, neighbor).
+    * Reference analog: the nearest-neighbor role of
+    * `toolkits/collaborative_filtering/itemcf.cpp` distances at scale.
+    */
+  def pqTopK(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+             k: Int, queryMaxId: Long, m: Int = 4, ksub: Int = 8,
+             lloydIterations: Int = 1): DataFrame = {
+    require(dim % m == 0, s"dim $dim must be divisible by m $m")
+    val subDim = dim / m
+    val nv = df.select(col(idCol).as("vid"),
+      normalize(transform(col(vecCol), x => x.cast("double"))).as("v"))
+    // (vid, j, sv): the m in-row slices, one posexplode — no shuffle
+    val subs = nv.select(col("vid"), posexplode(
+        transform(sequence(lit(0), lit(m - 1)),
+          j => slice(col("v"), j * lit(subDim) + 1, lit(subDim)))))
+      .select(col("vid"), col("pos").as("j"), col("col").as("sv"))
+    def centroidsOf(assignment: DataFrame): DataFrame =
+      subs.join(assignment, Seq("vid", "j"))
+        .select(col("j"), col("cl"), posexplode(col("sv")))
+        .groupBy("j", "cl", "pos").agg(avg("col").as("mn"))
+        .groupBy("j", "cl")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mn")))),
+          s => round(s.getField("mn"), 6)).as("cv"))
+    def assignTo(cents: DataFrame): DataFrame =
+      subs.join(broadcast(cents), Seq("j"))
+        .select(col("vid"), col("j"), col("cl"),
+          round(sqrt(aggregate(zip_with(col("sv"), col("cv"),
+            (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)), 6)
+            .as("dist"))
+        .groupBy("vid", "j")
+        .agg(max_by(col("cl"), struct(-col("dist"), -col("cl"))).as("cl"))
+    var cents = centroidsOf(subs.select(col("vid"), col("j"),
+        pmod(col("vid"), lit(ksub)).as("cl")))
+      .transform(graft.graph.Iterate.ckpt)
+    for (_ <- 1 to lloydIterations)
+      cents = centroidsOf(assignTo(cents)).transform(graft.graph.Iterate.ckpt)
+    val codes = assignTo(cents)
+    // per-query ADC table: (query_id, j, cl, pd) — m·ksub rows per query
+    val distTable = subs.filter(col("vid") < queryMaxId)
+      .join(broadcast(cents), Seq("j"))
+      .select(col("vid").as("query_id"), col("j"), col("cl"),
+        round(dot(col("sv"), col("cv")), 6).as("pd"))
+    val scored = codes.join(broadcast(distTable), Seq("j", "cl"))
+      .filter(col("query_id") =!= col("vid"))
+      .groupBy(col("query_id"), col("vid").as("neighbor_id"))
+      .agg(round(sum("pd"), 6).as("score"))
+    val w = Window.partitionBy("query_id").orderBy(desc("score"), asc("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k).drop("rk")
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold via LSH buckets. */
   def embeddingDuplicatePairs(df: DataFrame, idCol: String, vecCol: String,
                               dim: Int, threshold: Double = 0.95,

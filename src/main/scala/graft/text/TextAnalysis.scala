@@ -260,6 +260,72 @@ object TextAnalysis {
         col("tf"), col("df"), col("score"))
   }
 
+  /** Bigram language-model quality score per document (the CCNet-style
+    * "perplexity filter" of a training-data pipeline, self-scored on the
+    * corpus): every document gets bits-per-token under an add-α-smoothed
+    * bigram model with a capped vocabulary — low bits ⇒ predictable,
+    * fluent text; high bits ⇒ noise. Reference analog: the token/word
+    * statistics role of `toolkits/parsers/texttokens.cpp` (the reference
+    * stops at counts; the LM score is the pipeline extension).
+    *
+    * Model: vocabulary = top-`vocabSize` tokens by corpus frequency
+    * (count desc, token asc — a deterministic total order), all other
+    * tokens mapped to `<unk>`; P(w₂|w₁) = (c(w₁w₂)+α)/(c(w₁·)+α·V′)
+    * where c(w₁·) sums bigram starts and V′ = |observed token types
+    * after mapping|. Per-bigram log-probs are rounded (7 dp) before the
+    * per-doc average so both engines aggregate bit-identical inputs, and
+    * the final bits/token is rounded to 4 dp — the float-parity pattern
+    * [[tfIdfTopTerms]] uses.
+    *
+    * Scale shape: bigrams are built IN-ROW (`zip_with` over the token
+    * array — a codegen'd projection, no per-doc window, no shuffle by
+    * doc), so one hot document never serializes a reducer. The model
+    * tables are bounded by the vocab cap: unigram contexts ≤ V′ rows
+    * (broadcast), bigram counts ≤ corpus-observed pairs with 2 short
+    * string keys (hash join, map-side partial aggregation). Total: two
+    * count shuffles + the final per-doc aggregate.
+    */
+  def bigramLmBits(docs: DataFrame, idCol: String, textCol: String,
+                   vocabSize: Int = 1000, alpha: Double = 0.5): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"),
+      transform(wsTokens(col(textCol)), (t: Column) => lower(t)).as("ws"))
+    val counts = base.select(explode(col("ws")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val vocab = counts.orderBy(desc("c"), asc("w")).limit(vocabSize)
+      .select(col("w"))
+    // Smoothing domain: distinct mapped types = min(V, observed types)
+    // plus the <unk> bucket when anything overflowed the cap. A single
+    // scalar action (the documented metadata-fast pattern).
+    val distinctTok = counts.count()
+    val vTot = math.min(vocabSize.toLong, distinctTok) +
+      (if (distinctTok > vocabSize) 1L else 0L)
+    val biArr = when(size(col("ws")) >= 2,
+        zip_with(slice(col("ws"), lit(1), size(col("ws")) - 1),
+                 slice(col("ws"), lit(2), size(col("ws")) - 1),
+                 (a, b) => struct(a.as("r1"), b.as("r2"))))
+      .otherwise(array().cast("array<struct<r1:string,r2:string>>"))
+    val big = base.select(col("doc_id"), explode(biArr).as("p"))
+      .select(col("doc_id"), col("p.r1").as("r1"), col("p.r2").as("r2"))
+    val unk = lit("<unk>")
+    val mapped = big
+      .join(broadcast(vocab.select(col("w").as("r1"), lit(1).as("__v1"))),
+        Seq("r1"), "left")
+      .join(broadcast(vocab.select(col("w").as("r2"), lit(1).as("__v2"))),
+        Seq("r2"), "left")
+      .select(col("doc_id"),
+        when(col("__v1").isNotNull, col("r1")).otherwise(unk).as("w1"),
+        when(col("__v2").isNotNull, col("r2")).otherwise(unk).as("w2"))
+    val cb = mapped.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val cu = cb.groupBy("w1").agg(sum("cb").as("cu"))
+    val scored = mapped.join(cb, Seq("w1", "w2")).join(broadcast(cu), Seq("w1"))
+      .select(col("doc_id"),
+        round(log((col("cb") + lit(alpha)) / (col("cu") + lit(alpha * vTot))), 7)
+          .as("lp"))
+    scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(-avg(col("lp")) / lit(math.log(2.0)), 4).as("bits_per_token"))
+  }
+
   /** Composite keep/drop decision — the gate a curation pipeline applies
     * after computing its per-document signals. Rules fire in priority
     * order (first hit names the verdict): too_short (token count), then

@@ -100,4 +100,27 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)))
     assert(!pairs.exists(p => p._2 == 3L))
   }
+
+  test("pqTopK retrieves same-cluster neighbors and is deterministic") {
+    val rng = new scala.util.Random(11)
+    // two tight clusters on orthogonal axes of an 8-dim space
+    val vecs = (0 until 24).map { i =>
+      val base = Array.fill(8)(0.0f)
+      base(if (i % 2 == 0) 0 else 4) = 1.0f
+      (i.toLong, base.map(x => x + rng.nextFloat() * 0.05f))
+    }.toDF("id", "v")
+    val knn = Similarity.pqTopK(vecs, "id", "v", dim = 8, k = 3,
+      queryMaxId = 2L, m = 4, ksub = 2)
+    val rows = knn.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.count(_._1 == 0L) == 3 && rows.count(_._1 == 1L) == 3)
+    // ADC scores rank same-cluster vectors on top: parity of the
+    // neighbor id encodes the cluster
+    assert(rows.forall { case (q, n, _) => n % 2 == q % 2 })
+    // deterministic codebooks → bit-identical reruns
+    val again = knn.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.sortBy(t => (t._1, t._2)).sameElements(
+      again.sortBy(t => (t._1, t._2))))
+  }
 }

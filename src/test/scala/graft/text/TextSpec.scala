@@ -453,4 +453,21 @@ class TextSpec extends SparkSpec {
     assert(out(1) == ((0L, 0L, 0L, "no pii here")))
     assert(out(2) == ((1L, 2L, 0L, "double <IP> <IP> and <EMAIL>")))
   }
+
+  test("bigramLmBits: predictable text scores fewer bits than rare-token noise") {
+    val docs = ((0L until 5L).map(i => (i, "the cat sat on the mat")) ++
+      Seq((5L, "zq xv qw er ty ui"), (6L, "solo"), (7L, ""))).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLmBits(docs, "doc_id", "text",
+        vocabSize = 6, alpha = 0.5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // <2-token docs have no bigram rows at all
+    assert(!out.contains(6L) && !out.contains(7L))
+    // "the cat sat on the mat" = 5 bigrams; the noise doc = 5 bigrams
+    assert(out(0L)._1 == 5L && out(5L)._1 == 5L)
+    // every repeated-corpus bigram is high-probability; the rare-token
+    // doc falls outside the top-6 vocab and pays <unk> smoothing
+    assert(out(0L)._2 < out(5L)._2)
+    // identical docs score identically
+    assert(out(0L) == out(4L))
+  }
 }
