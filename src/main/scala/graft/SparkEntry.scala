@@ -1618,6 +1618,41 @@ object SparkEntry {
       graft.io.Bucketed.cocolocatedJoin(s, "q114_docs", "q114_toks", "doc_id")
         .select("doc_id", "lang", "n_chars", "n_tokens")
         .orderBy("doc_id")
+    }),
+
+    // Salted skew join: per-event deviation from the user's mean via
+    // Skew.saltedJoin (full-row-hash salt on the probe side, replicated
+    // build side) — bit-identical to the plain join the oracle runs,
+    // with one hot user spread over 8 reducers instead of one.
+    "q115_salted_join" -> ((s, d) => {
+      val ev = Tables.events(s, d).select("event_id", "user_id", "value")
+      val dim = ev.groupBy("user_id")
+        .agg(round(avg("value"), 6).as("mean_value"))
+      graft.operators.Skew.saltedJoin(ev, dim, "user_id", saltFactor = 8)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(abs(col("value") - col("mean_value"))), 2).as("abs_dev"))
+        .orderBy("user_id")
+    }),
+
+    // Streaming decontamination gate: per-row contaminated verdict on a
+    // document STREAM against a static benchmark n-gram set captured as
+    // a plan literal (hashed kernel path) — append mode, zero state, no
+    // watermark. The stream-static analog of q101's batch fractions.
+    "q116_stream_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val bench = docs.filter(col("doc_id") % 50 === 0)
+      val dir = java.nio.file.Files.createTempDirectory("graft_q116_").toString
+      docs.filter(col("doc_id") % 50 =!= 0).write.mode("overwrite").parquet(dir)
+      val src = s.readStream.schema(docs.schema).parquet(dir)
+      val gated = graft.text.Dedup.contaminationGate(src, bench,
+        "doc_id", "text", n = 4, hashed = true)
+      val q = gated.writeStream.outputMode("append").format("memory")
+        .queryName("graft_q116")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("graft_q116").select("doc_id", "contaminated").orderBy("doc_id")
     })
   )
 
@@ -3358,6 +3393,38 @@ object SparkEntry {
       """SELECT doc_id, lang, n_chars,
                 CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
                      x -> x <> '')) AS BIGINT) AS n_tokens
-         FROM documents ORDER BY doc_id"""
+         FROM documents ORDER BY doc_id""",
+
+    // The salted join must be observationally identical to this plain
+    // join + aggregate.
+    "q115_salted_join" ->
+      """WITH m AS (SELECT user_id, ROUND(AVG(value), 6) AS mean_value
+                    FROM events GROUP BY user_id)
+         SELECT e.user_id, COUNT(*) AS n_events,
+                ROUND(SUM(ABS(e.value - m.mean_value)), 2) AS abs_dev
+         FROM events e JOIN m USING (user_id)
+         GROUP BY e.user_id ORDER BY e.user_id""",
+
+    // Batch replay of the streaming gate: a doc is contaminated iff any
+    // of its 4-grams appears in the benchmark split's n-gram set
+    // (hashing on the Spark side preserves the boolean).
+    "q116_stream_decontaminate" ->
+      """WITH base AS (SELECT doc_id,
+              list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                          x -> x <> '') AS toks FROM documents),
+            ngr AS (SELECT doc_id, list_distinct(
+              CASE WHEN len(toks) < 4 THEN [array_to_string(toks, ' ')]
+                ELSE list_transform(range(len(toks) - 3),
+                  i -> array_to_string(toks[i+1:i+4], ' ')) END) AS ngs
+              FROM base),
+            bench AS (SELECT DISTINCT unnest(ngs) AS ng FROM ngr
+              WHERE doc_id % 50 = 0),
+            corp AS (SELECT doc_id, ngs FROM ngr WHERE doc_id % 50 <> 0),
+            hit AS (SELECT DISTINCT c.doc_id
+                    FROM (SELECT doc_id, unnest(ngs) AS ng FROM corp) c
+                    JOIN bench b USING (ng))
+         SELECT corp.doc_id,
+                corp.doc_id IN (SELECT doc_id FROM hit) AS contaminated
+         FROM corp ORDER BY doc_id"""
   )
 }

@@ -330,6 +330,34 @@ object Dedup {
           .as("contaminated_frac"))
   }
 
+  /** Streaming-capable contamination GATE: a pure per-row verdict
+    * (`contaminated` = any n-gram of the doc appears in the benchmark
+    * set) with the benchmark n-grams captured ONCE as a plan literal —
+    * zero streaming state, append-mode emission, so a document stream
+    * can be decontaminated at ingest with no watermark and no shuffle.
+    * This is the stream-static analog of [[contamination]] (which
+    * reports per-doc overlap fractions batch-side): eval suites are MBs
+    * against a TB corpus, so the collected set is bounded BY DESIGN —
+    * the same structural-smallness argument as contamination's explicit
+    * broadcast, paid once at query build. `hashed=true` captures 8-byte
+    * xxhash64 n-grams via the compiled kernel (the scale path);
+    * `hashed=false` keeps strings for bit-exact oracles. For a
+    * benchmark set too large to ride the plan, fall back to
+    * [[contamination]]'s join.
+    */
+  def contaminationGate(docs: DataFrame, benchmark: DataFrame,
+                        idCol: String, textCol: String, n: Int = 5,
+                        hashed: Boolean = false): DataFrame = {
+    val bench = benchmark
+      .select(explode(ngramSet(col(textCol), n, hashed)).as("ng")).distinct()
+    val benchLit =
+      if (hashed) typedlit(bench.collect().map(_.getLong(0)).sorted.toSeq)
+      else typedlit(bench.collect().map(_.getString(0)).sorted.toSeq)
+    docs.select(col(idCol), col(textCol),
+      arrays_overlap(ngramSet(col(textCol), n, hashed), benchLit)
+        .as("contaminated"))
+  }
+
   /** Chunk-level exact duplication: split each document into
     * non-overlapping `chunkTokens`-token windows and report, per
     * document, how many of its distinct chunks also occur in at least

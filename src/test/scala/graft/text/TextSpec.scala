@@ -454,6 +454,36 @@ class TextSpec extends SparkSpec {
     assert(out(2) == ((1L, 2L, 0L, "double <IP> <IP> and <EMAIL>")))
   }
 
+  test("contaminationGate: per-row verdicts, hashed ≡ string paths, streaming append") {
+    val bench = Seq((100L, "alpha beta gamma delta shared run here")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (0L, "has the alpha beta gamma delta overlap inside"),
+      (1L, "completely different content with no hits at all"),
+      (2L, "short doc")).toDF("doc_id", "text")
+    def verdicts(hashed: Boolean) =
+      Dedup.contaminationGate(corpus, bench, "doc_id", "text", n = 4,
+          hashed = hashed)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val v = verdicts(hashed = true)
+    assert(v == Map(0L -> true, 1L -> false, 2L -> false))
+    assert(verdicts(hashed = false) == v)
+
+    // streaming: the same gate over a file stream, append mode, no state
+    val dir = java.nio.file.Files.createTempDirectory("graft_gate_").toString
+    corpus.write.mode("overwrite").parquet(dir)
+    val src = spark.readStream.schema(corpus.schema).parquet(dir)
+    val q = Dedup.contaminationGate(src, bench, "doc_id", "text", n = 4,
+        hashed = true)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("gate_stream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val sv = spark.table("gate_stream").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(sv == v)
+  }
+
   test("bigramLmBits: predictable text scores fewer bits than rare-token noise") {
     val docs = ((0L until 5L).map(i => (i, "the cat sat on the mat")) ++
       Seq((5L, "zq xv qw er ty ui"), (6L, "solo"), (7L, ""))).toDF("doc_id", "text")
