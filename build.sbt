@@ -31,4 +31,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 32g measurably GC-throttles the post-query-suite throughput probe
   // (22s → 95s for the same run); 64g leaves headroom on the bench box.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "64g")}",
-)
+  // Fixed-size heap: without -Xms the JVM starts at ~2g and G1 grows
+  // the heap through repeated full GCs under Spark's allocation rate —
+  // r7 measured 123 full GCs in one bench run and a triangle probe at
+  // 100 s that dropped to 30 s with the heap pre-sized.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "64g")}",
+) ++ sys.env.get("SPARK_GRAFT_JVM_OPTS").toSeq.flatMap(_.split("\\s+").toSeq)

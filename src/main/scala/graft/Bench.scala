@@ -7,6 +7,31 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)
     val spark = GraftSession.local(cpus)
+    // Hypervisor steal time (/proc/stat field 8, jiffies summed over all
+    // vCPUs): the direct attribution for slow windows on a shared host.
+    // A 32-task barrier waits for its worst-stolen straggler every
+    // superstep, so barrier-heavy trainers/probes degrade SUPERLINEARLY
+    // in the steal fraction — r7 measured the same probe binary at 14 s
+    // and 95+ s across windows whose CPU calibs moved only ~2×;
+    // steal_frac in the artifact makes that a published number instead
+    // of an inference.
+    def stealJiffies(): Long = try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try {
+        val f = src.getLines().next().trim.split("\\s+").drop(1)
+        if (f.length > 7) f(7).toLong else 0L
+      } finally src.close()
+    } catch { case _: Throwable => 0L }
+    val jiffiesPerSec = 100.0 // USER_HZ on linux
+    // Fraction of the HOST's whole vCPU capacity stolen during the
+    // window (denominator = all vCPUs, not the Spark thread count:
+    // /proc/stat's first line sums every cpu).
+    val allCpus = Runtime.getRuntime.availableProcessors.toDouble
+    def stealFrac(s0: Long, s1: Long, elapsedSec: Double): Double =
+      if (elapsedSec <= 0) 0.0
+      else (s1 - s0) / jiffiesPerSec / (elapsedSec * allCpus)
+    val suiteSteal0 = stealJiffies()
+    val suiteT0 = System.nanoTime()
     // Engine-metrics harvest (metrics.hpp / reps analog): scheduler-bus
     // counters reported as one JSON map at the end of the run.
     val mlistener = graft.metrics.SparkMetricsListener.install(spark, "bench")
@@ -195,7 +220,11 @@ object Bench {
     // published edge-throughput numbers (README.md:118). Skipped for
     // SPARK_GRAFT_BENCH_ONLY subset runs: a local tuning loop on two
     // queries should not pay two 32M-edge probes.
-    val thr = if (only.nonEmpty && !probeOnly) "" else try {
+    // SPARK_GRAFT_FORCE_PROBES: run the probes even for a BENCH_ONLY
+    // subset — the suite-state A/B tool (probes after a chosen query
+    // subset vs probes alone) that localized the r7 probe degradation.
+    val thr = if (only.nonEmpty && !probeOnly &&
+        !sys.env.contains("SPARK_GRAFT_FORCE_PROBES")) "" else try {
       // 2M vertices × 16 = 32M edges: large enough that per-superstep
       // scheduling overhead amortizes and the rate is comparable to
       // BASELINE.md's edge-throughput numbers. Blocking cleanup first:
@@ -280,13 +309,16 @@ object Bench {
       // measurements.
       val prCalibs = scala.collection.mutable.ArrayBuffer.empty[Double]
       val prBrackets = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+      val prSteal = scala.collection.mutable.ArrayBuffer.empty[Double]
       val runs = (1 to 3).map { _ =>
         settle()
         val pre = probeCalib()
+        val s0 = stealJiffies()
         val t0 = System.nanoTime()
         graft.graph.Algorithms.pageRank(g, iterations = iters)
           .agg(org.apache.spark.sql.functions.sum("pr")).collect()
         val dt = (System.nanoTime() - t0) / 1e9
+        prSteal += stealFrac(s0, stealJiffies(), dt)
         val post = probeCalib()
         prBrackets += ((pre, post))
         prCalibs += math.sqrt(pre * post)
@@ -314,12 +346,15 @@ object Bench {
         graft.graph.Algorithms.totalTriangles(g)
         val tcCalibs = scala.collection.mutable.ArrayBuffer.empty[Double]
         val tcBrackets = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+        val tcSteal = scala.collection.mutable.ArrayBuffer.empty[Double]
         val tcRuns = (1 to 3).map { _ =>
           settle()
           val pre = probeCalib()
+          val s0 = stealJiffies()
           val t0 = System.nanoTime()
           graft.graph.Algorithms.totalTriangles(g)
           val dt = (System.nanoTime() - t0) / 1e9
+          tcSteal += stealFrac(s0, stealJiffies(), dt)
           val post = probeCalib()
           tcBrackets += ((pre, post))
           tcCalibs += math.sqrt(pre * post)
@@ -329,13 +364,13 @@ object Bench {
         val tcRate = nEdges.toDouble / tcDt
         val tcNorm = normalize(tcRuns, tcCalibs.toSeq)
         System.err.println(f"[bench] triangle_throughput $nEdges%d edges = $tcDt%.2f s best (${tcRate / 1e3}%.0f k edges/s); spread raw ${spread(tcRuns)}%.2fx / normalized ${spread(tcNorm)}%.2fx")
-        s""","tc_sec":$tcDt,"tc_sec_runs":${tcRuns.mkString("[", ",", "]")},"tc_calib_runs":${tcCalibs.mkString("[", ",", "]")},"tc_calib_brackets":${tcBrackets.map { case (a, b) => s"[$a,$b]" }.mkString("[", ",", "]")},"tc_sec_runs_normalized":${tcNorm.mkString("[", ",", "]")},"tc_spread_normalized":${spread(tcNorm)},"tc_edges_per_sec":$tcRate"""
+        s""","tc_sec":$tcDt,"tc_sec_runs":${tcRuns.mkString("[", ",", "]")},"tc_calib_runs":${tcCalibs.mkString("[", ",", "]")},"tc_calib_brackets":${tcBrackets.map { case (a, b) => s"[$a,$b]" }.mkString("[", ",", "]")},"tc_steal_frac_runs":${tcSteal.mkString("[", ",", "]")},"tc_sec_runs_normalized":${tcNorm.mkString("[", ",", "]")},"tc_spread_normalized":${spread(tcNorm)},"tc_edges_per_sec":$tcRate"""
       } catch { case e: Throwable =>
         System.err.println(s"[bench] triangle probe failed: $e")
         e.printStackTrace()
         ""
       }
-      s""","pr_edges":$nEdges,"pr_iters":$iters,"pr_sec":$dt,"pr_sec_median":$dtMed,"pr_sec_runs":${runs.mkString("[", ",", "]")},"pr_calib_runs":${prCalibs.mkString("[", ",", "]")},"pr_calib_brackets":${prBrackets.map { case (a, b) => s"[$a,$b]" }.mkString("[", ",", "]")},"pr_sec_runs_normalized":${prNorm.mkString("[", ",", "]")},"pr_spread_normalized":${spread(prNorm)},"pr_edge_iters_per_sec":$rate$tc"""
+      s""","pr_edges":$nEdges,"pr_iters":$iters,"pr_sec":$dt,"pr_sec_median":$dtMed,"pr_sec_runs":${runs.mkString("[", ",", "]")},"pr_calib_runs":${prCalibs.mkString("[", ",", "]")},"pr_calib_brackets":${prBrackets.map { case (a, b) => s"[$a,$b]" }.mkString("[", ",", "]")},"pr_steal_frac_runs":${prSteal.mkString("[", ",", "]")},"pr_sec_runs_normalized":${prNorm.mkString("[", ",", "]")},"pr_spread_normalized":${spread(prNorm)},"pr_edge_iters_per_sec":$rate$tc"""
     } catch { case e: Throwable =>
       System.err.println(s"[bench] throughput probe failed: ${e.getMessage}")
       ""
@@ -347,7 +382,9 @@ object Bench {
     val timelineJson = if (calibTimeline.isEmpty) "" else
       s""","calib_timeline":${calibTimeline
         .map { case (i, t) => s"[$i,$t]" }.mkString("[", ",", "]")}"""
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"$calibJson$timelineJson$thr}"""
+    val wallSec = (System.nanoTime() - suiteT0) / 1e9
+    val stealJson = s""","steal_frac_wall":${stealFrac(suiteSteal0, stealJiffies(), wallSec)},"wall_sec":$wallSec"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"$calibJson$timelineJson$stealJson$thr}"""
     println(line)
     // Persist the complete per-query JSON too — the round artifact only
     // keeps the stdout tail, which truncated half the r2 numbers. Full
