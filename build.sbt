@@ -36,4 +36,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // r7 measured 123 full GCs in one bench run and a triangle probe at
   // 100 s that dropped to 30 s with the heap pre-sized.
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "64g")}",
+  // More C2 threads: Spark codegen makes every first-of-its-shape query
+  // JIT-bound (r7 GRAFT_DEBUG: q53 carried +47 s of compiler-thread
+  // time); the box has 32 cores and compilation overlaps execution, so
+  // widening the compiler pool shortens the slow interpreted phase.
+  "-XX:CICompilerCount=12",
 ) ++ sys.env.get("SPARK_GRAFT_JVM_OPTS").toSeq.flatMap(_.split("\\s+").toSeq)
