@@ -17,6 +17,22 @@ object GraftSession {
       // events.parquet carries TIMESTAMP(NANOS); read as long, converted
       // in Tables.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Keep TypedImperativeAggregates (VecScaleSum/VecSum/GramAgg — the
+      // trainer gradient path) in ObjectHashAggregate's hash map: the
+      // default fallback threshold is 128 DISTINCT KEYS, so any
+      // real-scale gradient aggregate (one group per feature/item id)
+      // immediately degrades to sort-based aggregation, which
+      // SERIALIZES every vector buffer through the sorter/spill files —
+      // r7 caught FM runs stalled 300 s with executor threads inside
+      // buffer-serialize + FileOutputStream (disk-speed-bound, hence
+      // bimodal across runs). Our aggregates bound memory structurally:
+      // groups/task ≈ (features or vertices)/partitions and buffers are
+      // rank-sized, so 4M in-memory groups per task is a few hundred MB
+      // worst-case against a 2 GB/task heap budget — at 100 TB the
+      // group count per task is kept there by partitioning, not by the
+      // sort fallback.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "4194304")
 
   def local(cpus: String): SparkSession = {
     val s = builder(s"local[$cpus]", cpus).getOrCreate()
