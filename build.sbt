@@ -23,6 +23,23 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Default heap: 64g on a big box (the 128 GiB bench host), otherwise
+// half of physical RAM — a hard-coded -Xms64g fails to start (or gets
+// OOM-killed under strict overcommit) on smaller machines. Physical RAM
+// read from /proc/meminfo; SPARK_DRIVER_MEM always wins.
+val defaultHeap: String = {
+  val memGb: Long = try {
+    val src = scala.io.Source.fromFile("/proc/meminfo")
+    try src.getLines().collectFirst {
+      case l if l.startsWith("MemTotal:") =>
+        l.split("\\s+")(1).toLong / (1024L * 1024L)
+    }.getOrElse(0L)
+    finally src.close()
+  } catch { case _: Throwable => 0L }
+  if (memGb >= 96) "64g"
+  else if (memGb > 0) s"${math.max(2L, memGb / 2)}g"
+  else "8g"
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
@@ -30,12 +47,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // tasks need far more than the JVM default on the 128 GiB bench box.
   // 32g measurably GC-throttles the post-query-suite throughput probe
   // (22s → 95s for the same run); 64g leaves headroom on the bench box.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "64g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", defaultHeap)}",
   // Fixed-size heap: without -Xms the JVM starts at ~2g and G1 grows
   // the heap through repeated full GCs under Spark's allocation rate —
   // r7 measured 123 full GCs in one bench run and a triangle probe at
   // 100 s that dropped to 30 s with the heap pre-sized.
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "64g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", defaultHeap)}",
   // More C2 threads: Spark codegen makes every first-of-its-shape query
   // JIT-bound (r7 GRAFT_DEBUG: q53 carried +47 s of compiler-thread
   // time); the box has 32 cores and compilation overlaps execution, so

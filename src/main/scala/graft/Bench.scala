@@ -24,9 +24,19 @@ object Bench {
     } catch { case _: Throwable => 0L }
     val jiffiesPerSec = 100.0 // USER_HZ on linux
     // Fraction of the HOST's whole vCPU capacity stolen during the
-    // window (denominator = all vCPUs, not the Spark thread count:
-    // /proc/stat's first line sums every cpu).
-    val allCpus = Runtime.getRuntime.availableProcessors.toDouble
+    // window. Denominator = the number of per-CPU "cpuN" lines in
+    // /proc/stat (what the aggregate first line actually sums), NOT
+    // availableProcessors: under a cgroup CPU quota the two diverge and
+    // the runtime-based denominator inflates the published fraction.
+    val allCpus = {
+      val n = try {
+        val src = scala.io.Source.fromFile("/proc/stat")
+        try src.getLines().count(l => l.startsWith("cpu") && l.length > 3 &&
+          l.charAt(3).isDigit)
+        finally src.close()
+      } catch { case _: Throwable => 0 }
+      if (n > 0) n.toDouble else Runtime.getRuntime.availableProcessors.toDouble
+    }
     def stealFrac(s0: Long, s1: Long, elapsedSec: Double): Double =
       if (elapsedSec <= 0) 0.0
       else (s1 - s0) / jiffiesPerSec / (elapsedSec * allCpus)

@@ -19,18 +19,27 @@ import org.apache.spark.util.LongAccumulator
 object NamedAcc {
   private val regs =
     new ConcurrentHashMap[(SparkContext, String), LongAccumulator]
+  // One cleanup listener per CONTEXT, not per (context, name): N counter
+  // names on one context would otherwise add N redundant listeners to
+  // the scheduler bus.
+  private val hooked = new ConcurrentHashMap[SparkContext, java.lang.Boolean]
 
   /** The accumulator `name` for this context, created on first use.
-    * Registration also hooks application end so the map never retains
-    * accumulators of stopped contexts (a slow leak for harnesses
-    * cycling contexts).
+    * First registration for a context also hooks application end so the
+    * map never retains accumulators of stopped contexts (a slow leak
+    * for harnesses cycling contexts).
     */
   def of(sc: SparkContext, name: String): LongAccumulator =
     regs.computeIfAbsent((sc, name), { case (c, n) =>
-      c.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-        override def onApplicationEnd(
-            end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
-          regs.keySet.removeIf(_._1 == c)
+      hooked.computeIfAbsent(c, c2 => {
+        c2.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+            regs.keySet.removeIf(_._1 == c2)
+            hooked.remove(c2)
+          }
+        })
+        java.lang.Boolean.TRUE
       })
       c.longAccumulator(n)
     })

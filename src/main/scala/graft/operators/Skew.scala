@@ -33,11 +33,29 @@ object Skew {
     require(joinType == "inner" || joinType == "left",
       s"saltedJoin supports inner/left, not $joinType")
     require(saltFactor > 0, "saltFactor must be positive")
-    val salt: Column =
-      pmod(xxhash64(big.columns.map(col).toSeq: _*), lit(saltFactor.toLong))
-    val bigS = big.withColumn("__salt", salt)
-    val smallS = small.withColumn("__salt",
+    // Working column named to never collide with user data: pick the
+    // first "__salt", "__salt_", "__salt__", … absent from BOTH inputs
+    // (a silent collision would corrupt the equi-join condition).
+    val taken = (big.columns ++ small.columns).toSet
+    val saltCol = Iterator.iterate("__salt")(_ + "_").dropWhile(taken).next()
+    // Salt from the hashABLE probe columns only: xxhash64 raises for
+    // MapType (maps have no canonical order). Rows of a hot key still
+    // fan out as long as any other column differs; if only unhashable
+    // columns differ the fan-out degrades gracefully (fewer distinct
+    // salts), never the correctness.
+    def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => hashable(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
+      case _ => true
+    }
+    val hashCols = big.schema.fields.filter(f => hashable(f.dataType)).map(f => col(f.name))
+    require(hashCols.nonEmpty,
+      "saltedJoin needs at least one hashable probe column to derive the salt")
+    val salt: Column = pmod(xxhash64(hashCols.toSeq: _*), lit(saltFactor.toLong))
+    val bigS = big.withColumn(saltCol, salt)
+    val smallS = small.withColumn(saltCol,
       explode(sequence(lit(0L), lit(saltFactor - 1L))))
-    bigS.join(smallS, Seq(key, "__salt"), joinType).drop("__salt")
+    bigS.join(smallS, Seq(key, saltCol), joinType).drop(saltCol)
   }
 }

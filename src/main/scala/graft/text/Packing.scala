@@ -1,0 +1,89 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for LLM training: documents are laid end-to-end on a
+  * token tape in a deterministic global order and the tape is cut into
+  * fixed-length training sequences (the concatenate-and-chunk packing
+  * every large pretraining pipeline runs between curation and the
+  * trainer). One output row per (document x training sequence it
+  * overlaps): which sequence, where inside it, and how many of the doc's
+  * tokens land there — exactly the manifest a sharded tokenizer needs to
+  * materialize sequence files without ever re-scanning text.
+  *
+  * Scale design (100 TB): the global prefix sum is HIERARCHICAL — a
+  * running sum inside bounded id-buckets (window partitioned by bucket,
+  * <= bucketWidth distinct ids per group) plus a running sum over the
+  * per-bucket totals (numDocs/bucketWidth rows, a broadcast-sized
+  * aggregate at any realistic corpus for bucketWidth >= 2^20). No
+  * single-partition global window, no `zipWithIndex` RDD hop, no
+  * sampling-dependent range partitioning (bucket = id / width is
+  * deterministic across retries, unlike repartitionByRange boundaries).
+  */
+object Packing {
+
+  /** Pack `docs` into `seqLen`-token training sequences.
+    *
+    * Documents are ordered by `idCol` (ascending — callers wanting a
+    * shuffled curriculum pre-map the id, e.g. by a hash). `tokensCol`
+    * is each document's token count. Emits
+    * (id, seq_id, doc_start, seq_offset, slice_tokens):
+    *  - doc_start: the doc's first position on the global token tape
+    *  - seq_id: a training sequence (tape positions [seq_id*seqLen,
+    *    (seq_id+1)*seqLen)) the doc overlaps
+    *  - seq_offset: position inside that sequence where the doc's slice
+    *    begins
+    *  - slice_tokens: tokens of this doc landing in this sequence
+    * Zero-token documents emit nothing.
+    */
+  def packSequences(docs: DataFrame, idCol: String, tokensCol: String,
+                    seqLen: Int, bucketWidth: Long = 1L << 20): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val base = docs.select(
+      col(idCol).cast("long").as("id"),
+      col(tokensCol).cast("long").as("n"))
+      .where(col("n") > 0)
+      .withColumn("bucket", floor(col("id") / bucketWidth))
+    // Level 1: running sum inside each bounded bucket (<= bucketWidth
+    // ids per group — the window never sees an unbounded partition).
+    val inBucket = base.withColumn("local_start",
+      sum("n").over(Window.partitionBy("bucket").orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, -1)))
+      .na.fill(0L, Seq("local_start"))
+    // Level 2: running offsets over per-bucket totals — numDocs /
+    // bucketWidth rows; broadcast back. (At exabyte scale add a third
+    // level the same way; two levels cover ~2^40 documents.)
+    val bucketOffsets = base.groupBy("bucket").agg(sum("n").as("tot"))
+      .select(col("bucket"), sum("tot").over(Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)).as("bucket_start"))
+      .na.fill(0L, Seq("bucket_start"))
+    val placed = inBucket.join(broadcast(bucketOffsets), "bucket")
+      .select(col("id"), col("n"),
+        (col("bucket_start") + col("local_start")).as("doc_start"))
+    // A doc spanning tape [doc_start, doc_start+n) overlaps sequences
+    // floor(doc_start/L) .. floor((doc_start+n-1)/L); per overlapped
+    // sequence compute the in-sequence offset and the slice size.
+    val L = lit(seqLen.toLong)
+    placed
+      .withColumn("seq_id", explode(sequence(
+        floor(col("doc_start") / L),
+        floor((col("doc_start") + col("n") - 1) / L))))
+      .select(col("id"), col("seq_id"), col("doc_start"),
+        (greatest(col("seq_id") * L, col("doc_start")) - col("seq_id") * L)
+          .as("seq_offset"),
+        (least((col("seq_id") + 1) * L, col("doc_start") + col("n")) -
+          greatest(col("seq_id") * L, col("doc_start"))).as("slice_tokens"))
+  }
+
+  /** Per-sequence fill audit over a packing manifest: tokens packed into
+    * each sequence and how many documents contribute (the last sequence
+    * is the only one allowed to be short).
+    */
+  def sequenceFill(manifest: DataFrame): DataFrame =
+    manifest.groupBy("seq_id").agg(
+      sum("slice_tokens").as("fill_tokens"),
+      count(lit(1)).as("n_docs"))
+}

@@ -45,4 +45,28 @@ class SkewSpec extends SparkSpec {
       Skew.saltedJoin(skewed, dim, "k", joinType = "right")
     }
   }
+
+  test("saltedJoin survives a pre-existing __salt column on either input") {
+    val probe = skewed.withColumn("__salt", lit("user data"))
+    val dim = (0L to 15L).map(k => (k, s"d$k")).toDF("k", "name")
+      .withColumn("__salt", lit(99))
+    val out = Skew.saltedJoin(probe, dim, "k", saltFactor = 4)
+    // user __salt columns come through untouched (both sides')
+    assert(out.columns.count(_ == "__salt") == 2)
+    assert(out.count() == skewed.join((0L to 15L).map(k => (k, s"d$k"))
+      .toDF("k", "name"), "k").count())
+    assert(out.select("__salt").distinct().count() == 1)
+  }
+
+  test("saltedJoin skips unhashable (map) probe columns when salting") {
+    val probe = skewed.withColumn("m", map(lit("a"), col("v")))
+    val dim = (0L to 15L).map(k => (k, s"d$k")).toDF("k", "name")
+    val plain = probe.join(dim, "k")
+    val salted = Skew.saltedJoin(probe, dim, "k", saltFactor = 8)
+    assert(salted.count() == plain.count())
+    // hot key still spreads via the remaining hashable column v
+    val salt = pmod(xxhash64(col("k"), col("v")), lit(8L))
+    assert(skewed.filter(col("k") === 0L).select(salt.as("s"))
+      .distinct().count() == 8L)
+  }
 }
