@@ -437,15 +437,36 @@ object Bench {
     val wallSec = (System.nanoTime() - suiteT0) / 1e9
     val stealJson = s""","steal_frac_wall":${stealFrac(suiteSteal0, stealJiffies(), wallSec)},"wall_sec":$wallSec"""
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"$calibJson$timelineJson$stealJson$thr}"""
-    println(line)
-    // Persist the complete per-query JSON too — the round artifact only
+    val benchFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE",
+      "/root/repo/bench_full_r08.json")
+    // Persist the complete per-query JSON — the round artifact only
     // keeps the stdout tail, which truncated half the r2 numbers. Full
     // (unfiltered) runs at sf0.1 only, so neither a local subset run nor
     // a small-sf smoke run ever clobbers the judge's sf0.1 artifact.
     if (only.isEmpty && !probeOnly && sfDir.contains("sf0.1"))
       java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE",
-          "/root/repo/bench_full_r07.json")), line + "\n")
+        java.nio.file.Paths.get(benchFile), line + "\n")
+    // STDOUT gets a COMPACT headline line instead of the full one: the
+    // round driver keeps only the last 2000 bytes of stdout and parses
+    // the trailing JSON line — the full line (5 KB+ at 116 queries)
+    // never fit, so BENCH_r1..r7 all recorded "parsed": null. Headline =
+    // totals, error map, the 12 slowest queries, calibration, and the
+    // two baseline-comparable probe rates; everything else lives in
+    // `full_artifact`.
+    def pick(key: String): String =
+      ("\"" + key + "\":(-?[0-9][0-9.eE+-]*)").r.findFirstMatchIn(line)
+        .map(m => s""","$key":${m.group(1)}""").getOrElse("")
+    val slow = results.filter(_._3.isEmpty).sortBy(-_._2).take(12)
+      .map { case (k, v, _) => f""""$k":$v%.2f""" }.mkString("{", ",", "}")
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"queries":$slow,"errors":$errs""" +
+      f""","wall_sec":$wallSec%.1f""" +
+      pick("calib_sec") + pick("calib_shuffle_sec") + pick("steal_frac_wall") +
+      pick("pr_sec") + pick("pr_spread_normalized") +
+      pick("pr_edge_iters_per_sec") +
+      pick("tc_sec") + pick("tc_spread_normalized") +
+      pick("tc_edges_per_sec") +
+      s""","full_artifact":${jstr(benchFile)}}"""
+    println(compact)
     spark.stop()
   }
 }

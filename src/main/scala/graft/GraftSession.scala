@@ -17,26 +17,45 @@ object GraftSession {
       // events.parquet carries TIMESTAMP(NANOS); read as long, converted
       // in Tables.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // Keep TypedImperativeAggregates (VecScaleSum/VecSum/GramAgg — the
-      // trainer gradient path) in ObjectHashAggregate's hash map: the
-      // default fallback threshold is 128 DISTINCT KEYS, so any
-      // real-scale gradient aggregate (one group per feature/item id)
-      // immediately degrades to sort-based aggregation, which
-      // SERIALIZES every vector buffer through the sorter/spill files —
-      // r7 caught FM runs stalled 300 s with executor threads inside
-      // buffer-serialize + FileOutputStream (disk-speed-bound, hence
-      // bimodal across runs). Our aggregates bound memory structurally:
-      // groups/task ≈ (features or vertices)/partitions and buffers are
-      // rank-sized, so 4M in-memory groups per task is a few hundred MB
-      // worst-case against a 2 GB/task heap budget — at 100 TB the
-      // group count per task is kept there by partitioning, not by the
-      // sort fallback.
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        "4194304")
-
   def local(cpus: String): SparkSession = {
     val s = builder(s"local[$cpus]", cpus).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
+  }
+
+  private val FallbackKey =
+    "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+
+  /** Run `f` with ObjectHashAggregate's sort fallback raised to 4M
+    * in-memory groups, restoring the previous setting after.
+    *
+    * The trainer gradient aggregates (VecScaleSum/VecSum/GramAgg) need
+    * this: the default fallback threshold is 128 DISTINCT KEYS, so any
+    * real-scale gradient aggregate (one group per feature/item id)
+    * immediately degrades to sort-based aggregation, which SERIALIZES
+    * every vector buffer through the sorter/spill files — r7 caught FM
+    * runs stalled 300 s with executor threads inside buffer-serialize +
+    * FileOutputStream. Those aggregates bound memory structurally
+    * (groups/task ≈ (features or vertices)/partitions, rank-sized
+    * buffers), so 4M in-memory groups per task is a few hundred MB
+    * worst-case. The raise is SCOPED here rather than set session-wide:
+    * an unrelated high-cardinality TypedImperativeAggregate
+    * (collect_list, percentile over millions of groups) should keep the
+    * spill-safe default, not inherit a trainer-sized OOM budget.
+    * Trainers materialize inside their loops (Iterate.ckpt /
+    * end-of-loop collects), so wrapping the trainer body covers every
+    * execution of these aggregates.
+    */
+  def withTrainerAggCapacity[T](spark: SparkSession)(f: => T): T = {
+    val prev = spark.conf.getOption(FallbackKey)
+    // SPARK_GRAFT_AGG_FALLBACK overrides for A/B measurement (e.g. 128
+    // re-enables the Spark default sort-fallback behavior inside
+    // trainers without a rebuild).
+    spark.conf.set(FallbackKey,
+      sys.env.getOrElse("SPARK_GRAFT_AGG_FALLBACK", "4194304"))
+    try f finally prev match {
+      case Some(v) => spark.conf.set(FallbackKey, v)
+      case None    => spark.conf.unset(FallbackKey)
+    }
   }
 }

@@ -1653,6 +1653,106 @@ object SparkEntry {
         .start()
       q.awaitTermination()
       s.table("graft_q116").select("doc_id", "contaminated").orderBy("doc_id")
+    }),
+
+    // Sequence packing manifest: documents laid end-to-end on the global
+    // token tape (hierarchical bucket prefix-sum, no single-partition
+    // global window) and cut into 512-token training sequences. One row
+    // per (doc x overlapped sequence). bucketWidth 128 so even the
+    // 500-doc verify fixture exercises the two-level sum across
+    // multiple buckets.
+    "q117_pack_sequences" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        graft.text.TextAnalysis.tokenCount(col("text")).cast("long")
+          .as("n_tokens"))
+      graft.text.Packing.packSequences(docs, "doc_id", "n_tokens",
+          seqLen = 512, bucketWidth = 128L)
+        .orderBy("id", "seq_id")
+    }),
+
+    // Fill audit over the packing manifest: tokens and contributing docs
+    // per training sequence — every sequence but the last must be full.
+    "q118_pack_fill" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        graft.text.TextAnalysis.tokenCount(col("text")).cast("long")
+          .as("n_tokens"))
+      graft.text.Packing.sequenceFill(
+          graft.text.Packing.packSequences(docs, "doc_id", "n_tokens",
+            seqLen = 512, bucketWidth = 128L))
+        .orderBy("seq_id")
+    }),
+
+    // Unicode canonicalization kernels (native codegen'd expressions,
+    // DuckDB nfc_normalize / strip_accents semantics). The fixture is
+    // pure ASCII, so the query injects accents deterministically
+    // (translate vowels to precomposed accented forms + append a
+    // DECOMPOSED "école") before normalizing — both engines see the
+    // same bytes and the oracle exercises real composition/stripping.
+    "q119_normalize" -> ((s, d) => {
+      val t = concat(
+        translate(substring(col("text"), 1, 80), "aeiou",
+          "áéíöü"),
+        lit(" école"))
+      Tables.documents(s, d).select(col("doc_id"),
+          graft.functions.NormalizeText.nfc(t).as("nfc_text"),
+          graft.functions.NormalizeText.stripAccents(t).as("ascii_text"))
+        .orderBy("doc_id")
+    }),
+
+    // Temperature-reweighted corpus mixture (post-sample sizes ∝
+    // n_lang^0.5, no upsampling): audit view — per-language totals, the
+    // derived systematic keep rate, and achieved kept counts. Keyed on
+    // lang (en dominates the fixture ~3:1) so the rates genuinely
+    // downsample; alpha=0.5 keeps the rate arithmetic on IEEE sqrt so
+    // both engines derive the identical integer rate table.
+    "q120_temperature_mix" -> ((s, d) =>
+      graft.text.Sampling.temperatureAudit(Tables.documents(s, d),
+          "doc_id", "lang", alpha = 0.5, denom = 10000)
+        .orderBy("lang")),
+
+    // Shuffled-curriculum packing: documents laid on the token tape in
+    // affine-permutation order (a=1103515245, m=2^31-1) instead of id
+    // order, then cut into 512-token sequences — the deterministic
+    // global shuffle + concat-and-chunk a pretraining run does. Sparse
+    // id-space buckets (the permuted keys scatter over [0, 2^31)) ride
+    // the same hierarchical prefix sum.
+    "q121_pack_shuffled" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        graft.text.TextAnalysis.tokenCount(col("text")).cast("long")
+          .as("n_tokens"))
+      val sh = docs.withColumn("sid",
+        graft.text.Packing.shuffledId(col("doc_id")))
+      val m = graft.text.Packing.packSequences(sh, "sid", "n_tokens",
+        seqLen = 512, bucketWidth = 1L << 16)
+      m.join(sh.select(col("sid"), col("doc_id")), m("id") === col("sid"))
+        .select(col("doc_id"), col("seq_id"), col("seq_offset"),
+          col("slice_tokens"))
+        .orderBy("doc_id", "seq_id")
+    }),
+
+    // Cross-language n-gram overlap matrix (hashed 8-byte n-gram path;
+    // the oracle recomputes from strings — identical counts up to
+    // xxhash64 collisions): which corpus slices are near-copies of each
+    // other before mixing.
+    "q122_cross_overlap" -> ((s, d) =>
+      graft.text.Dedup.crossGroupNgramOverlap(Tables.documents(s, d),
+          "lang", "text", n = 3, hashed = true)
+        .orderBy("group_a", "group_b")),
+
+    // Incremental snapshot diff: old = ids not ≡0 (mod 7), new = ids
+    // not ≡0 (mod 5) with every ≡0 (mod 11) doc's text edited — the
+    // operator reports added/removed/changed/unchanged off 8-byte
+    // content hashes; the oracle compares the strings themselves.
+    "q123_snapshot_diff" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val old = docs.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"), col("text"))
+      val nw = docs.filter(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+      graft.text.Dedup.snapshotDiff(old, nw, "doc_id", "text")
+        .orderBy("doc_id")
     })
   )
 
@@ -3425,6 +3525,153 @@ object SparkEntry {
                     JOIN bench b USING (ng))
          SELECT corp.doc_id,
                 corp.doc_id IN (SELECT doc_id FROM hit) AS contaminated
-         FROM corp ORDER BY doc_id"""
+         FROM corp ORDER BY doc_id""",
+
+    // The hierarchical (bucketed) prefix sum must equal the plain
+    // global running sum the oracle computes; n_tokens = the q11/q114
+    // whitespace-token expression. Casts pin BIGINT against DuckDB's
+    // HUGEINT window-sum result.
+    "q117_pack_sequences" ->
+      """WITH base AS (
+           SELECT doc_id AS id,
+                  CAST(len(list_filter(string_split_regex(trim(text),
+                       '\s+'), x -> x <> '')) AS BIGINT) AS n
+           FROM documents),
+         nz AS (SELECT id, n FROM base WHERE n > 0),
+         placed AS (
+           SELECT id, n,
+                  CAST(COALESCE(SUM(n) OVER (ORDER BY id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS BIGINT) AS doc_start
+           FROM nz)
+         SELECT id, CAST(t.seq_id AS BIGINT) AS seq_id, doc_start,
+                CAST(GREATEST(t.seq_id * 512, doc_start)
+                     - t.seq_id * 512 AS BIGINT) AS seq_offset,
+                CAST(LEAST((t.seq_id + 1) * 512, doc_start + n)
+                     - GREATEST(t.seq_id * 512, doc_start) AS BIGINT)
+                  AS slice_tokens
+         FROM placed, UNNEST(range(doc_start // 512,
+                (doc_start + n - 1) // 512 + 1)) AS t(seq_id)
+         ORDER BY id, seq_id""",
+
+    "q118_pack_fill" ->
+      """WITH base AS (
+           SELECT doc_id AS id,
+                  CAST(len(list_filter(string_split_regex(trim(text),
+                       '\s+'), x -> x <> '')) AS BIGINT) AS n
+           FROM documents),
+         nz AS (SELECT id, n FROM base WHERE n > 0),
+         placed AS (
+           SELECT id, n,
+                  CAST(COALESCE(SUM(n) OVER (ORDER BY id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS BIGINT) AS doc_start
+           FROM nz),
+         manifest AS (
+           SELECT id, CAST(t.seq_id AS BIGINT) AS seq_id,
+                  CAST(LEAST((t.seq_id + 1) * 512, doc_start + n)
+                       - GREATEST(t.seq_id * 512, doc_start) AS BIGINT)
+                    AS slice_tokens
+           FROM placed, UNNEST(range(doc_start // 512,
+                  (doc_start + n - 1) // 512 + 1)) AS t(seq_id))
+         SELECT seq_id, CAST(SUM(slice_tokens) AS BIGINT) AS fill_tokens,
+                COUNT(*) AS n_docs
+         FROM manifest GROUP BY seq_id ORDER BY seq_id""",
+
+    // Same accent injection (precomposed vowels + a decomposed "école"),
+    // normalized by DuckDB's own nfc_normalize / strip_accents.
+    "q119_normalize" ->
+      """SELECT doc_id,
+                nfc_normalize(translate(substring(text, 1, 80), 'aeiou',
+                  'áéíöü') || ' école')
+                  AS nfc_text,
+                strip_accents(translate(substring(text, 1, 80), 'aeiou',
+                  'áéíöü') || ' école')
+                  AS ascii_text
+         FROM documents ORDER BY doc_id""",
+
+    // keep fraction = sqrt(n_min/n_j) in units of 1/10000; SQRT is IEEE
+    // correctly-rounded so the integer rate matches Spark's bit-for-bit.
+    "q120_temperature_mix" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS n_total FROM documents
+                    GROUP BY lang),
+            mn AS (SELECT MIN(n_total) AS n_min FROM c),
+            r AS (SELECT lang, n_total,
+                    CAST(LEAST(10000, ROUND(SQRT(CAST(n_min AS DOUBLE)
+                      / n_total) * 10000)) AS BIGINT) AS rate
+                  FROM c, mn)
+         SELECT r.lang, r.n_total, r.rate,
+                CAST(SUM(CASE WHEN d.doc_id % 10000 < r.rate
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         FROM r JOIN documents d USING (lang)
+         GROUP BY 1, 2, 3 ORDER BY lang""",
+
+    // Affine-permutation shuffle (sid = doc_id*1103515245 mod 2^31-1),
+    // then the q117 tape/chunk arithmetic ordered by sid.
+    "q121_pack_shuffled" ->
+      """WITH base AS (
+           SELECT doc_id, (doc_id * 1103515245) % 2147483647 AS sid,
+                  CAST(len(list_filter(string_split_regex(trim(text),
+                       '\s+'), x -> x <> '')) AS BIGINT) AS n
+           FROM documents),
+         nz AS (SELECT doc_id, sid, n FROM base WHERE n > 0),
+         placed AS (
+           SELECT doc_id, n,
+                  CAST(COALESCE(SUM(n) OVER (ORDER BY sid
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS BIGINT) AS doc_start
+           FROM nz)
+         SELECT doc_id, CAST(t.seq_id AS BIGINT) AS seq_id,
+                CAST(GREATEST(t.seq_id * 512, doc_start)
+                     - t.seq_id * 512 AS BIGINT) AS seq_offset,
+                CAST(LEAST((t.seq_id + 1) * 512, doc_start + n)
+                     - GREATEST(t.seq_id * 512, doc_start) AS BIGINT)
+                  AS slice_tokens
+         FROM placed, UNNEST(range(doc_start // 512,
+                (doc_start + n - 1) // 512 + 1)) AS t(seq_id)
+         ORDER BY doc_id, seq_id""",
+
+    // String-side recomputation of the hashed cross-group overlap
+    // (3-gram sets per the q116 shingle formulation).
+    "q122_cross_overlap" ->
+      """WITH toks AS (SELECT lang,
+              list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                          x -> x <> '') AS t FROM documents),
+            gn AS (SELECT DISTINCT lang, ng FROM (
+              SELECT lang, unnest(
+                CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                  ELSE list_transform(range(len(t) - 2),
+                    i -> array_to_string(t[i+1:i+3], ' ')) END) AS ng
+              FROM toks)),
+            sizes AS (SELECT lang, COUNT(*) AS sz FROM gn GROUP BY lang),
+            inter AS (SELECT a.lang AS group_a, b.lang AS group_b,
+                             COUNT(*) AS n_common
+                      FROM gn a JOIN gn b USING (ng)
+                      WHERE a.lang < b.lang GROUP BY 1, 2)
+         SELECT i.group_a, i.group_b, sa.sz AS n_a, sb.sz AS n_b,
+                i.n_common,
+                CAST(i.n_common AS DOUBLE) / (sa.sz + sb.sz - i.n_common)
+                  AS jaccard
+         FROM inter i
+         JOIN sizes sa ON i.group_a = sa.lang
+         JOIN sizes sb ON i.group_b = sb.lang
+         ORDER BY group_a, group_b""",
+
+    // The diff statuses from comparing the text itself (the operator
+    // compares 8-byte content hashes).
+    "q123_snapshot_diff" ->
+      """WITH o AS (SELECT doc_id, text FROM documents
+                    WHERE doc_id % 7 <> 0),
+            n AS (SELECT doc_id,
+                         CASE WHEN doc_id % 11 = 0 THEN text || ' v2'
+                              ELSE text END AS text
+                  FROM documents WHERE doc_id % 5 <> 0)
+         SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+                CASE WHEN o.doc_id IS NULL THEN 'added'
+                     WHEN n.doc_id IS NULL THEN 'removed'
+                     WHEN o.text <> n.text THEN 'changed'
+                     ELSE 'unchanged' END AS status
+         FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+         ORDER BY doc_id"""
   )
 }

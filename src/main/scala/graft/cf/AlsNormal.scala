@@ -138,7 +138,8 @@ object AlsNormal {
   def train(ratings: DataFrame, rank: Int = 8, iterations: Int = 5,
             lambda: Double = 0.065, seed: Long = 42L,
             warmStartItemFactors: Option[DataFrame] = None,
-            sparsity: Option[Int] = None): Model = {
+            sparsity: Option[Int] = None): Model =
+      graft.GraftSession.withTrainerAggCapacity(ratings.sparkSession) {
     val w = if (ratings.columns.contains("weight")) col("weight").cast("double") else lit(1.0d)
     val r = ratings.select(col("user"), col("item"), col("rating").cast("double"), w.as("w"))
       .repartition(col("user")).transform(graft.graph.Iterate.ckpt)

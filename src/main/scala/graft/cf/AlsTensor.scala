@@ -48,7 +48,8 @@ object AlsTensor {
     * the rank×rank normal equations per vertex (als_tensor.cpp:123-135).
     */
   def train(ratings: DataFrame, rank: Int = 4, iterations: Int = 5,
-            lambda: Double = 0.065, seed: Long = 42L): Model = {
+            lambda: Double = 0.065, seed: Long = 42L): Model =
+      graft.GraftSession.withTrainerAggCapacity(ratings.sparkSession) {
     val r = ratings.select(col("user"), col("item"), col("time"),
         col("rating").cast("double"), lit(1.0d).as("w"))
       .repartition(col("user")).transform(graft.graph.Iterate.ckpt)
@@ -140,7 +141,8 @@ object AlsTensor {
     */
   def trainTimeSvdPP(ratings: DataFrame, rank: Int = 8, iterations: Int = 5,
                      lr: Double = 0.01, reg: Double = 0.05,
-                     seed: Long = 42L): TimeSvdPPModel = {
+                     seed: Long = 42L): TimeSvdPPModel =
+      graft.GraftSession.withTrainerAggCapacity(ratings.sparkSession) {
     val r = ratings.select(col("user"), col("item"), col("time"),
         col("rating").cast("double"))
       .repartition(col("user")).transform(graft.graph.Iterate.ckpt)

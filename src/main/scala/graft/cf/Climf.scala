@@ -50,7 +50,8 @@ object Climf {
     */
   def train(rel: DataFrame, rank: Int = 5, iterations: Int = 5,
             lr: Double = 0.005, lambda: Double = 0.001, seed: Long = 42L,
-            maxUserDegree: Int = 200): Model = {
+            maxUserDegree: Int = 200): Model =
+      graft.GraftSession.withTrainerAggCapacity(rel.sparkSession) {
     val deg = rel.groupBy("user").agg(count(lit(1)).as("d"))
       .filter(col("d") >= 2 && col("d") <= maxUserDegree).select("user")
     val r = rel.select("user", "item").distinct().join(deg, "user")

@@ -114,7 +114,8 @@ object Decompositions {
 
   private def subspaceSvd(ratings: DataFrame, k: Int, iterations: Int,
                           seed: Long, needU: Boolean = true)
-      : (Array[Double], DataFrame, DataFrame) = {
+      : (Array[Double], DataFrame, DataFrame) =
+      graft.GraftSession.withTrainerAggCapacity(ratings.sparkSession) {
     val a = ratings.select(col("user").cast("long").as("user"),
         col("item").cast("long").as("item"),
         col("rating").cast("double").as("rating"))
@@ -158,7 +159,8 @@ object Decompositions {
     * join/groupBy shape as ALS/SGD, with non-negativity by construction.
     */
   def nmf(ratings: DataFrame, rank: Int = 8, iterations: Int = 10,
-          seed: Long = 42L, eps: Double = 1e-9): (DataFrame, DataFrame) = {
+          seed: Long = 42L, eps: Double = 1e-9): (DataFrame, DataFrame) =
+      graft.GraftSession.withTrainerAggCapacity(ratings.sparkSession) {
     val r = ratings.select("user", "item", "rating")
       .repartition(col("user")).transform(graft.graph.Iterate.ckpt)
     def init(ids: DataFrame, s: Long) = ids.select(col("id"),

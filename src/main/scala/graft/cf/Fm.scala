@@ -105,7 +105,8 @@ object Fm {
 
   /** Train on `examples(example_id, features: array<long>, y)`. */
   def train(examples: DataFrame, rank: Int = 4, iterations: Int = 10,
-            lr: Double = 0.01, reg: Double = 0.01, seed: Long = 42L): Model = {
+            lr: Double = 0.01, reg: Double = 0.01, seed: Long = 42L): Model =
+      graft.GraftSession.withTrainerAggCapacity(examples.sparkSession) {
     val ex = examples.repartition(col("example_id"))
       .transform(graft.graph.Iterate.ckpt)
     val flat = ex.select(col("example_id"), col("y"),

@@ -47,7 +47,8 @@ object MfSgd {
     */
   def train(ratings: DataFrame, rank: Int = 8, iterations: Int = 10,
             lr: Double = 0.01, reg: Double = 0.05, seed: Long = 42L,
-            haltOnIncrease: Boolean = false, loss: Loss = SquareLoss): Model = {
+            haltOnIncrease: Boolean = false, loss: Loss = SquareLoss): Model =
+      graft.GraftSession.withTrainerAggCapacity(ratings.sparkSession) {
     val spark = ratings.sparkSession
     val r0 = ratings.select(col("user"), col("item"), col("rating").cast("double"))
     val r = (loss match {
@@ -171,7 +172,8 @@ object MfSgd {
     */
   def trainMulti(ratings: DataFrame, losses: Seq[Loss], rank: Int = 8,
                  iterations: Int = 3, lr: Double = 0.01, reg: Double = 0.05,
-                 seed: Long = 42L): Map[Loss, Seq[Double]] = {
+                 seed: Long = 42L): Map[Loss, Seq[Double]] =
+      graft.GraftSession.withTrainerAggCapacity(ratings.sparkSession) {
     def tag(l: Loss): String = l match {
       case SquareLoss => "square"; case AbsLoss => "abs"
       case LogisticLoss => "logistic"

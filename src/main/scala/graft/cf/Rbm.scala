@@ -35,7 +35,8 @@ object Rbm {
           .cast("double") / 1e7) - 0.05).as("w"))
 
   def train(ratings: DataFrame, nHidden: Int = 8, iterations: Int = 5,
-            lr: Double = 0.05, reg: Double = 0.01, seed: Long = 42L): Model = {
+            lr: Double = 0.05, reg: Double = 0.01, seed: Long = 42L): Model =
+      graft.GraftSession.withTrainerAggCapacity(ratings.sparkSession) {
     // visible units: mean-centered ratings
     val mu = ratings.agg(avg("rating")).collect()(0).getDouble(0)
     val r = ratings.select(col("user"), col("item"),

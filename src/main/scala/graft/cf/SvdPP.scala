@@ -39,7 +39,8 @@ object SvdPP {
           .cast("double") / 1e7) - 0.05).as("f"))
 
   def train(ratings: DataFrame, rank: Int = 8, iterations: Int = 5,
-            lr: Double = 0.01, reg: Double = 0.05, seed: Long = 42L): Model = {
+            lr: Double = 0.01, reg: Double = 0.05, seed: Long = 42L): Model =
+      graft.GraftSession.withTrainerAggCapacity(ratings.sparkSession) {
     val r = ratings.select(col("user"), col("item"), col("rating").cast("double"))
       .repartition(col("user")).transform(graft.graph.Iterate.ckpt)
     val mu = r.agg(avg("rating")).collect()(0).getDouble(0)
@@ -129,15 +130,26 @@ object SvdPP {
     Model(uf, vf, yf, mu, rmses)
   }
 
-  /** Predict for (user, item) pairs with the implicit term. */
+  /** Predict for (user, item) pairs with the implicit term. The per-user
+    * implicit-factor sum is a trainer-shaped vector aggregate (one
+    * rank-sized group per user), so it is MATERIALIZED here under the
+    * same scoped ObjectHashAggregate capacity as the training loop —
+    * left lazy it would execute at the caller's action with the
+    * 128-group default and sort-spill every vector buffer. The
+    * checkpointed frame is |users| × rank, the same size the trainer
+    * already checkpoints each iteration.
+    */
   def predict(model: Model, ratings: DataFrame, pairs: DataFrame): DataFrame = {
     val rank = model.userFactors.select(size(col("pu"))).first().getInt(0)
     val nu = ratings.groupBy("user").agg(pow(count(lit(1)), -0.5).as("ninv"))
-    val impl = ratings
-      .join(model.implicitFactors, "item").groupBy("user")
-      .agg(vecSum(col("yj"), rank).as("ysum"))
-      .join(nu, "user")
-      .select(col("user"), transform(col("ysum"), v => v * col("ninv")).as("imp"))
+    val impl = graft.GraftSession.withTrainerAggCapacity(ratings.sparkSession) {
+      graft.graph.Iterate.ckpt(ratings
+        .join(model.implicitFactors, "item").groupBy("user")
+        .agg(vecSum(col("yj"), rank).as("ysum"))
+        .join(nu, "user")
+        .select(col("user"),
+          transform(col("ysum"), v => v * col("ninv")).as("imp")))
+    }
     pairs.join(model.userFactors, "user").join(model.itemFactors, "item")
       .join(impl, Seq("user"), "left")
       .withColumn("puimp",

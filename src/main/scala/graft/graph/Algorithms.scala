@@ -347,7 +347,8 @@ object Algorithms {
     */
   def seededLabelPropagation(edges: DataFrame, seeds: DataFrame,
                              numLabels: Int, iterations: Int = 10,
-                             alpha: Double = 0.15): DataFrame = {
+                             alpha: Double = 0.15): DataFrame =
+      graft.GraftSession.withTrainerAggCapacity(edges.sparkSession) {
     val e = edges.select(col("src"), col("dst"),
         (if (edges.columns.contains("weight")) col("weight").cast("double")
          else lit(1.0)).as("w"))

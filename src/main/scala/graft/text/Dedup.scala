@@ -330,6 +330,67 @@ object Dedup {
           .as("contaminated_frac"))
   }
 
+  /** Cross-group n-gram overlap matrix: for every pair of corpus
+    * groups (languages, sources, snapshots) the distinct-n-gram
+    * intersection, union sizes, and Jaccard — the audit that catches a
+    * "distinct" source being a near-copy of another before both are
+    * mixed into a training run at full weight.
+    *
+    * Scale shape: one shuffle to distinct (group, ngram), then a
+    * group-by-ngram whose aggregate is a `collect_set` of GROUPS — its
+    * buffer is bounded by the number of groups (dozens of languages /
+    * sources), never by corpus size — and the pair explosion is over
+    * that bounded set (≤ G²/2 rows per n-gram). `hashed=true` carries
+    * 8-byte n-gram keys through both shuffles (the 100 TB path; counts
+    * identical up to xxhash64 collisions).
+    */
+  def crossGroupNgramOverlap(docs: DataFrame, groupCol: String,
+                             textCol: String, n: Int = 3,
+                             hashed: Boolean = true): DataFrame = {
+    val gn = docs.select(col(groupCol).as("g"),
+        explode(ngramSet(col(textCol), n, hashed)).as("ng"))
+      .distinct()
+    val sizes = gn.groupBy("g").agg(count(lit(1)).as("sz"))
+    val sorted = array_sort(collect_set(col("g")))
+    val pairs = gn.groupBy("ng").agg(sorted.as("gs"))
+      .select(explode(flatten(transform(col("gs"), (a, i) =>
+        transform(slice(col("gs"), i + lit(2), size(col("gs"))),
+          b => struct(a.as("ga"), b.as("gb")))))).as("p"))
+      .groupBy(col("p.ga").as("group_a"), col("p.gb").as("group_b"))
+      .agg(count(lit(1)).as("n_common"))
+    pairs
+      .join(broadcast(sizes).withColumnRenamed("g", "group_a")
+        .withColumnRenamed("sz", "n_a"), "group_a")
+      .join(broadcast(sizes).withColumnRenamed("g", "group_b")
+        .withColumnRenamed("sz", "n_b"), "group_b")
+      .select(col("group_a"), col("group_b"), col("n_a"), col("n_b"),
+        col("n_common"),
+        (col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common"))).as("jaccard"))
+  }
+
+  /** Corpus snapshot diff for incremental pipelines: (id, status) with
+    * status ∈ added | removed | changed | unchanged between two
+    * snapshots of the same table. Content comparison rides 8-byte
+    * xxhash64 content hashes (never the text) through the full-outer
+    * join — at 100 TB the join carries 16 bytes/row; a 2⁻⁶⁴ hash
+    * collision misreports one row as unchanged, the standard trade
+    * every content-addressed diff makes.
+    */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+                   idCol: String, textCol: String): DataFrame = {
+    val o = oldSnap.select(col(idCol).as("id"),
+      xxhash64(col(textCol)).as("oh"))
+    val nw = newSnap.select(col(idCol).as("id"),
+      xxhash64(col(textCol)).as("nh"))
+    o.join(nw, Seq("id"), "full_outer")
+      .select(col("id").as(idCol),
+        when(col("oh").isNull, "added")
+          .when(col("nh").isNull, "removed")
+          .when(col("oh") =!= col("nh"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
+
   /** Streaming-capable contamination GATE: a pure per-row verdict
     * (`contaminated` = any n-gram of the doc appears in the benchmark
     * set) with the benchmark n-grams captured ONCE as a plan literal —

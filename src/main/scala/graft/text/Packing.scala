@@ -78,6 +78,24 @@ object Packing {
           greatest(col("seq_id") * L, col("doc_start"))).as("slice_tokens"))
   }
 
+  /** Deterministic curriculum shuffle key: the affine permutation
+    * id → (a·id) mod m. With gcd(a, m) = 1 and every id < m this is a
+    * bijection on [0, m), so packing ordered by the shuffled key is a
+    * reproducible global document shuffle — no RNG, no sort-by-random
+    * (which changes under retries/speculation), no driver state. Feed
+    * the result to [[packSequences]] as the id column for a shuffled
+    * curriculum. Default m = 2^31 − 1 (prime, so any a in (0, m) is
+    * coprime); default a is LARGE (≈ m/2) so products wrap m already at
+    * id = 2 — a small multiplier like MINSTD's 48271 is order-PRESERVING
+    * on ids below m/a, i.e. not a shuffle at all for compact id spaces.
+    * Caller contract: ids < m (else not injective) and a·maxId < 2^63
+    * (holds for any id < m here; at larger id spaces pick a prime m
+    * above the id range with a·m < 2^63).
+    */
+  def shuffledId(id: Column, a: Long = 1103515245L,
+                 m: Long = 2147483647L): Column =
+    pmod(id * a, lit(m))
+
   /** Per-sequence fill audit over a packing manifest: tokens packed into
     * each sequence and how many documents contribute (the last sequence
     * is the only one allowed to be short).

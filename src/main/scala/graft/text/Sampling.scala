@@ -33,6 +33,54 @@ object Sampling {
       .select(df.columns.map(col): _*)
   }
 
+  /** Per-stratum keep rates for TEMPERATURE-reweighted mixing (the
+    * multilingual/multi-source sampling rule: post-sample sizes ∝
+    * n_j^alpha, the standard dominant-source flattening): the largest
+    * corpus a mixture ∝ n_j^alpha admits without upsampling keeps
+    * fraction (n_min / n_j)^(1-alpha) of stratum j — 1 for the
+    * smallest stratum, shrinking for dominant ones. Rates are integers
+    * in units of 1/denom for the same systematic `id % denom < rate`
+    * rule as [[stratifiedSystematic]] (deterministic, retry-stable).
+    *
+    * alpha = 0.5 routes through IEEE `sqrt` (correctly rounded, so the
+    * rate integers are reproducible bit-for-bit across engines); other
+    * alphas use `pow`, whose last-ulp rounding is libm-specific — fine
+    * for training mixes, not for cross-engine hash comparison.
+    */
+  def temperatureKeepRates(df: DataFrame, strataCol: String,
+                           alpha: Double = 0.5,
+                           denom: Int = 10000): DataFrame = {
+    val counts = df.groupBy(strataCol).agg(count(lit(1)).as("n_total"))
+    val minN = counts.agg(min("n_total").as("n_min"))
+    val expo = 1.0 - alpha
+    val frac =
+      if (expo == 0.5) sqrt(col("n_min").cast("double") / col("n_total"))
+      else pow(col("n_min").cast("double") / col("n_total"), expo)
+    counts.crossJoin(broadcast(minN))
+      .select(col(strataCol), col("n_total"),
+        least(lit(denom.toLong), round(frac * denom).cast("long")).as("rate"))
+  }
+
+  /** Temperature-mixed corpus: rows kept by the systematic rule under
+    * [[temperatureKeepRates]] — one count aggregate + one broadcast
+    * join over the scan, no RNG, no extra shuffle of the data side.
+    */
+  def temperatureMix(df: DataFrame, idCol: String, strataCol: String,
+                     alpha: Double = 0.5, denom: Int = 10000): DataFrame =
+    df.join(broadcast(temperatureKeepRates(df, strataCol, alpha, denom)
+        .select(col(strataCol), col("rate"))), Seq(strataCol))
+      .filter(pmod(col(idCol), lit(denom.toLong)) < col("rate"))
+      .select(df.columns.map(col): _*)
+
+  /** Audit of a temperature mix: (stratum, n_total, rate, n_kept). */
+  def temperatureAudit(df: DataFrame, idCol: String, strataCol: String,
+                       alpha: Double = 0.5, denom: Int = 10000): DataFrame =
+    df.join(broadcast(temperatureKeepRates(df, strataCol, alpha, denom)),
+        Seq(strataCol))
+      .groupBy(strataCol, "n_total", "rate")
+      .agg(sum(when(pmod(col(idCol), lit(denom.toLong)) < col("rate"), 1L)
+        .otherwise(0L)).as("n_kept"))
+
   /** Achieved sample sizes per stratum: (stratum, n_total, n_sampled) —
     * the audit view a mixing run publishes next to the sample itself.
     */

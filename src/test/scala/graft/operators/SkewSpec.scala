@@ -55,7 +55,17 @@ class SkewSpec extends SparkSpec {
     assert(out.columns.count(_ == "__salt") == 2)
     assert(out.count() == skewed.join((0L to 15L).map(k => (k, s"d$k"))
       .toDF("k", "name"), "k").count())
-    assert(out.select("__salt").distinct().count() == 1)
+    // both duplicated names are by-position the untouched user values
+    // (a by-name select of "__salt" is ambiguous by construction here)
+    val renamed = out.toDF(out.columns.zipWithIndex
+      .map { case (c, i) => s"${c}_$i" }: _*)
+    val saltIdx = out.columns.zipWithIndex.collect {
+      case ("__salt", i) => i
+    }
+    val vals = renamed.select(saltIdx.map(i => renamed.columns(i)).map(col): _*)
+      .distinct().collect()
+    assert(vals.length == 1 &&
+      vals(0).toSeq == Seq("user data", 99))
   }
 
   test("saltedJoin skips unhashable (map) probe columns when salting") {
