@@ -1753,7 +1753,33 @@ object SparkEntry {
             .otherwise(col("text")).as("text"))
       graft.text.Dedup.snapshotDiff(old, nw, "doc_id", "text")
         .orderBy("doc_id")
-    })
+    }),
+
+    // As-of join: every event joined to the user's most recent "tier"
+    // state change (events ≡0 mod 17, deduped to one row per
+    // (user, ts)) at-or-before the event — tagged-union + running
+    // last_value, one shuffle, no range explode. Oracle: DuckDB's
+    // native ASOF LEFT JOIN.
+    "q124_asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val right = ev.filter(col("event_id") % 17 === 0)
+        .groupBy(col("user_id"), col("ts").as("rts"))
+        .agg(max("value").as("tier"))
+      val left = ev.filter(col("event_id") % 17 =!= 0)
+        .select("event_id", "user_id", "ts")
+      graft.operators.AsofJoin.asofLeft(left, right, "user_id",
+          "ts", "rts", Seq("as_of_ts" -> "rts", "tier" -> "tier"))
+        .select("event_id", "user_id", "as_of_ts", "tier")
+        .orderBy("event_id")
+    }),
+
+    // Int8 embedding quantization audit: bit-reproducible scale,
+    // nonzero-quant count, and an integer-valued (order-independent)
+    // reconstruction error.
+    "q125_int8_quant" -> ((s, d) =>
+      Similarity.int8QuantizeAudit(Tables.embeddings(s, d),
+          "vec_id", "embedding")
+        .orderBy("vec_id"))
   )
 
   private def b2l(b: Boolean): Long = if (b) 1L else 0L
@@ -3672,6 +3698,41 @@ object SparkEntry {
                      WHEN o.text <> n.text THEN 'changed'
                      ELSE 'unchanged' END AS status
          FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
-         ORDER BY doc_id"""
+         ORDER BY doc_id""",
+
+    // DuckDB's native ASOF LEFT JOIN is the oracle for the union+window
+    // formulation (>= semantics: a state change at the event's exact
+    // timestamp applies to it).
+    "q124_asof_join" ->
+      """WITH r0 AS (SELECT user_id, ts AS rts, MAX(value) AS tier
+                     FROM events WHERE event_id % 17 = 0
+                     GROUP BY user_id, ts),
+            l AS (SELECT event_id, user_id, ts FROM events
+                  WHERE event_id % 17 <> 0)
+         SELECT l.event_id, l.user_id, r0.rts AS as_of_ts, r0.tier
+         FROM l ASOF LEFT JOIN r0
+           ON l.user_id = r0.user_id AND l.ts >= r0.rts
+         ORDER BY event_id""",
+
+    // Same arithmetic on DOUBLE-cast elements; per-term integer rounding
+    // keeps the error sum order-independent; d*d (not pow) both sides.
+    "q125_int8_quant" ->
+      """WITH v AS (SELECT vec_id,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings),
+            s AS (SELECT vec_id, v,
+              list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+              FROM v)
+         SELECT vec_id, scale,
+           CASE WHEN scale = 0 THEN 0 ELSE
+             CAST(list_sum(list_transform(v, x ->
+               CASE WHEN round(x / scale) <> 0 THEN 1 ELSE 0 END))
+               AS BIGINT) END AS n_nonzero,
+           CASE WHEN scale = 0 THEN 0 ELSE
+             CAST(list_sum(list_transform(v, x ->
+               CAST(round((x - round(x / scale) * scale) *
+                          (x - round(x / scale) * scale) * 1e9)
+                 AS BIGINT))) AS BIGINT) END AS err_e9
+         FROM s ORDER BY vec_id"""
   )
 }

@@ -291,4 +291,38 @@ object Similarity {
       .groupBy("id1", "id2").agg(max("cos").as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  /** Symmetric per-vector int8 scalar quantization audit — the storage
+    * compression every embedding index applies before/instead of PQ
+    * (4× over float32, 8× over float64). scale = max|x| / 127,
+    * q_i = round(x_i / scale) ∈ [−127, 127]; all-zero vectors get
+    * scale 0 and quantize to zeros.
+    *
+    * Emits (id, scale, n_nonzero, err_e9): scale is bit-reproducible
+    * (max/abs/divide are exact IEEE ops), and the reconstruction error
+    * Σ(x_i − q_i·scale)² is published as an INTEGER in units of 1e-9
+    * (each term rounded per-dimension before the sum) so the total is
+    * order-independent and compares exactly across engines — a raw
+    * float sum's last ulp depends on summation order. Pure per-row
+    * projection: zero shuffle at any scale.
+    */
+  def int8QuantizeAudit(df: DataFrame, idCol: String,
+                        vecCol: String): DataFrame = {
+    val v = transform(col(vecCol), x => x.cast("double"))
+    val scale = array_max(transform(v, x => abs(x))) / lit(127.0d)
+    df.select(col(idCol), v.as("v"), scale.as("scale"))
+      .select(col(idCol), col("scale"),
+        when(col("scale") === 0d, lit(0L)).otherwise(
+          aggregate(col("v"), lit(0L), (acc, x) =>
+            acc + when(round(x / col("scale")) =!= 0d, 1L).otherwise(0L)))
+          .as("n_nonzero"),
+        when(col("scale") === 0d, lit(0L)).otherwise(
+          aggregate(col("v"), lit(0L), (acc, x) =>
+            // explicit d*d, not pow(d,2): libm pow is ≤1-ulp, multiply
+            // is exact — keeps the per-term integers engine-identical
+            acc + round((x - round(x / col("scale")) * col("scale")) *
+              (x - round(x / col("scale")) * col("scale")) * 1e9d)
+              .cast("long")))
+          .as("err_e9"))
+  }
 }
