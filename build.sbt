@@ -52,7 +52,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // the heap through repeated full GCs under Spark's allocation rate —
   // r7 measured 123 full GCs in one bench run and a triangle probe at
   // 100 s that dropped to 30 s with the heap pre-sized.
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", defaultHeap)}",
+  // SPARK_GRAFT_XMS overrides just the initial size for A/B runs.
+  s"-Xms${sys.env.getOrElse("SPARK_GRAFT_XMS",
+    sys.env.getOrElse("SPARK_DRIVER_MEM", defaultHeap))}",
   // More C2 threads: Spark codegen makes every first-of-its-shape query
   // JIT-bound (r7 GRAFT_DEBUG: q53 carried +47 s of compiler-thread
   // time); the box has 32 cores and compilation overlaps execution, so

@@ -1779,7 +1779,37 @@ object SparkEntry {
     "q125_int8_quant" -> ((s, d) =>
       Similarity.int8QuantizeAudit(Tables.embeddings(s, d),
           "vec_id", "embedding")
-        .orderBy("vec_id"))
+        .orderBy("vec_id")),
+
+    // Overlapping chunk manifest (RAG/embedding prep): 200-token chunks
+    // every 120 tokens — pure projection+explode, zero shuffle.
+    "q126_chunk_manifest" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        graft.text.TextAnalysis.tokenCount(col("text")).cast("long")
+          .as("n_tokens"))
+      graft.text.Packing.chunkManifest(docs, "doc_id", "n_tokens",
+          chunkLen = 200, stride = 120)
+        .orderBy("id", "chunk_id")
+    }),
+
+    // Incremental exact dedup of a synthetic ingest batch against an
+    // index corpus: batch = fresh docs (ids ≡1 mod 3) + re-id'd copies
+    // of index docs (→ index_dup) + re-id'd copies of batch docs
+    // (→ batch_dup, min-id keeper). Operator compares 8-byte content
+    // hashes; the oracle compares the strings.
+    "q127_incremental_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val index = docs.filter(col("doc_id") % 3 === 0)
+      val b0 = docs.filter(col("doc_id") % 3 === 1)
+      val batch = b0
+        .unionByName(index.filter(col("doc_id") % 2 === 0)
+          .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+        .unionByName(b0.filter(col("doc_id") % 4 === 1)
+          .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+      graft.text.Dedup.incrementalExactDedup(batch, index,
+          "doc_id", "text")
+        .orderBy("doc_id")
+    })
   )
 
   private def b2l(b: Boolean): Long = if (b) 1L else 0L
@@ -3733,6 +3763,43 @@ object SparkEntry {
                CAST(round((x - round(x / scale) * scale) *
                           (x - round(x / scale) * scale) * 1e9)
                  AS BIGINT))) AS BIGINT) END AS err_e9
-         FROM s ORDER BY vec_id"""
+         FROM s ORDER BY vec_id""",
+
+    "q126_chunk_manifest" ->
+      """WITH base AS (
+           SELECT doc_id AS id,
+                  CAST(len(list_filter(string_split_regex(trim(text),
+                       '\s+'), x -> x <> '')) AS BIGINT) AS n
+           FROM documents),
+         nz AS (SELECT id, n FROM base WHERE n > 0)
+         SELECT id, CAST(t.chunk_id AS BIGINT) AS chunk_id,
+                CAST(t.chunk_id * 120 AS BIGINT) AS start_token,
+                CAST(LEAST(200, n - t.chunk_id * 120) AS BIGINT)
+                  AS chunk_tokens
+         FROM nz, UNNEST(range(0,
+                GREATEST((n - 200 + 119) // 120, 0) + 1)) AS t(chunk_id)
+         ORDER BY id, chunk_id""",
+
+    "q127_incremental_dedup" ->
+      """WITH idx AS (SELECT doc_id, text FROM documents
+                      WHERE doc_id % 3 = 0),
+            b0 AS (SELECT doc_id, text FROM documents
+                   WHERE doc_id % 3 = 1),
+            batch AS (SELECT doc_id, text FROM b0
+              UNION ALL SELECT doc_id + 10000, text FROM idx
+                        WHERE doc_id % 2 = 0
+              UNION ALL SELECT doc_id + 20000, text FROM b0
+                        WHERE doc_id % 4 = 1),
+            keeper AS (SELECT text, MIN(doc_id) AS keep_id FROM batch
+                       GROUP BY text),
+            it AS (SELECT DISTINCT text FROM idx)
+         SELECT b.doc_id,
+                CASE WHEN it.text IS NOT NULL THEN 'index_dup'
+                     WHEN b.doc_id <> k.keep_id THEN 'batch_dup'
+                     ELSE 'kept' END AS status
+         FROM batch b
+         JOIN keeper k ON b.text = k.text
+         LEFT JOIN it ON b.text = it.text
+         ORDER BY b.doc_id"""
   )
 }

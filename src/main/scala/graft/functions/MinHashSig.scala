@@ -93,6 +93,35 @@ object MinHashKernel {
       if (w == m) hs else java.util.Arrays.copyOf(hs, w))
   }
 
+  /** Distinct shingle STRINGS in first-occurrence order — bit- and
+    * ORDER-identical to `array_distinct(shingles(text, k))` (lowercase
+    * tokens, space-joined k-grams, whole doc if shorter than k), for
+    * the operators that must emit the n-gram text itself. Exists for
+    * the same reason as [[shingleHashSet]]: the HOF chain evaluates
+    * interpreted, and a single-file scan partition at the mercy of C2
+    * compile timing ran q108 anywhere from 6 s to 197 s; the compiled
+    * kernel is deterministic milliseconds.
+    */
+  def shingleStringSet(tokens: ArrayData, k: Int): ArrayData = {
+    val n = tokens.numElements()
+    val low = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) { low(i) = tokens.getUTF8String(i).toLowerCase; i += 1 }
+    if (n < k)
+      return new GenericArrayData(
+        Array[Any](UTF8String.concatWs(Space, low: _*)))
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    i = 0
+    while (i + k <= n) {
+      val parts = new Array[UTF8String](k)
+      var j = 0
+      while (j < k) { parts(j) = low(i + j); j += 1 }
+      seen.add(UTF8String.concatWs(Space, parts: _*))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
+  }
+
   /** Fills `mins` with the signature of the shingle stream. */
   def compute(tokens: ArrayData, numHashes: Int, k: Int): ArrayData = {
     val n = tokens.numElements()
@@ -221,4 +250,37 @@ object ShingleHashes {
     */
   def of(tokens: Column, shingleK: Int): Column =
     GraftShims.column(ShingleHashes(GraftShims.expression(tokens), shingleK))
+}
+
+/** Distinct shingle strings (first-occurrence order) in one compiled
+  * pass — the string-output sibling of [[ShingleHashes]] for operators
+  * that must emit the n-gram text (boilerplate detection/strip, string
+  * oracle paths). Drop-in for `array_distinct(shingles(text, k))`,
+  * ordering included.
+  */
+case class ShingleStrings(child: Expression, shingleK: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashKernel.shingleStringSet(input.asInstanceOf[ArrayData], shingleK)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MinHashKernel.shingleStringSet($c, $shingleK);")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleStrings =
+    copy(child = newChild)
+
+  override def prettyName: String = "shingle_strings"
+}
+
+object ShingleStrings {
+  /** Column API over an `array<string>` token column (NOT pre-lowered —
+    * the kernel lowercases per token, matching `shingles`).
+    */
+  def of(tokens: Column, shingleK: Int): Column =
+    GraftShims.column(ShingleStrings(GraftShims.expression(tokens), shingleK))
 }

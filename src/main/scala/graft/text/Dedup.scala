@@ -274,7 +274,8 @@ object Dedup {
   private[graft] def ngramSet(text: Column, n: Int, hashed: Boolean): Column =
     if (hashed)
       graft.functions.ShingleHashes.of(TextAnalysis.wsTokens(text), n)
-    else array_distinct(TextAnalysis.shingles(text, n))
+    else
+      graft.functions.ShingleStrings.of(TextAnalysis.wsTokens(text), n)
 
   def ngramJaccardBrute(docs: DataFrame, idCol: String, textCol: String,
                         shingleK: Int = 3, threshold: Double = 0.1,
@@ -367,6 +368,30 @@ object Dedup {
         col("n_common"),
         (col("n_common").cast("double") /
           (col("n_a") + col("n_b") - col("n_common"))).as("jaccard"))
+  }
+
+  /** Incremental exact dedup of a new BATCH against an already-kept
+    * corpus INDEX — the shape every rolling ingest runs (dedupe the new
+    * crawl against everything already accepted, then within itself).
+    * Status per batch doc: `index_dup` (content already in the index),
+    * `batch_dup` (first occurrence in this batch wins by min id), or
+    * `kept`. Both comparisons ride 8-byte xxhash64 content hashes: the
+    * index side reduces to a distinct-hash semi-join probe (8 bytes/row
+    * however wide the corpus), the within-batch keeper is a min
+    * aggregate per hash — two bounded shuffles, no text movement.
+    */
+  def incrementalExactDedup(batch: DataFrame, index: DataFrame,
+                            idCol: String, textCol: String): DataFrame = {
+    val b = batch.select(col(idCol).as("id"),
+      xxhash64(col(textCol)).as("h"))
+    val idx = index.select(xxhash64(col(textCol)).as("h")).distinct()
+    val keeper = b.groupBy("h").agg(min("id").as("keep_id"))
+    b.join(idx.withColumn("__in_idx", lit(1)), Seq("h"), "left")
+      .join(keeper, "h")
+      .select(col("id").as(idCol),
+        when(col("__in_idx").isNotNull, "index_dup")
+          .when(col("id") =!= col("keep_id"), "batch_dup")
+          .otherwise("kept").as("status"))
   }
 
   /** Corpus snapshot diff for incremental pipelines: (id, status) with

@@ -96,6 +96,35 @@ object Packing {
                  m: Long = 2147483647L): Column =
     pmod(id * a, lit(m))
 
+  /** Overlapping chunk manifest for RAG/embedding pipelines: each
+    * document is cut into `chunkLen`-token chunks every `stride` tokens
+    * (stride < chunkLen ⇒ overlap = chunkLen − stride). Emits
+    * (id, chunk_id, start_token, chunk_tokens); the last chunk may be
+    * short, a doc of ≤ chunkLen tokens is one chunk, zero-token docs
+    * emit nothing. Unlike [[packSequences]] (global tape), chunking is
+    * per-document — a pure projection + explode, zero shuffle at any
+    * scale. Chunk count per doc is 1 + ceil(max(0, n − chunkLen) /
+    * stride), all integer arithmetic (engine-exact).
+    */
+  def chunkManifest(docs: DataFrame, idCol: String, tokensCol: String,
+                    chunkLen: Int, stride: Int): DataFrame = {
+    require(chunkLen > 0 && stride > 0 && stride <= chunkLen,
+      "need 0 < stride <= chunkLen")
+    val L = lit(chunkLen.toLong)
+    val s = lit(stride.toLong)
+    docs.select(col(idCol).cast("long").as("id"),
+        col(tokensCol).cast("long").as("n"))
+      .where(col("n") > 0)
+      // floor(x/s) (not Spark's truncating integer div): matches floor
+      // `//` semantics for the n < chunkLen negative-numerator case,
+      // which greatest() then clamps to 0 either way
+      .withColumn("chunk_id", explode(sequence(lit(0L),
+        greatest(floor((col("n") - L + s - 1) / s), lit(0L)))))
+      .select(col("id"), col("chunk_id"),
+        (col("chunk_id") * s).as("start_token"),
+        least(L, col("n") - col("chunk_id") * s).as("chunk_tokens"))
+  }
+
   /** Per-sequence fill audit over a packing manifest: tokens packed into
     * each sequence and how many documents contribute (the last sequence
     * is the only one allowed to be short).

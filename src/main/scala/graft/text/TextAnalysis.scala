@@ -362,8 +362,12 @@ object TextAnalysis {
   def boilerplateNgrams(docs: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, k: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // Compiled shingle kernel, not the interpreted HOF chain: on a
+    // single-file scan partition the HOF path's runtime rode C2 compile
+    // timing (observed 6-197 s for the same sf0.1 input).
     val byNgram = docs
-      .select(explode(array_distinct(shingles(col(textCol), n))).as("ngram"))
+      .select(explode(graft.functions.ShingleStrings.of(
+        wsTokens(col(textCol)), n)).as("ngram"))
       .groupBy("ngram").agg(count(lit(1)).as("n_docs"))
     // Distributed top-k first (sort+limit = per-partition top-k, then a
     // k-row merge on the driver side of the exchange); the rank window

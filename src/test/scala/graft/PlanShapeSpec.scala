@@ -51,4 +51,30 @@ class PlanShapeSpec extends SparkSpec {
       minDf = 1L, topPairs = 10)
     assert(countJoins(plan, "BroadcastHashJoin") >= 1)
   }
+
+  test("asofLeft: ONE key exchange, no join operator at all") {
+    // spark.range sources (not LocalRelation) so the planner must lay
+    // out the real distributed shape, not a collapsed local plan
+    val left = spark.range(100).select(col("id"), (col("id") % 7).as("k"),
+      col("id").as("ts"))
+    val right = spark.range(7).select(col("id").as("k"), lit(0L).as("rts"),
+      (col("id") * 1.0).as("s"))
+    val plan = graft.operators.AsofJoin.asofLeft(left.toDF(), right.toDF(),
+      "k", "ts", "rts", Seq("s" -> "s"))
+    // executedPlan: Exchanges exist only after EnsureRequirements
+    val s = plan.queryExecution.executedPlan.toString
+    assert(!s.contains("Join"),
+      "as-of rides the union+window, never a range join")
+    assert(s.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
+      "exactly one shuffle: the window's key partitioning over the union")
+  }
+
+  test("packSequences: bucket-offset side broadcasts; no global window") {
+    val docs = Seq((0L, 30L), (900L, 50L)).toDF("doc_id", "n")
+    val plan = graft.text.Packing.packSequences(docs, "doc_id", "n",
+      seqLen = 128, bucketWidth = 64L)
+    val s = plan.queryExecution.sparkPlan.toString
+    assert(s.contains("BroadcastHashJoin"),
+      "per-bucket offsets must broadcast back onto the doc side")
+  }
 }

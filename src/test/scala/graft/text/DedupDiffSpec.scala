@@ -34,6 +34,21 @@ class DedupDiffSpec extends SparkSpec {
     assert(out.filter(col("jaccard") =!= 1.0).isEmpty)
   }
 
+  test("incrementalExactDedup: index_dup beats batch_dup beats kept") {
+    val index = Seq((100L, "alpha"), (101L, "beta")).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "alpha"),   // in index → index_dup (even though batch-min)
+      (2L, "alpha"),   // also index_dup
+      (3L, "gamma"),   // first gamma → kept
+      (4L, "gamma"),   // batch_dup of 3
+      (5L, "delta")    // unique → kept
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalExactDedup(batch, index, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, String)].collect()
+    assert(out.toSeq == Seq(1L -> "index_dup", 2L -> "index_dup",
+      3L -> "kept", 4L -> "batch_dup", 5L -> "kept"))
+  }
+
   test("snapshotDiff labels added/removed/changed/unchanged") {
     val old = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
     val nw = Seq((2L, "b"), (3L, "c2"), (4L, "d")).toDF("doc_id", "text")

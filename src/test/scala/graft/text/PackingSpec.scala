@@ -73,6 +73,24 @@ class PackingSpec extends SparkSpec {
     assert(audit.map(_.getLong(3)).sum == kept.count())
   }
 
+  test("chunkManifest: overlap arithmetic, short docs, zero-token drop") {
+    val m = Packing.chunkManifest(docs, "doc_id", "n_tokens",
+        chunkLen = 100, stride = 60)
+      .orderBy("id", "chunk_id").as[(Long, Long, Long, Long)].collect()
+    // doc 0 (30 tokens): one short chunk
+    assert(m.filter(_._1 == 0L).toSeq == Seq((0L, 0L, 0L, 30L)))
+    // doc 3 (260 tokens): chunks at 0,60,120,180 → lens 100,100,100,80
+    assert(m.filter(_._1 == 3L).map(r => (r._3, r._4)).toSeq ==
+      Seq((0L, 100L), (60L, 100L), (120L, 100L), (180L, 80L)))
+    // zero-token doc 2 absent; every chunk covers ≥1 token
+    assert(!m.exists(_._1 == 2L) && m.forall(_._4 > 0))
+    // full coverage: tokens beyond each stride boundary appear once
+    // (chunk starts tile every 60 tokens until the tail fits one chunk)
+    val d5 = m.filter(_._1 == 5L)                    // 512 tokens
+    assert(d5.map(_._3).toSeq == Seq(0L, 60L, 120L, 180L, 240L, 300L,
+      360L, 420L) && d5.last._4 == 92L)
+  }
+
   test("sequenceFill: every sequence but the last is full") {
     val fill = Packing.sequenceFill(
         Packing.packSequences(docs, "doc_id", "n_tokens", 128))
