@@ -29,6 +29,35 @@ object Debug {
           println(s"==== $q")
           graft.SparkEntry.queries(q)(spark, sf).explain("formatted")
         }
+      case "time" =>
+        // args: time <sfDir> <q1> [<q2> ...] — bench-style: warm each
+        // query once at sf0.001 (schema-exact codegen), then time at
+        // the target SF. Mirrors Bench's per-query methodology so a
+        // local number is comparable to the driver artifact.
+        val sfDir = args(1)
+        import java.lang.management.ManagementFactory
+        def gcMs: Long = ManagementFactory.getGarbageCollectorMXBeans
+          .stream.mapToLong(_.getCollectionTime).sum
+        def jitMs: Long = Option(ManagementFactory.getCompilationMXBean)
+          .map(_.getTotalCompilationTime).getOrElse(0L)
+        val warmDir =
+          sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+        for (q <- args.drop(2)) {
+          val fn = graft.SparkEntry.queries(q)
+          try fn(spark, warmDir).count()
+          catch { case _: Throwable => () }
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = true))
+          spark.catalog.clearCache(); System.gc()
+          val (g0, j0) = (gcMs, jitMs)
+          val t0 = System.nanoTime()
+          val n = fn(spark, sfDir).count()
+          println(f"TIMED $q ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$n" +
+            f" gc+${gcMs - g0} ms jit+${jitMs - j0} ms")
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = true))
+          spark.catalog.clearCache(); System.gc()
+        }
       case other =>
         sys.error(s"unknown: $other")
     }
