@@ -1809,7 +1809,47 @@ object SparkEntry {
       graft.text.Dedup.incrementalExactDedup(batch, index,
           "doc_id", "text")
         .orderBy("doc_id")
-    })
+    }),
+
+    // Sliding-window exact-substring dedup (Lee et al. 2022 shape):
+    // per-doc fraction of tokens covered by an 8-token window occurring
+    // >= 2 times corpus-wide. String windows here for the bit-exact
+    // oracle; hashed=true is the 8-byte-key scale path (spec'd).
+    "q128_dup_spans" -> ((s, d) =>
+      graft.text.Dedup.duplicatedSpans(Tables.documents(s, d),
+          "doc_id", "text", w = 8, minCount = 2, hashed = false)
+        .orderBy("doc_id")),
+
+    // Hashing-trick linear quality classifier (fastText-shaped
+    // inference): portable arithmetic bucket hash so the oracle derives
+    // the identical integer weight sums; xxhash64 is the default scale
+    // path (spec'd, same plan shape).
+    "q129_hashed_classifier" -> ((s, d) =>
+      graft.text.TextAnalysis.hashedLinearScore(Tables.documents(s, d),
+          "doc_id", "text", dim = 1024, portable = true)
+        .orderBy("doc_id")),
+
+    // Token-balanced shard manifest: sorted round-robin over the
+    // no-global-window rank decomposition; 16 shards at sf0.01.
+    "q130_balanced_shards" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        graft.text.TextAnalysis.tokenCount(col("text")).cast("long")
+          .as("n_tokens"))
+      graft.text.Packing.shardManifest(
+          graft.text.Packing.balancedShards(docs, "doc_id", "n_tokens",
+            numShards = 16))
+        .orderBy("shard")
+    }),
+
+    // Per-source quota cap (domain balancing): keep <= 10 docs per
+    // source (quota binds: 25+ docs per source at every SF) by the
+    // affine-permutation priority — closed-form, so the
+    // oracle ranks identically.
+    "q131_quota_sample" -> ((s, d) =>
+      graft.text.Sampling.quotaSample(
+          Tables.documents(s, d).select("doc_id", "source"),
+          "doc_id", "source", maxPerGroup = 10)
+        .orderBy("doc_id"))
   )
 
   private def b2l(b: Boolean): Long = if (b) 1L else 0L
@@ -3800,6 +3840,96 @@ object SparkEntry {
          FROM batch b
          JOIN keeper k ON b.text = k.text
          LEFT JOIN it ON b.text = it.text
-         ORDER BY b.doc_id"""
+         ORDER BY b.doc_id""",
+
+    // Same normalization as the engine (trim/lower/ws-split), 8-token
+    // windows at every start, duplicated = >= 2 occurrences anywhere;
+    // coverage = interval-union measure from the sorted start list
+    // (min(8, next-start) per start, last start contributes 8).
+    "q128_dup_spans" ->
+      """WITH base AS (SELECT doc_id,
+              list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                          x -> x <> '') AS toks FROM documents),
+            g AS (SELECT doc_id, t.j AS start,
+                    array_to_string(toks[t.j+1:t.j+8], ' ') AS gram
+                  FROM base,
+                    UNNEST(range(greatest(len(toks) - 7, 0))) AS t(j)),
+            dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+            ss AS (SELECT doc_id, list_sort(list(start)) AS ss
+                   FROM g JOIN dup USING (gram) GROUP BY doc_id),
+            cov AS (SELECT doc_id,
+                list_sum(list_transform(range(len(ss)), i ->
+                  least(8, coalesce(ss[i+2], ss[i+1] + 8) - ss[i+1])))
+                  AS covered
+              FROM ss)
+         SELECT b.doc_id, CAST(len(b.toks) AS BIGINT) AS n_tokens,
+                CAST(coalesce(c.covered, 0) AS BIGINT) AS n_dup_tokens,
+                CASE WHEN len(b.toks) > 0 THEN
+                  ROUND(CAST(coalesce(c.covered, 0) AS DOUBLE)
+                    / len(b.toks), 4)
+                  ELSE 0.0 END AS dup_frac
+         FROM base b LEFT JOIN cov c USING (doc_id)
+         ORDER BY b.doc_id""",
+
+    // Identical integer weight sums: portable bucket hash =
+    // (len*131 + first*31 + last) mod 1024, weight(b) =
+    // (b*2654435761 + 104729) mod 1000003 - 500001 (all operands
+    // non-negative, so % == pmod); score = logistic of the exact
+    // rational mean, rounded 4 dp.
+    "q129_hashed_classifier" ->
+      """WITH base AS (SELECT doc_id,
+              list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                          x -> x <> '') AS toks FROM documents),
+            tok AS (SELECT doc_id, t.w FROM base, UNNEST(base.toks) AS t(w)),
+            wt AS (SELECT doc_id,
+                ((length(w)*131 + ascii(w)*31
+                  + ascii(substr(w, length(w), 1))) % 1024) AS b
+              FROM tok),
+            agg AS (SELECT doc_id, COUNT(*) AS n,
+                SUM((b*2654435761 + 104729) % 1000003 - 500001) AS wsum
+              FROM wt GROUP BY doc_id)
+         SELECT b.doc_id,
+                CAST(coalesce(a.n, 0) AS BIGINT) AS n_tokens,
+                CASE WHEN coalesce(a.n, 0) > 0 THEN
+                  ROUND(1.0 / (1.0 + EXP(-(CAST(a.wsum AS DOUBLE)
+                    / (a.n * 1000003)))), 4)
+                  ELSE 0.5 END AS score,
+                CASE WHEN coalesce(a.n, 0) > 0 THEN
+                  ROUND(1.0 / (1.0 + EXP(-(CAST(a.wsum AS DOUBLE)
+                    / (a.n * 1000003)))), 4)
+                  ELSE 0.5 END >= 0.5 AS keep
+         FROM base b LEFT JOIN agg a USING (doc_id)
+         ORDER BY b.doc_id""",
+
+    // Sorted round-robin: rank over (tokens DESC, doc_id ASC), shard =
+    // (rank-1) mod 16 — the window the engine decomposes into bounded
+    // pieces is a plain row_number here.
+    "q130_balanced_shards" ->
+      """WITH d AS (SELECT doc_id,
+              CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                x -> x <> '')) AS BIGINT) AS n FROM documents),
+            r AS (SELECT doc_id, n,
+                row_number() OVER (ORDER BY n DESC, doc_id) AS rk FROM d),
+            a AS (SELECT doc_id, n, (rk - 1) % 16 AS shard FROM r),
+            per AS (SELECT shard, COUNT(*) AS n_docs,
+                CAST(SUM(n) AS BIGINT) AS total_tokens
+              FROM a GROUP BY shard),
+            b AS (SELECT MAX(total_tokens) AS mx, MIN(total_tokens) AS mn
+                  FROM per)
+         SELECT shard, n_docs, total_tokens,
+                ROUND(CAST(b.mx AS DOUBLE) / b.mn, 4) AS balance_ratio
+         FROM per, b ORDER BY shard""",
+
+    // Same affine priority (id*1103515245 mod 2^31-1, operands
+    // non-negative so % == pmod) and (key, id) tie-break; the engine's
+    // bounded two-level rank must equal this plain window.
+    "q131_quota_sample" ->
+      """WITH k AS (SELECT doc_id, source,
+              (doc_id * 1103515245) % 2147483647 AS key FROM documents),
+            r AS (SELECT doc_id, source,
+              row_number() OVER (PARTITION BY source ORDER BY key, doc_id)
+                AS rk FROM k)
+         SELECT doc_id, source, CAST(rk AS BIGINT) AS quota_rank
+         FROM r WHERE rk <= 10 ORDER BY doc_id"""
   )
 }

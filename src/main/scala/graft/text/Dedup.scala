@@ -486,4 +486,75 @@ object Dedup {
       .select(col(idCol), col("n_chunks"), col("n_dup_chunks"),
         (col("n_dup_chunks").cast("double") / col("n_chunks")).as("dup_frac"))
   }
+
+  /** Sliding-window duplicated-span detection — exact substring dedup in
+    * the shape of "Deduplicating Training Data Makes Language Models
+    * Better" (Lee et al. 2022): every `w`-token window of every document
+    * is a candidate substring, and a window whose exact text occurs at
+    * least `minCount` times across the corpus (every occurrence counts,
+    * within- and cross-document) marks its `w` token positions as
+    * duplicated span. Per document: token count, tokens covered by at
+    * least one duplicated window, and the covered fraction — the signal
+    * a pipeline cuts (span removal) or filters on. Unlike
+    * [[chunkDuplication]]'s fixed aligned blocks, sliding windows catch
+    * UNALIGNED duplication: a paragraph copied at any offset.
+    * (Reference analog: the shingle-based duplicate detection family in
+    * toolkits/parsers — see /root/reference/toolkits/parsers/
+    * texttokens.cpp for its token-window treatment.)
+    *
+    * Scale shape: one explode to (doc, start, window), one map-side-
+    * combined count keyed by window, a join of occurrences against the
+    * >= minCount keys, then a per-doc aggregate whose buffer is the
+    * SORTED duplicated-start list — bounded by tokens-per-doc, the same
+    * per-row bound [[TextAnalysis.stripBoilerplate]] carries. Coverage
+    * is computed from that sorted list without materializing a
+    * per-position bitmap: sum of min(w, nextStart - start) over
+    * consecutive starts (last term w), i.e. the measure of the interval
+    * union. `hashed=true` carries 8-byte xxhash64 window keys through
+    * the count and the join (the 100 TB path — windows are ~60-byte
+    * strings); the string path keeps the DuckDB oracle bit-exact.
+    */
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                      w: Int = 8, minCount: Int = 2,
+                      hashed: Boolean = false): DataFrame = {
+    require(w > 0, "window must be positive")
+    require(minCount >= 2, "minCount below 2 marks every window duplicated")
+    val toks = transform(TextAnalysis.wsTokens(col(textCol)), t => lower(t))
+    val base = docs
+      .select(col(idCol).cast("long").as("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), col("toks"),
+        size(col("toks")).cast("long").as("L"))
+    // Proper w-token windows only — docs shorter than w emit none (and
+    // can never carry a duplicated span). sequence(0, L-w) is guarded
+    // by the L >= w branch: sequence counts DOWN for a negative span.
+    val grams = when(col("L") >= w,
+        transform(sequence(lit(0), (col("L") - w).cast("int")),
+          j => concat_ws(" ",
+            (0 until w).map(i => element_at(col("toks"), j + i + 1)): _*)))
+      .otherwise(array().cast("array<string>"))
+    val occs = base.withColumn("grams", grams)
+      .select(col("doc_id"),
+        posexplode(col("grams")).as(Seq("start", "gram")))
+      .select(col("doc_id"), col("start").cast("long").as("start"),
+        (if (hashed) xxhash64(col("gram")) else col("gram")).as("k"))
+    val dupKeys = occs.groupBy("k").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= minCount).select("k")
+    val starts = occs.join(dupKeys, "k")
+      .groupBy("doc_id").agg(sort_array(collect_list(col("start"))).as("ss"))
+    // Interval-union measure from the sorted starts: zip each start
+    // with its successor (zip_with null-pads the shorter slice, so the
+    // last window contributes the full w).
+    val covered = aggregate(
+      zip_with(col("ss"), slice(col("ss"), lit(2), size(col("ss"))),
+        (s, nxt) => least(lit(w.toLong), coalesce(nxt, s + w) - s)),
+      lit(0L), (acc, x) => acc + x)
+    base.select(col("doc_id"), col("L"))
+      .join(starts.select(col("doc_id"), covered.as("cov")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("L").as("n_tokens"),
+        coalesce(col("cov"), lit(0L)).as("n_dup_tokens"),
+        when(col("L") > 0,
+          round(coalesce(col("cov"), lit(0L)).cast("double") / col("L"), 4))
+          .otherwise(lit(0.0d)).as("dup_frac"))
+  }
 }

@@ -133,4 +133,70 @@ object Packing {
     manifest.groupBy("seq_id").agg(
       sum("slice_tokens").as("fill_tokens"),
       count(lit(1)).as("n_docs"))
+
+  /** Token-balanced shard assignment — sorted round-robin (the one-pass
+    * LPT flavor): documents ranked by (tokens DESC, id ASC) deal into
+    * `numShards` shards by rank mod S, so every run of S consecutive
+    * ranks (near-equal token counts, since sorted) spreads across all
+    * shards; per-shard totals differ by at most one document per
+    * distinct token count. Emits (id, n, rank, shard) — the manifest a
+    * sharded tokenizer writes from.
+    *
+    * Scale design (100 TB): the GLOBAL SORTED RANK is computed without
+    * a global window and without sampling-dependent range partitioning:
+    *   rank(d) = |{n' > n_d}| (cross-count histogram)
+    *           + within-n two-level rank (the [[packSequences]] bucket
+    *             prefix-sum, partitioned by (n, id-bucket))
+    * Every window in the decomposition runs over a BOUNDED partition:
+    * the histogram running-sum over distinct token counts (token counts
+    * are dense smallish integers — cardinality ≤ max doc length, not
+    * corpus size), the per-(n, bucket) row_number over ≤ bucketWidth
+    * ids, and the per-n bucket-offset sum over #buckets rows. All
+    * arithmetic is integer and deterministic under retries/speculation.
+    */
+  def balancedShards(docs: DataFrame, idCol: String, tokensCol: String,
+                     numShards: Int,
+                     bucketWidth: Long = 1L << 20): DataFrame = {
+    require(numShards > 0, "numShards must be positive")
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val base = docs.select(col(idCol).cast("long").as("id"),
+      col(tokensCol).cast("long").as("n"))
+    // offset(n) = number of docs with strictly more tokens
+    val offs = base.groupBy("n").agg(count(lit(1)).as("c"))
+      .select(col("n"),
+        sum("c").over(Window.orderBy(col("n").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)).as("off"))
+      .na.fill(0L, Seq("off"))
+    val inBucket = base.withColumn("bucket", floor(col("id") / bucketWidth))
+      .withColumn("local", row_number()
+        .over(Window.partitionBy("n", "bucket").orderBy("id"))
+        .cast("long"))
+    val bucketOffs = inBucket.groupBy("n", "bucket")
+      .agg(count(lit(1)).as("bc"))
+      .select(col("n"), col("bucket"),
+        sum("bc").over(Window.partitionBy("n").orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)).as("boff"))
+      .na.fill(0L, Seq("boff"))
+    inBucket
+      .join(bucketOffs, Seq("n", "bucket"))
+      .join(broadcast(offs), "n")
+      .select(col("id"), col("n"),
+        (col("off") + col("boff") + col("local")).as("rank"),
+        pmod(col("off") + col("boff") + col("local") - 1,
+          lit(numShards.toLong)).as("shard"))
+  }
+
+  /** Per-shard rollup of a [[balancedShards]] assignment, with the
+    * balance spread (max/min shard token total — over `numShards` rows,
+    * a driver-sized frame at any corpus size).
+    */
+  def shardManifest(assigned: DataFrame): DataFrame = {
+    val per = assigned.groupBy("shard").agg(
+      count(lit(1)).as("n_docs"), sum("n").as("total_tokens"))
+    val bounds = per.agg(max("total_tokens").as("mx"),
+      min("total_tokens").as("mn"))
+    per.crossJoin(broadcast(bounds))
+      .select(col("shard"), col("n_docs"), col("total_tokens"),
+        round(col("mx").cast("double") / col("mn"), 4).as("balance_ratio"))
+  }
 }

@@ -81,6 +81,51 @@ object Sampling {
       .agg(sum(when(pmod(col(idCol), lit(denom.toLong)) < col("rate"), 1L)
         .otherwise(0L)).as("n_kept"))
 
+  /** Per-group QUOTA sampling — domain balancing: keep at most
+    * `maxPerGroup` documents of each group (source/domain/language),
+    * chosen by a deterministic shuffled priority so the quota takes a
+    * pseudo-random — but retry-stable and re-run-reproducible — subset
+    * rather than the first ids. The C4/RefinedWeb-style cap on dominant
+    * domains, complementing the RATE rules above (a rate scales a
+    * stratum; a quota bounds it absolutely).
+    *
+    * Priority = [[Packing.shuffledId]] (affine permutation of the id —
+    * closed-form, so an external auditor or the DuckDB oracle derives
+    * identical ranks; no RNG, no `rand()`-under-speculation hazard).
+    * The within-group rank is computed WITHOUT an unbounded
+    * per-group window (a hot domain with 10^9 docs must not serialize
+    * onto one task): the [[Packing.balancedShards]] two-level
+    * decomposition, partitioned by (group, priority-key bucket) — the
+    * key is a permutation of the id space, so bucket occupancy mirrors
+    * id density and stays ~uniform: local row_number over a bounded
+    * (group, bucket) slice + per-group running offsets over the
+    * #buckets-sized per-bucket counts.
+    */
+  def quotaSample(df: DataFrame, idCol: String, groupCol: String,
+                  maxPerGroup: Int,
+                  keyBucketWidth: Long = 1L << 20): DataFrame = {
+    require(maxPerGroup > 0, "maxPerGroup must be positive")
+    require(keyBucketWidth > 0, "keyBucketWidth must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val keyed = df
+      .withColumn("__key", Packing.shuffledId(col(idCol).cast("long")))
+      .withColumn("__bucket", floor(col("__key") / keyBucketWidth))
+    val local = keyed.withColumn("__local", row_number()
+      .over(Window.partitionBy(col(groupCol), col("__bucket"))
+        .orderBy(col("__key"), col(idCol)))
+      .cast("long"))
+    val offs = keyed.groupBy(col(groupCol), col("__bucket"))
+      .agg(count(lit(1)).as("__bc"))
+      .select(col(groupCol), col("__bucket"),
+        sum("__bc").over(Window.partitionBy(groupCol).orderBy("__bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)).as("__boff"))
+      .na.fill(0L, Seq("__boff"))
+    local.join(offs, Seq(groupCol, "__bucket"))
+      .filter(col("__boff") + col("__local") <= maxPerGroup)
+      .select(df.columns.map(col) :+
+        (col("__boff") + col("__local")).as("quota_rank"): _*)
+  }
+
   /** Achieved sample sizes per stratum: (stratum, n_total, n_sampled) —
     * the audit view a mixing run publishes next to the sample itself.
     */

@@ -495,4 +495,53 @@ object TextAnalysis {
     regexp_count(regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"),
         Ipv4Re, "<IP>"), lit(PhoneRe))
       .cast("long").as("n_phones"))
+
+  /** Hashing-trick linear quality classifier — fastText-shaped
+    * INFERENCE: each token hashes into one of `dim` feature buckets,
+    * each bucket carries a weight, and the document score is the
+    * logistic of the mean bucket weight. This is the model-based
+    * quality filter every web-corpus pipeline runs next to the
+    * heuristic gates ([[qualityScore]], [[curationGate]]); the operator
+    * is a pure one-scan projection + per-row HOF reduce — zero shuffle,
+    * whole-stage codegen — whatever the weight table contents.
+    *
+    * Weights here are a fixed deterministic affine of the bucket id
+    * (Knuth multiplicative constant mod a prime, centered) standing in
+    * for trained parameters: the plan shape, and hence the scale
+    * behavior, is identical however weights are produced (a real model
+    * would broadcast-join or embed its `dim`-entry table the same way).
+    * Per-token weights are INTEGERS in [-(p-1)/2, (p-1)/2] summed
+    * exactly, so the score is order-independent (float summation order
+    * never enters) and the DuckDB oracle matches bit-for-bit after the
+    * documented 4 dp round.
+    *
+    * `portable = true` buckets tokens with a closed-form arithmetic
+    * hash (length/first/last char codes) the oracle replicates exactly;
+    * default is xxhash64 — the scale path, same plan shape.
+    */
+  def hashedLinearScore(docs: DataFrame, idCol: String, textCol: String,
+                        dim: Int = 1024,
+                        portable: Boolean = false): DataFrame = {
+    require(dim > 0, "dim must be positive")
+    val P = 1000003L // prime weight-table modulus
+    val toks = transform(wsTokens(col(textCol)), t => lower(t))
+    val bucket: Column => Column = t =>
+      if (portable)
+        pmod(length(t).cast("long") * 131L + ascii(t).cast("long") * 31L +
+          ascii(substring(t, -1, 1)).cast("long"), lit(dim.toLong))
+      else pmod(xxhash64(t), lit(dim.toLong))
+    // weight(b) ∈ [-(P-1)/2, (P-1)/2], integer
+    val weight: Column => Column = b =>
+      pmod(b * 2654435761L + 104729L, lit(P)) - lit((P - 1) / 2)
+    val n = size(col("__toks")).cast("long")
+    val wsum = aggregate(col("__toks"), lit(0L),
+      (acc, t) => acc + weight(bucket(t)))
+    // mean weight normalized to [-0.5, 0.5], then logistic
+    val raw = wsum.cast("double") / (n * P).cast("double")
+    docs.select(col(idCol).cast("long").as("doc_id"), toks.as("__toks"))
+      .select(col("doc_id"), n.as("n_tokens"),
+        when(n > 0, round(lit(1.0d) / (lit(1.0d) + exp(-raw)), 4))
+          .otherwise(lit(0.5d)).as("score"))
+      .withColumn("keep", col("score") >= 0.5)
+  }
 }
