@@ -77,4 +77,30 @@ class PlanShapeSpec extends SparkSpec {
     assert(s.contains("BroadcastHashJoin"),
       "per-bucket offsets must broadcast back onto the doc side")
   }
+
+  test("balancedShards: histogram offsets broadcast; data-side windows are (n, bucket)-bounded") {
+    val docs = Seq((0L, 30L), (900L, 50L)).toDF("doc_id", "n_tokens")
+    val plan = graft.text.Packing.balancedShards(docs, "doc_id",
+      "n_tokens", numShards = 4, bucketWidth = 64L)
+    val s = plan.queryExecution.sparkPlan.toString
+    assert(s.contains("BroadcastHashJoin"),
+      "the distinct-token-count offset table must broadcast")
+    // every Window over the DATA carries the bucket in its partition
+    // spec; the only partition-free window is the histogram running sum
+    // (distinct-n rows), which must never see the n_tokens data column
+    val windows = s.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windows.exists(_.contains("bucket")),
+      "the within-n rank must partition by (n, bucket)")
+  }
+
+  test("quotaSample: within-group rank partitions by (group, key bucket)") {
+    val docs = (0L until 50L).map(i => (i, s"s${i % 2}"))
+      .toDF("doc_id", "source")
+    val plan = graft.text.Sampling.quotaSample(docs, "doc_id", "source",
+      maxPerGroup = 5, keyBucketWidth = 8L)
+    val s = plan.queryExecution.sparkPlan.toString
+    val windows = s.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windows.nonEmpty && windows.forall(_.contains("__bucket")),
+      "no window may partition on the bare group (hot-domain task bound)")
+  }
 }
