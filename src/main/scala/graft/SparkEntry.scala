@@ -1849,6 +1849,13 @@ object SparkEntry {
       graft.text.Sampling.quotaSample(
           Tables.documents(s, d).select("doc_id", "source"),
           "doc_id", "source", maxPerGroup = 10)
+        .orderBy("doc_id")),
+
+    // Winnowing (MOSS) fingerprint stats — portable polynomial gram
+    // hash, so the oracle derives identical fingerprint sets.
+    "q132_winnowing" -> ((s, d) =>
+      graft.text.TextAnalysis.winnowingFingerprints(
+          Tables.documents(s, d), "doc_id", "text", k = 4, w = 4)
         .orderBy("doc_id"))
   )
 
@@ -3930,6 +3937,37 @@ object SparkEntry {
               row_number() OVER (PARTITION BY source ORDER BY key, doc_id)
                 AS rk FROM k)
          SELECT doc_id, source, CAST(rk AS BIGINT) AS quota_rank
-         FROM r WHERE rk <= 10 ORDER BY doc_id"""
+         FROM r WHERE rk <= 10 ORDER BY doc_id""",
+
+    // Same polynomial gram hash (base 31 over char codes mod 2^31-1,
+    // all operands non-negative so % == pmod), min per 4-hash window,
+    // distinct mins = fingerprints.
+    "q132_winnowing" ->
+      """WITH base AS (SELECT doc_id,
+              list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                          x -> x <> '') AS toks FROM documents),
+            g AS (SELECT doc_id,
+              CASE WHEN len(toks) >= 4 THEN
+                list_transform(range(len(toks) - 3),
+                  j -> array_to_string(toks[j+1:j+4], ' '))
+                ELSE CAST([] AS VARCHAR[]) END AS grams FROM base),
+            h AS (SELECT doc_id, grams,
+              list_transform(grams, s -> list_reduce(
+                list_prepend(CAST(0 AS BIGINT),
+                  list_transform(string_split(s, ''),
+                    c -> CAST(ascii(c) AS BIGINT))),
+                (acc, x) -> (acc * 31 + x) % 2147483647)) AS gh FROM g),
+            m AS (SELECT doc_id, len(grams) AS n_grams,
+              CASE WHEN len(gh) >= 4 THEN
+                len(list_distinct(list_transform(range(len(gh) - 3),
+                  j -> list_min(gh[j+1:j+4]))))
+                ELSE 0 END AS n_fp,
+              greatest(len(gh) - 3, 0) AS n_windows FROM h)
+         SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+                CAST(n_fp AS BIGINT) AS n_fingerprints,
+                CASE WHEN n_windows > 0 THEN
+                  ROUND(CAST(n_fp AS DOUBLE) / n_windows, 4)
+                  ELSE 0.0 END AS density
+         FROM m ORDER BY doc_id"""
   )
 }

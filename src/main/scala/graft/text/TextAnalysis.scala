@@ -496,6 +496,57 @@ object TextAnalysis {
         Ipv4Re, "<IP>"), lit(PhoneRe))
       .cast("long").as("n_phones"))
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003 — the MOSS
+    * local fingerprinting scheme): hash every `k`-token gram, slide a
+    * window over `w` consecutive gram hashes, keep each window's
+    * minimum; the distinct kept hashes are the document's fingerprint
+    * set. Winnowing's guarantee: any substring shared between two
+    * documents of at least w+k-1 tokens contributes at least one SHARED
+    * fingerprint, at ~2/(w+1) selection density — the property that
+    * makes fingerprint-set intersection a sound near-dup candidate
+    * filter (vs [[fingerprint]]'s single global min, which only
+    * witnesses whole-document equality).
+    *
+    * Pure projection — per-row HOFs, zero shuffle at any scale. The
+    * gram hash is a closed-form polynomial (base 31 over char codes,
+    * mod 2^31-1) rather than xxhash64: fingerprints are the OUTPUT
+    * here, so an external auditor (or the DuckDB oracle) must derive
+    * identical values; the set operators keep xxhash64 as their
+    * internal scale path.
+    */
+  def winnowingFingerprints(docs: DataFrame, idCol: String,
+                            textCol: String, k: Int = 4,
+                            w: Int = 4): DataFrame = {
+    require(k > 0 && w > 0, "k and w must be positive")
+    val M = 2147483647L // 2^31-1: acc*31 + char stays far below 2^63
+    val toks = transform(wsTokens(col(textCol)), t => lower(t))
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+        toks.as("toks"))
+      .select(col("doc_id"), col("toks"),
+        size(col("toks")).cast("long").as("L"))
+    val grams = when(col("L") >= k,
+        transform(sequence(lit(0), (col("L") - k).cast("int")),
+          j => concat_ws(" ",
+            (0 until k).map(i => element_at(col("toks"), j + i + 1)): _*)))
+      .otherwise(array().cast("array<string>"))
+    val gh = transform(col("__grams"), g =>
+      aggregate(split(g, ""), lit(0L),
+        (acc, c) => pmod(acc * 31L + ascii(c), lit(M))))
+    val nG = size(col("__gh"))
+    val fp = when(nG >= w,
+        array_distinct(transform(sequence(lit(0), nG - w),
+          j => array_min(slice(col("__gh"), j + 1, lit(w))))))
+      .otherwise(array().cast("array<long>"))
+    base.withColumn("__grams", grams)
+      .withColumn("__gh", gh)
+      .select(col("doc_id"),
+        size(col("__grams")).cast("long").as("n_grams"),
+        size(fp).cast("long").as("n_fingerprints"),
+        when(nG >= w,
+          round(size(fp).cast("double") / (nG - w + 1), 4))
+          .otherwise(lit(0.0d)).as("density"))
+  }
+
   /** Hashing-trick linear quality classifier — fastText-shaped
     * INFERENCE: each token hashes into one of `dim` feature buckets,
     * each bucket carries a weight, and the document score is the

@@ -81,6 +81,37 @@ class SpanShardSpec extends SparkSpec {
     }
   }
 
+  test("winnowing: shared substring of w+k-1 tokens shares a fingerprint") {
+    // reference implementation of the scheme on driver-side arrays
+    def winnow(text: String, k: Int, w: Int): Set[Long] = {
+      val M = 2147483647L
+      val toks = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val gh = toks.sliding(k).map(_.mkString(" ")
+        .foldLeft(0L)((a, c) => (a * 31 + c.toLong) % M)).toArray
+      if (gh.length < w) Set.empty
+      else gh.sliding(w).map(_.min).toSet
+    }
+    val k = 4; val w = 4
+    val shared = "s1 s2 s3 s4 s5 s6 s7" // w+k-1 = 7 tokens
+    val docs = Seq((1L, s"a1 a2 $shared a3"), (2L, s"b1 $shared b2 b3 b4"),
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8"), (4L, "too few")) // doc4: no grams
+    val expect = docs.map { case (id, t) =>
+      val fp = winnow(t, k, w)
+      val ng = math.max(t.trim.split("\\s+").length - k + 1, 0)
+      (id, ng.toLong, fp.size.toLong,
+        if (ng >= w) math.round(fp.size.toDouble / (ng - w + 1) * 1e4) / 1e4
+        else 0.0)
+    }
+    val got = TextAnalysis.winnowingFingerprints(
+        docs.toDF("doc_id", "text"), "doc_id", "text", k, w)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == expect)
+    // the winnowing guarantee, on the reference sets
+    assert((winnow(docs(0)._2, k, w) & winnow(docs(1)._2, k, w)).nonEmpty,
+      "a shared >= w+k-1 token substring must share a fingerprint")
+    assert((winnow(docs(0)._2, k, w) & winnow(docs(2)._2, k, w)).isEmpty)
+  }
+
   test("quotaSample ranks equal a plain per-group window, any bucket width") {
     val docs = (0L until 100L).map(i => (i, s"src${i % 3}"))
       .toDF("doc_id", "source")
