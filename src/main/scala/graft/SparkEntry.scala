@@ -1856,7 +1856,16 @@ object SparkEntry {
     "q132_winnowing" -> ((s, d) =>
       graft.text.TextAnalysis.winnowingFingerprints(
           Tables.documents(s, d), "doc_id", "text", k = 4, w = 4)
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // MOSS matching step: candidate pairs sharing >= 2 winnowing
+    // fingerprints. Cap of 16 never binds on this fixture (max bucket
+    // = 4 docs), so the oracle mirrors it exactly with a HAVING guard.
+    "q133_winnowing_pairs" -> ((s, d) =>
+      graft.text.Dedup.winnowingDuplicatePairs(Tables.documents(s, d),
+          "doc_id", "text", k = 4, w = 4, minShared = 2,
+          maxBucketSize = 16)
+        .orderBy("id1", "id2"))
   )
 
   private def b2l(b: Boolean): Long = if (b) 1L else 0L
@@ -3968,6 +3977,37 @@ object SparkEntry {
                 CASE WHEN n_windows > 0 THEN
                   ROUND(CAST(n_fp AS DOUBLE) / n_windows, 4)
                   ELSE 0.0 END AS density
-         FROM m ORDER BY doc_id"""
+         FROM m ORDER BY doc_id""",
+
+    // Same fingerprint derivation as q132; buckets over the cap (16)
+    // are EXCLUDED exactly as the engine's capBuckets left-anti drop.
+    "q133_winnowing_pairs" ->
+      """WITH base AS (SELECT doc_id,
+              list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                          x -> x <> '') AS toks FROM documents),
+            g AS (SELECT doc_id,
+              CASE WHEN len(toks) >= 4 THEN
+                list_transform(range(len(toks) - 3),
+                  j -> array_to_string(toks[j+1:j+4], ' '))
+                ELSE CAST([] AS VARCHAR[]) END AS grams FROM base),
+            h AS (SELECT doc_id,
+              list_transform(grams, s -> list_reduce(
+                list_prepend(CAST(0 AS BIGINT),
+                  list_transform(string_split(s, ''),
+                    c -> CAST(ascii(c) AS BIGINT))),
+                (acc, x) -> (acc * 31 + x) % 2147483647)) AS gh FROM g),
+            m AS (SELECT doc_id,
+              CASE WHEN len(gh) >= 4 THEN
+                list_distinct(list_transform(range(len(gh) - 3),
+                  j -> list_min(gh[j+1:j+4])))
+                ELSE CAST([] AS BIGINT[]) END AS fp FROM h),
+            e AS (SELECT doc_id, t.f FROM m, UNNEST(fp) AS t(f)),
+            ok AS (SELECT f FROM e GROUP BY f HAVING COUNT(*) <= 16)
+         SELECT a.doc_id AS id1, b.doc_id AS id2,
+                COUNT(*) AS n_shared
+         FROM e a JOIN e b ON a.f = b.f AND a.doc_id < b.doc_id
+         JOIN ok ON a.f = ok.f
+         GROUP BY 1, 2 HAVING COUNT(*) >= 2
+         ORDER BY id1, id2"""
   )
 }

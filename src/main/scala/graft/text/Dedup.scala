@@ -557,4 +557,46 @@ object Dedup {
           round(coalesce(col("cov"), lit(0L)).cast("double") / col("L"), 4))
           .otherwise(lit(0.0d)).as("dup_frac"))
   }
+
+  /** Near-dup CANDIDATE PAIRS by winnowing fingerprint intersection —
+    * the MOSS matching step over [[TextAnalysis.winnowingFingerprints]]'
+    * sets: documents sharing at least `minShared` fingerprints are
+    * candidates, with the scheme's guarantee that any shared substring
+    * of >= w+k-1 tokens contributes a shared fingerprint (so real
+    * overlapping pairs cannot be missed, unlike probabilistic MinHash
+    * banding). Emits (id1, id2, n_shared), id1 < id2.
+    *
+    * Scale shape: identical to the MinHash LSH pair path — explode to
+    * (doc, fingerprint), [[capBuckets]] on the fingerprint (degenerate
+    * boilerplate fingerprints would pair quadratically; drops counted
+    * by the same named accumulators), per-fingerprint sorted member
+    * set bounded by the cap, pair explosion bounded by cap²/2 per
+    * fingerprint, then one count aggregate keyed by the pair.
+    */
+  def winnowingDuplicatePairs(docs: DataFrame, idCol: String,
+                              textCol: String, k: Int = 4, w: Int = 4,
+                              minShared: Int = 2,
+                              maxBucketSize: Int = 1000): DataFrame = {
+    require(minShared > 0, "minShared must be positive")
+    // Materialization barrier (same role as ngramJaccardPairs' shingle
+    // barrier): without it CollapseProject inlines the fingerprint
+    // HOF tower — each stage referencing the previous several times —
+    // through the explode and the downstream join rewrites, and the
+    // optimizer walks an exponentially-duplicated expression tree
+    // (observed: analysis alone not finishing in minutes at sf0.01).
+    // The checkpointed frame is (id, array<long>) — tiny per row.
+    val sets = TextAnalysis.winnowSets(docs, idCol, textCol, k, w)
+      .select(col("doc_id"), col("fp"))
+      .transform(graft.graph.Iterate.ckpt)
+    val e = sets.select(col("doc_id"), explode(col("fp")).as("f"))
+    val capped = capBuckets(e, Seq("f"), maxBucketSize)
+    capped.groupBy("f")
+      .agg(array_sort(collect_set(col("doc_id"))).as("ds"))
+      .select(explode(flatten(transform(col("ds"), (a, i) =>
+        transform(slice(col("ds"), i + lit(2), size(col("ds"))),
+          b => struct(a.as("id1"), b.as("id2")))))).as("p"))
+      .groupBy(col("p.id1").as("id1"), col("p.id2").as("id2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

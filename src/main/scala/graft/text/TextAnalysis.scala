@@ -517,6 +517,22 @@ object TextAnalysis {
   def winnowingFingerprints(docs: DataFrame, idCol: String,
                             textCol: String, k: Int = 4,
                             w: Int = 4): DataFrame = {
+    val nG = col("n_grams")
+    winnowSets(docs, idCol, textCol, k, w)
+      .select(col("doc_id"), nG,
+        size(col("fp")).cast("long").as("n_fingerprints"),
+        when(nG >= w,
+          round(size(col("fp")).cast("double") / (nG - w + 1), 4))
+          .otherwise(lit(0.0d)).as("density"))
+  }
+
+  /** (doc_id, n_grams, fp: array<long>) — the distinct winnowing
+    * fingerprint set per document (the shared core of
+    * [[winnowingFingerprints]] and [[Dedup.winnowingDuplicatePairs]]).
+    */
+  private[graft] def winnowSets(docs: DataFrame, idCol: String,
+                                textCol: String, k: Int,
+                                w: Int): DataFrame = {
     require(k > 0 && w > 0, "k and w must be positive")
     val M = 2147483647L // 2^31-1: acc*31 + char stays far below 2^63
     val toks = transform(wsTokens(col(textCol)), t => lower(t))
@@ -540,11 +556,7 @@ object TextAnalysis {
     base.withColumn("__grams", grams)
       .withColumn("__gh", gh)
       .select(col("doc_id"),
-        size(col("__grams")).cast("long").as("n_grams"),
-        size(fp).cast("long").as("n_fingerprints"),
-        when(nG >= w,
-          round(size(fp).cast("double") / (nG - w + 1), 4))
-          .otherwise(lit(0.0d)).as("density"))
+        size(col("__grams")).cast("long").as("n_grams"), fp.as("fp"))
   }
 
   /** Hashing-trick linear quality classifier — fastText-shaped

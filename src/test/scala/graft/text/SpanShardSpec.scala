@@ -112,6 +112,21 @@ class SpanShardSpec extends SparkSpec {
     assert((winnow(docs(0)._2, k, w) & winnow(docs(2)._2, k, w)).isEmpty)
   }
 
+  test("winnowingDuplicatePairs finds the shared-substring pair, honors the cap") {
+    val shared = "s1 s2 s3 s4 s5 s6 s7" // >= w+k-1 tokens
+    val docs = Seq((1L, s"a1 a2 $shared a3"), (2L, s"b1 $shared b2 b3 b4"),
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8")).toDF("doc_id", "text")
+    val pairs = Dedup.winnowingDuplicatePairs(docs, "doc_id", "text",
+        k = 4, w = 4, minShared = 1)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(pairs.map(p => (p._1, p._2)) == Seq((1L, 2L)),
+      "the winnowing guarantee: the shared >=w+k-1 substring pair, only")
+    // cap = 1 drops every fingerprint shared by >= 2 docs → no pairs
+    val capped = Dedup.winnowingDuplicatePairs(docs, "doc_id", "text",
+      k = 4, w = 4, minShared = 1, maxBucketSize = 1)
+    assert(capped.isEmpty)
+  }
+
   test("quotaSample ranks equal a plain per-group window, any bucket width") {
     val docs = (0L until 100L).map(i => (i, s"src${i % 3}"))
       .toDF("doc_id", "source")
