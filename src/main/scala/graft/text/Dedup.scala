@@ -578,16 +578,14 @@ object Dedup {
                               minShared: Int = 2,
                               maxBucketSize: Int = 1000): DataFrame = {
     require(minShared > 0, "minShared must be positive")
-    // Materialization barrier (same role as ngramJaccardPairs' shingle
-    // barrier): without it CollapseProject inlines the fingerprint
-    // HOF tower — each stage referencing the previous several times —
-    // through the explode and the downstream join rewrites, and the
-    // optimizer walks an exponentially-duplicated expression tree
-    // (observed: analysis alone not finishing in minutes at sf0.01).
-    // The checkpointed frame is (id, array<long>) — tiny per row.
+    // No materialization barrier needed anymore: the fingerprint set is
+    // a single compiled kernel expression ([[graft.functions
+    // .WinnowFingerprints]]) since r9, so CollapseProject has no
+    // multi-stage HOF tower to duplicate exponentially through the
+    // explode (the r8 barrier guarded exactly that — analysis alone
+    // not finishing in minutes at sf0.01 on the interpreted tower).
     val sets = TextAnalysis.winnowSets(docs, idCol, textCol, k, w)
       .select(col("doc_id"), col("fp"))
-      .transform(graft.graph.Iterate.ckpt)
     val e = sets.select(col("doc_id"), explode(col("fp")).as("f"))
     val capped = capBuckets(e, Seq("f"), maxBucketSize)
     capped.groupBy("f")

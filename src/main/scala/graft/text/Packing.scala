@@ -24,6 +24,17 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
+  /** Exact id-range bucket: the floor multiple `id - pmod(id, width)`
+    * (the first id of the bucket) instead of `floor(id / width)`. Same
+    * grouping and the same monotone-in-id ordering, but pure 64-bit
+    * integer arithmetic: `floor(col / width)` routes through
+    * double-precision division, which is inexact for |id| > 2^53 and
+    * would break the bucket-monotone-in-id invariant the rank
+    * decompositions below rely on at full long range.
+    */
+  private[text] def idBucket(id: Column, width: Long): Column =
+    id - pmod(id, lit(width))
+
   /** Pack `docs` into `seqLen`-token training sequences.
     *
     * Documents are ordered by `idCol` (ascending — callers wanting a
@@ -46,7 +57,7 @@ object Packing {
       col(idCol).cast("long").as("id"),
       col(tokensCol).cast("long").as("n"))
       .where(col("n") > 0)
-      .withColumn("bucket", floor(col("id") / bucketWidth))
+      .withColumn("bucket", idBucket(col("id"), bucketWidth))
     // Level 1: running sum inside each bounded bucket (<= bucketWidth
     // ids per group — the window never sees an unbounded partition).
     val inBucket = base.withColumn("local_start",
@@ -167,7 +178,7 @@ object Packing {
         sum("c").over(Window.orderBy(col("n").desc)
           .rowsBetween(Window.unboundedPreceding, -1)).as("off"))
       .na.fill(0L, Seq("off"))
-    val inBucket = base.withColumn("bucket", floor(col("id") / bucketWidth))
+    val inBucket = base.withColumn("bucket", idBucket(col("id"), bucketWidth))
       .withColumn("local", row_number()
         .over(Window.partitionBy("n", "bucket").orderBy("id"))
         .cast("long"))

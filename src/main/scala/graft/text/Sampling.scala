@@ -109,7 +109,9 @@ object Sampling {
     import org.apache.spark.sql.expressions.Window
     val keyed = df
       .withColumn("__key", Packing.shuffledId(col(idCol).cast("long")))
-      .withColumn("__bucket", floor(col("__key") / keyBucketWidth))
+      // exact integer bucketing (shuffledId keys stay < 2^31 so the
+      // double division was safe here, but one exact rule beats two)
+      .withColumn("__bucket", Packing.idBucket(col("__key"), keyBucketWidth))
     val local = keyed.withColumn("__local", row_number()
       .over(Window.partitionBy(col(groupCol), col("__bucket"))
         .orderBy(col("__key"), col(idCol)))

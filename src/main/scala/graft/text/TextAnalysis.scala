@@ -534,29 +534,18 @@ object TextAnalysis {
                                 textCol: String, k: Int,
                                 w: Int): DataFrame = {
     require(k > 0 && w > 0, "k and w must be positive")
-    val M = 2147483647L // 2^31-1: acc*31 + char stays far below 2^63
-    val toks = transform(wsTokens(col(textCol)), t => lower(t))
-    val base = docs.select(col(idCol).cast("long").as("doc_id"),
-        toks.as("toks"))
-      .select(col("doc_id"), col("toks"),
-        size(col("toks")).cast("long").as("L"))
-    val grams = when(col("L") >= k,
-        transform(sequence(lit(0), (col("L") - k).cast("int")),
-          j => concat_ws(" ",
-            (0 until k).map(i => element_at(col("toks"), j + i + 1)): _*)))
-      .otherwise(array().cast("array<string>"))
-    val gh = transform(col("__grams"), g =>
-      aggregate(split(g, ""), lit(0L),
-        (acc, c) => pmod(acc * 31L + ascii(c), lit(M))))
-    val nG = size(col("__gh"))
-    val fp = when(nG >= w,
-        array_distinct(transform(sequence(lit(0), nG - w),
-          j => array_min(slice(col("__gh"), j + 1, lit(w))))))
-      .otherwise(array().cast("array<long>"))
-    base.withColumn("__grams", grams)
-      .withColumn("__gh", gh)
-      .select(col("doc_id"),
-        size(col("__grams")).cast("long").as("n_grams"), fp.as("fp"))
+    // One compiled pass ([[graft.functions.WinnowKernel]]) instead of
+    // the interpreted HOF tower (per-gram `aggregate(split(g, ""), …)`
+    // — O(chars × grams) boxed lambda calls with a per-character array
+    // allocation, the one interpreted hot loop left in the text stack
+    // after r8). Bit-parity with the HOF formulation is pinned by
+    // WinnowKernelSpec; the fingerprint VALUES are unchanged (same
+    // portable base-31 mod 2^31−1 polynomial the DuckDB oracle derives).
+    val L = size(wsTokens(col(textCol))).cast("long")
+    docs.select(col(idCol).cast("long").as("doc_id"),
+      greatest(L - (k - 1), lit(0L)).as("n_grams"),
+      graft.functions.WinnowFingerprints
+        .of(wsTokens(col(textCol)), k, w).as("fp"))
   }
 
   /** Hashing-trick linear quality classifier — fastText-shaped

@@ -1,0 +1,138 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-validation harness (VERDICT r8 next#1): run the pipeline
+  * flagships at two scales — the verified bench scale (sf0.1) and a
+  * [[ScaleGen]]-replicated 10× fixture ("sf1") — and publish per-query
+  * wall-time ratios, converting the repo's 100 TB plan-shape arguments
+  * into one measured decade of scaling. Expected ratio ≈ the data
+  * ratio (10×) for linear operators; anything well above is a found
+  * bug (or an annotated workload-densification effect, see q14 note in
+  * the artifact).
+  *
+  * Methodology per (query, scale): two timed runs after blocking
+  * cleanup, both published with their JIT deltas; the RATIO uses each
+  * scale's steady-state (min) run, so one-time whole-stage-codegen
+  * compilation — keyed by (plan, scale), hence unavoidable on the
+  * first sf1 execution — is excluded the same way Bench's retry and
+  * the probes' untimed warm exclude it. A 1/20-scale CPU mini-calib
+  * brackets every run (host-window attribution on this shared-host
+  * box), and hypervisor steal is sampled per run.
+  *
+  * Usage: ScaleBench <smallSfDir> <largeSfDir> <outJson> [dataRatio=10]
+  */
+object ScaleBench {
+
+  /** Flagships run THROUGH the driver contract (identical bodies to the
+    * oracle-verified queries) — plus full-corpus variants of the dedup
+    * pipelines whose qNN fixtures pin a fixed-size planted scope (q109
+    * scopes to doc_id < 400 at every SF, so the contract query cannot
+    * scale by construction; the shapes below are the same operators at
+    * whole-corpus scope on their hashed scale paths).
+    */
+  private def queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q14_triangle_count" -> graft.SparkEntry.queries("q14_triangle_count"),
+    "q53_fm" -> graft.SparkEntry.queries("q53_fm"),
+    "q65_knn_ivf" -> graft.SparkEntry.queries("q65_knn_ivf"),
+    "q117_pack_sequences" -> graft.SparkEntry.queries("q117_pack_sequences"),
+    "q130_balanced_shards" -> graft.SparkEntry.queries("q130_balanced_shards"),
+    "dedup_e2e_full" -> ((s, d) => {
+      val docs = graft.Tables.documents(s, d)
+      val pairs = graft.text.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        shingleK = 3, threshold = 0.8, numHashes = 16, bands = 8)
+      val cc = graft.graph.Algorithms.connectedComponents(
+        pairs.select(col("id1").as("src"), col("id2").as("dst")))
+      docs.select("doc_id").join(cc, col("doc_id") === col("id"), "left")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("component").isNotNull &&
+            col("component") =!= col("doc_id"), 1L).otherwise(0L))
+            .as("n_dropped"))
+    }),
+    "dup_spans_hashed_full" -> ((s, d) =>
+      graft.text.Dedup.duplicatedSpans(graft.Tables.documents(s, d),
+          "doc_id", "text", w = 8, minCount = 2, hashed = true)
+        .agg(sum("n_dup_tokens").as("total_dup_tokens"),
+          count(lit(1)).as("n_docs"))),
+    "winnow_pairs_full" -> ((s, d) =>
+      graft.text.Dedup.winnowingDuplicatePairs(graft.Tables.documents(s, d),
+          "doc_id", "text", k = 4, w = 4, minShared = 2,
+          maxBucketSize = 1000)
+        .agg(count(lit(1)).as("n_pairs")))
+  )
+
+  def main(args: Array[String]): Unit = {
+    val smallDir = args(0)
+    val largeDir = args(1)
+    val outJson = args(2)
+    val dataRatio = args.drop(3).headOption.map(_.toDouble).getOrElse(10.0)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors.toString)
+    val spark = graft.GraftSession.local(cpus)
+
+    import java.lang.management.ManagementFactory
+    def jitMs: Long = Option(ManagementFactory.getCompilationMXBean)
+      .map(_.getTotalCompilationTime).getOrElse(0L)
+    def stealJiffies(): Long = try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try {
+        val f = src.getLines().next().trim.split("\\s+").drop(1)
+        if (f.length > 7) f(7).toLong else 0L
+      } finally src.close()
+    } catch { case _: Throwable => 0L }
+    val nCpus = Runtime.getRuntime.availableProcessors.toDouble
+    def cleanup(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      spark.catalog.clearCache()
+      System.gc()
+    }
+    def miniCalib(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(100000000L).selectExpr("sum(xxhash64(id) % 1000000)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    // session warm (JVM startup, parquet machinery)
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+    spark.read.parquet(s"$smallDir/lineitem.parquet").limit(10).count()
+
+    case class Run(sec: Double, jit: Long, steal: Double, calib: Double)
+    def timedRuns(fn: (SparkSession, String) => DataFrame, dir: String,
+                  n: Int = 2): Seq[Run] =
+      (1 to n).map { _ =>
+        cleanup()
+        val pre = miniCalib()
+        val s0 = stealJiffies()
+        val j0 = jitMs
+        val t0 = System.nanoTime()
+        fn(spark, dir).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        val jd = jitMs - j0
+        val st = (stealJiffies() - s0) / 100.0 / (dt * nCpus)
+        Run(dt, jd, st, pre)
+      }
+
+    val rows = queries.map { case (name, fn) =>
+      val small = timedRuns(fn, smallDir)
+      val large = timedRuns(fn, largeDir)
+      val sBest = small.map(_.sec).min
+      val lBest = large.map(_.sec).min
+      val ratio = lBest / sBest
+      System.err.println(f"[scale] $name%-24s small ${small.map(r => f"${r.sec}%.2f").mkString("/")} s " +
+        f"large ${large.map(r => f"${r.sec}%.2f").mkString("/")} s  ratio $ratio%.2fx " +
+        f"(vs linear ${dataRatio}%.0fx; jit s=${small.map(_.jit).mkString("/")} l=${large.map(_.jit).mkString("/")} ms)")
+      def runs(rs: Seq[Run]): String = rs.map(r =>
+        f"""{"sec":${r.sec}%.3f,"jit_ms":${r.jit},"steal_frac":${r.steal}%.4f,"pre_calib_sec":${r.calib}%.3f}""")
+        .mkString("[", ",", "]")
+      f""""$name":{"small_runs":${runs(small)},"large_runs":${runs(large)},"small_best_sec":$sBest%.3f,"large_best_sec":$lBest%.3f,"ratio":$ratio%.3f,"ratio_vs_linear":${ratio / dataRatio}%.3f}"""
+    }
+    val line = s"""{"metric":"scale_validation","small":"$smallDir","large":"$largeDir","data_ratio":$dataRatio,""" +
+      s""""note_q14":"the fixture graph's dst domain is l_partkey % 100, so replication densifies the 100 hub vertices instead of growing the vertex set — expected superlinear adjacency-intersection work by construction; the disjoint-scaling triangle evidence is the bench probe (ER graph, fixed degree)",""" +
+      s""""queries":{${rows.mkString(",")}}}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson), line + "\n")
+    println(line)
+    spark.stop()
+  }
+}

@@ -94,13 +94,35 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("quotaSample: within-group rank partitions by (group, key bucket)") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.catalyst.expressions.{Attribute, RowNumber}
     val docs = (0L until 50L).map(i => (i, s"s${i % 2}"))
       .toDF("doc_id", "source")
     val plan = graft.text.Sampling.quotaSample(docs, "doc_id", "source",
       maxPerGroup = 5, keyBucketWidth = 8L)
-    val s = plan.queryExecution.sparkPlan.toString
-    val windows = s.linesIterator.filter(_.contains("Window")).toSeq
-    assert(windows.nonEmpty && windows.forall(_.contains("__bucket")),
-      "no window may partition on the bare group (hot-domain task bound)")
+    val wins = plan.queryExecution.sparkPlan
+      .collect { case w: WindowExec => w }
+    val (rankWins, otherWins) = wins.partition(_.windowExpression.exists(
+      _.exists { case _: RowNumber => true; case _ => false }))
+    // the within-group rank runs over the DATA, so its PARTITION spec —
+    // not merely its plan string — must carry the key bucket (the
+    // hot-domain task bound)
+    assert(rankWins.nonEmpty, "expected a row_number window over the data")
+    rankWins.foreach { w =>
+      assert(w.partitionSpec.exists(_.exists {
+        case a: Attribute => a.name == "__bucket"; case _ => false
+      }), s"row_number window must partition by __bucket, got: $w")
+    }
+    // the per-group running-offset window MAY partition on the bare
+    // group — but only over the pre-aggregated per-(group, bucket)
+    // counts (#buckets rows), never the raw data: its input subtree
+    // must contain the count aggregate
+    assert(otherWins.nonEmpty, "expected the per-bucket offset window")
+    otherWins.foreach { w =>
+      assert(w.child.exists {
+        case _: BaseAggregateExec => true; case _ => false
+      }, s"offset window must consume pre-aggregated bucket counts: $w")
+    }
   }
 }
