@@ -1897,6 +1897,66 @@ object SparkEntry {
           (coalesce(col("component"), col("doc_id")) === col("doc_id"))
             .as("is_keeper"))
         .orderBy("doc_id")
+    }),
+
+    // SemDeDup-shaped SEMANTIC dedup end-to-end — the fixture
+    // embeddings are near-random (max pairwise cosine ~0.48), so plant
+    // near-dup groups in embedding space: each vector of a 4-group is
+    // its leader's vector shifted by (vid % 4)·0.02 in every dimension
+    // (in-group cosine ≥ ~0.88, cross-group ≤ ~0.54 on this fixture),
+    // then Lloyd-cluster (q65's quantizer) + within-cluster cosine
+    // ≥ 0.8 → min-id keeper. The oracle replays the identical
+    // quantizer CTEs and pair rule.
+    "q135_semantic_dedup" -> ((s, d) => {
+      val e0 = Tables.embeddings(s, d).select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("lv"))
+      val leaders = e0.filter(col("vec_id") % 4 === 0)
+        .select(col("vec_id").as("gid"), col("lv").as("glv"))
+      val planted = e0.select(col("vec_id"),
+          (col("vec_id") - col("vec_id") % 4).as("gid"))
+        .join(leaders, "gid")
+        .select(col("vec_id"),
+          transform(col("glv"),
+            x => x + (col("vec_id") % 4).cast("double") * lit(0.02d)).as("pv"))
+      Similarity.semanticDedup(planted, "vec_id", "pv",
+          threshold = 0.8, nlist = 8, lloydIterations = 2)
+        .orderBy("vid")
+    }),
+
+    // Gopher-style repetition quality signals + gate (one-pass compiled
+    // kernel, exact integers; thresholds chosen to split this fixture —
+    // the Gopher defaults pass every synthetic doc).
+    "q136_repetition_stats" -> ((s, d) =>
+      TextAnalysis.repetitionStats(Tables.documents(s, d), "doc_id", "text",
+          minDistinctRatio = 0.4, maxTopBigramFrac = 0.05,
+          maxDupTrigramFrac = 0.02)
+        .orderBy("doc_id")),
+
+    // DSIR-shaped importance weighting — target = the English slice,
+    // hashed unigram features (portable polynomial hash mod 1024),
+    // per-doc weights in integer micro-nats (order-independent sums).
+    "q137_dsir_weights" -> ((s, d) =>
+      graft.text.Sampling.dsirWeights(Tables.documents(s, d),
+          "doc_id", "text", col("lang") === "en", numBuckets = 1024)
+        .orderBy("doc_id")),
+
+    // Deterministic train/val/test hash split (80/10/10 over the
+    // affine-permuted id space) — closed-form, version-stable.
+    "q138_split_assign" -> ((s, d) =>
+      graft.text.Sampling.splitAssign(
+          Tables.documents(s, d).select("doc_id"), "doc_id")
+        .orderBy("doc_id")),
+
+    // n-gram novelty of the non-reference slice (doc_id % 7 != 0)
+    // against the reference slice (doc_id % 7 == 0): hashed 8-byte
+    // n-gram keys engine-side, bit-exact string n-grams in the oracle.
+    "q139_ngram_novelty" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.ngramNovelty(
+          docs.filter(col("doc_id") % 7 =!= 0),
+          docs.filter(col("doc_id") % 7 === 0),
+          "doc_id", "text", n = 3, minNovelty = 0.5, hashed = true)
+        .orderBy("doc_id")
     })
   )
 
@@ -4090,6 +4150,188 @@ object SparkEntry {
          SELECT p.doc_id, COALESCE(c.keeper, p.doc_id) AS keeper,
                 (COALESCE(c.keeper, p.doc_id) = p.doc_id) AS is_keeper
          FROM planted p LEFT JOIN comp c ON p.doc_id = c.id
-         ORDER BY p.doc_id"""
+         ORDER BY p.doc_id""",
+
+    // q65's Lloyd quantizer CTEs verbatim (seed vec_id % 8, 2 refine
+    // steps, 6-dp rounding at every cross-engine float boundary) over
+    // the PLANTED vectors, then the SemDeDup pair rule: drop a vector
+    // iff a lower-id cluster-mate has cosine >= 0.8.
+    "q135_semantic_dedup" -> {
+      val lloyd = 2
+      def sims(tag: String, cent: String) =
+        s""",
+            sims$tag AS (SELECT nv.vec_id, nv.v, c.cl,
+                     ROUND(list_sum(list_transform(range(1, len(nv.v) + 1),
+                       i -> nv.v[i] * c.cv[i])), 6) AS sim
+                     FROM nv CROSS JOIN $cent c)"""
+      def refine(j: Int) =
+        sims(j.toString, s"cent${j - 1}") +
+        s""",
+            asg$j AS (SELECT vec_id, v, cl FROM (
+                      SELECT vec_id, v, cl, ROW_NUMBER() OVER (
+                        PARTITION BY vec_id ORDER BY sim DESC, cl) AS rk
+                      FROM sims$j) WHERE rk = 1),
+            pe$j AS (SELECT a.cl, i AS pos, a.v[i] AS val
+                   FROM asg$j a, UNNEST(range(1, len(a.v) + 1)) AS t$j(i)),
+            cm$j AS (SELECT cl, pos, AVG(val) AS m FROM pe$j GROUP BY 1, 2),
+            cent$j AS (SELECT cl, list(ROUND(m, 6) ORDER BY pos) AS cv
+                     FROM cm$j GROUP BY cl)"""
+      s"""WITH e0 AS (SELECT vec_id,
+                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS lv
+                    FROM embeddings),
+            lead AS (SELECT vec_id AS gid, lv AS glv FROM e0
+                     WHERE vec_id % 4 = 0),
+            e AS (SELECT e0.vec_id,
+                  list_transform(l.glv, x -> x + (e0.vec_id % 4) * 0.02)
+                    AS v0
+                  FROM e0 JOIN lead l ON l.gid = e0.vec_id - e0.vec_id % 4),
+            nr AS (SELECT vec_id, v0,
+                   sqrt(list_sum(list_transform(v0, x -> x * x))) AS nm FROM e),
+            nv AS (SELECT vec_id, CASE WHEN nm > 0
+                     THEN list_transform(v0, x -> x / nm) ELSE v0 END AS v
+                   FROM nr),
+            pe0 AS (SELECT vec_id % 8 AS cl, i AS pos, v[i] AS val
+                   FROM nv, UNNEST(range(1, len(v) + 1)) AS t0(i)),
+            cm0 AS (SELECT cl, pos, AVG(val) AS m FROM pe0 GROUP BY 1, 2),
+            cent0 AS (SELECT cl, list(ROUND(m, 6) ORDER BY pos) AS cv
+                     FROM cm0 GROUP BY cl)${(1 to lloyd).map(refine).mkString}${sims("F", s"cent$lloyd")},
+            asg AS (SELECT vec_id, v, cl FROM (
+                      SELECT vec_id, v, cl, ROW_NUMBER() OVER (
+                        PARTITION BY vec_id ORDER BY sim DESC, cl) AS rk
+                      FROM simsF) WHERE rk = 1),
+            dropped AS (SELECT DISTINCT b.vec_id AS id2
+                      FROM asg a JOIN asg b
+                        ON a.cl = b.cl AND a.vec_id < b.vec_id
+                      WHERE ROUND(list_sum(list_transform(
+                        range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])), 6)
+                        >= 0.8)
+         SELECT a.vec_id AS vid, a.cl,
+                (dr.id2 IS NULL) AS is_kept
+         FROM asg a LEFT JOIN dropped dr ON dr.id2 = a.vec_id
+         ORDER BY vid"""
+    },
+
+    // Same tokenization as q132 (lower → ws-split → drop empties); gram
+    // counts grouped on the STRINGS, exactly the kernel's hash-map.
+    "q136_repetition_stats" ->
+      """WITH base AS (SELECT doc_id,
+              list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                          x -> x <> '') AS toks FROM documents),
+            bg AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 2 THEN
+                list_transform(range(len(toks) - 1),
+                  j -> array_to_string(toks[j+1:j+2], ' '))
+                ELSE CAST([] AS VARCHAR[]) END) AS g FROM base),
+            tg AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 3 THEN
+                list_transform(range(len(toks) - 2),
+                  j -> array_to_string(toks[j+1:j+3], ' '))
+                ELSE CAST([] AS VARCHAR[]) END) AS g FROM base),
+            bgc AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+            tgc AS (SELECT doc_id, g, COUNT(*) AS c FROM tg GROUP BY 1, 2),
+            bmax AS (SELECT doc_id, MAX(c) AS mc FROM bgc GROUP BY 1),
+            tdup AS (SELECT doc_id, SUM(CASE WHEN c >= 2 THEN c ELSE 0 END)
+                     AS dt FROM tgc GROUP BY 1),
+            m AS (SELECT b.doc_id,
+              CAST(len(b.toks) AS BIGINT) AS n_tokens,
+              CAST(len(list_distinct(b.toks)) AS BIGINT) AS n_distinct,
+              CAST(COALESCE(x.mc, 0) AS BIGINT) AS top_bigram_count,
+              CAST(greatest(len(b.toks) - 1, 0) AS BIGINT) AS n_bigrams,
+              CAST(COALESCE(t.dt, 0) AS BIGINT) AS dup_trigram_occ,
+              CAST(greatest(len(b.toks) - 2, 0) AS BIGINT) AS n_trigrams
+              FROM base b LEFT JOIN bmax x USING (doc_id)
+                          LEFT JOIN tdup t USING (doc_id)),
+            r AS (SELECT doc_id, n_tokens, n_distinct, top_bigram_count,
+              dup_trigram_occ,
+              ROUND(CASE WHEN n_tokens > 0
+                THEN CAST(n_distinct AS DOUBLE) / n_tokens
+                ELSE 0.0 END, 6) AS distinct_ratio,
+              ROUND(CASE WHEN n_bigrams > 0
+                THEN CAST(top_bigram_count AS DOUBLE) / n_bigrams
+                ELSE 0.0 END, 6) AS top_bigram_frac,
+              ROUND(CASE WHEN n_trigrams > 0
+                THEN CAST(dup_trigram_occ AS DOUBLE) / n_trigrams
+                ELSE 0.0 END, 6) AS dup_trigram_frac
+              FROM m)
+         SELECT doc_id, n_tokens, n_distinct, top_bigram_count,
+                dup_trigram_occ, distinct_ratio, top_bigram_frac,
+                dup_trigram_frac,
+                (distinct_ratio >= 0.4 AND top_bigram_frac <= 0.05
+                 AND dup_trigram_frac <= 0.02) AS repetition_ok
+         FROM r ORDER BY doc_id""",
+
+    // Same portable per-token polynomial hash as q132's gram hash
+    // (base 31 over code points, mod 2^31-1), bucketed mod 1024;
+    // log-ratios rounded to integer micro-nats BEFORE the per-doc sum
+    // so the comparison never rides float summation order.
+    "q137_dsir_weights" ->
+      """WITH base AS (SELECT doc_id, lang = 'en' AS t,
+              list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                          x -> x <> '') AS toks FROM documents),
+            tb AS (SELECT doc_id, t, unnest(list_transform(toks, s ->
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(string_split(s, ''),
+                    c -> CAST(ascii(c) AS BIGINT))),
+                  (acc, x) -> (acc * 31 + x) % 2147483647) % 1024)) AS b
+                FROM base),
+            bt AS (SELECT b,
+                CAST(SUM(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+                COUNT(*) AS cr FROM tb GROUP BY b),
+            tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS tt,
+                    CAST(SUM(cr) AS BIGINT) AS rt FROM bt),
+            lr AS (SELECT b, CAST(ROUND((ln((ct + 1.0) / (tt + 1024)) -
+                ln((cr + 1.0) / (rt + 1024))) * 1e6) AS BIGINT) AS lr_e6
+                FROM bt, tot),
+            w AS (SELECT tb.doc_id, COUNT(*) AS n_tokens,
+                CAST(SUM(lr.lr_e6) AS BIGINT) AS weight_e6
+                FROM tb JOIN lr USING (b) GROUP BY tb.doc_id)
+         SELECT d.doc_id, (d.lang = 'en') AS is_target,
+                COALESCE(w.n_tokens, 0) AS n_tokens,
+                COALESCE(w.weight_e6, 0) AS weight_e6,
+                (COALESCE(w.weight_e6, 0) > 0) AS keep
+         FROM documents d LEFT JOIN w USING (doc_id)
+         ORDER BY d.doc_id""",
+
+    // The affine id permutation (q121/q131's shuffledId) mod 100:
+    // closed-form, so the oracle derives the identical assignment.
+    "q138_split_assign" ->
+      """SELECT doc_id,
+                CASE WHEN (doc_id * 1103515245) % 2147483647 % 100 < 80
+                       THEN 'train'
+                     WHEN (doc_id * 1103515245) % 2147483647 % 100 < 90
+                       THEN 'val'
+                     ELSE 'test' END AS split
+         FROM documents ORDER BY doc_id""",
+
+    // q99's shingle shape (distinct word 3-grams; < 3 tokens -> one
+    // whole-doc shingle) on the STRINGS; the engine rides xxhash64
+    // keys (counts identical up to 2^-64 collisions, q122 precedent).
+    "q139_ngram_novelty" ->
+      """WITH base AS (SELECT doc_id,
+              list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                          x -> x <> '') AS toks FROM documents),
+            sh AS (SELECT doc_id, list_distinct(
+              CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                ELSE list_transform(range(len(toks) - 2),
+                  i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
+                END) AS ngs FROM base),
+            refset AS (SELECT DISTINCT unnest(ngs) AS ng FROM sh
+                       WHERE doc_id % 7 = 0),
+            e AS (SELECT doc_id, unnest(ngs) AS ng FROM sh
+                  WHERE doc_id % 7 <> 0),
+            sn AS (SELECT e.doc_id,
+                CAST(SUM(CASE WHEN r.ng IS NOT NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_seen
+                FROM e LEFT JOIN refset r ON e.ng = r.ng
+                GROUP BY e.doc_id),
+            m AS (SELECT s.doc_id, CAST(len(s.ngs) AS BIGINT) AS n_ngrams,
+                COALESCE(sn.n_seen, 0) AS n_seen
+                FROM sh s LEFT JOIN sn USING (doc_id)
+                WHERE s.doc_id % 7 <> 0),
+            r AS (SELECT doc_id, n_ngrams, n_seen,
+                ROUND(CASE WHEN n_ngrams > 0
+                  THEN 1.0 - CAST(n_seen AS DOUBLE) / n_ngrams
+                  ELSE 0.0 END, 6) AS novelty FROM m)
+         SELECT doc_id, n_ngrams, n_seen, novelty,
+                (novelty >= 0.5) AS is_novel
+         FROM r ORDER BY doc_id"""
   )
 }

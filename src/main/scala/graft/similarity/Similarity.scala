@@ -158,38 +158,54 @@ object Similarity {
     * it; each Lloyd step is one broadcast cross-score + two bounded
     * aggregations (nlist·dim cells).
     */
+  /** Component-wise mean of each cluster over `nv` = (vid, v), rounded
+    * so both engines derive bit-identical centroid values.
+    */
+  private def lloydCentroids(nv: DataFrame, assignment: DataFrame): DataFrame =
+    nv.join(assignment, "vid")
+      .select(col("cl"), posexplode(col("v")))
+      .groupBy("cl", "pos").agg(avg("col").as("m"))
+      .groupBy("cl")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => round(s.getField("m"), 6)).as("cv"))
+
+  /** Nearest-centroid assignment (max dot, ties → low cl). The argmax
+    * groups on the 8-byte vid alone — (vid, cl, sim) rows
+    * partial-aggregate map-side — and the embedding is carried back by
+    * one equi-join instead of riding the shuffle as part of the
+    * grouping key.
+    */
+  private def lloydAssignTo(nv: DataFrame, cents: DataFrame): DataFrame =
+    nv.crossJoin(broadcast(cents))
+      .select(col("vid"), col("cl"),
+        round(dot(col("v"), col("cv")), 6).as("sim"))
+      .groupBy("vid")
+      .agg(max_by(col("cl"), struct(col("sim"), -col("cl"))).as("cl"))
+
+  /** Deterministic k-means over `nv` = (vid, v): seed clusters from the
+    * id space (`vid % nlist`), refine by fixed Lloyd steps. Returns
+    * (final centroids, final (vid, cl) assignment) — shared by
+    * [[ivfTopK]] (coarse quantizer) and [[semanticDedup]] (cluster
+    * stage), and replayed exactly by the DuckDB oracles (no RNG).
+    */
+  private[graft] def lloydAssign(nv: DataFrame, nlist: Int,
+                                 lloydIterations: Int): (DataFrame, DataFrame) = {
+    var cents = lloydCentroids(nv, nv.select(col("vid"),
+        pmod(col("vid"), lit(nlist)).as("cl")))
+      .transform(graft.graph.Iterate.ckpt)
+    for (_ <- 1 to lloydIterations)
+      cents = lloydCentroids(nv, lloydAssignTo(nv, cents))
+        .transform(graft.graph.Iterate.ckpt)
+    (cents, lloydAssignTo(nv, cents))
+  }
+
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
               queryMaxId: Long, nlist: Int = 16, nprobe: Int = 4,
               lloydIterations: Int = 2): DataFrame = {
     val nv = df.select(col(idCol).as("vid"),
       normalize(transform(col(vecCol), x => x.cast("double"))).as("v"))
-    // component-wise mean of each cluster, rounded so both engines
-    // derive bit-identical centroid values
-    def centroidsOf(assignment: DataFrame): DataFrame =
-      nv.join(assignment, "vid")
-        .select(col("cl"), posexplode(col("v")))
-        .groupBy("cl", "pos").agg(avg("col").as("m"))
-        .groupBy("cl")
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          s => round(s.getField("m"), 6)).as("cv"))
-    // nearest-centroid assignment (max dot, ties → low cl). The argmax
-    // groups on the 8-byte vid alone — (vid, cl, sim) rows
-    // partial-aggregate map-side — and the embedding is carried back by
-    // one equi-join instead of riding the shuffle as part of the
-    // grouping key.
-    def assignTo(cents: DataFrame): DataFrame =
-      nv.crossJoin(broadcast(cents))
-        .select(col("vid"), col("cl"),
-          round(dot(col("v"), col("cv")), 6).as("sim"))
-        .groupBy("vid")
-        .agg(max_by(col("cl"), struct(col("sim"), -col("cl"))).as("cl"))
-    var cents = centroidsOf(nv.select(col("vid"),
-        pmod(col("vid"), lit(nlist)).as("cl")))
-      .transform(graft.graph.Iterate.ckpt)
-    for (_ <- 1 to lloydIterations)
-      cents = centroidsOf(assignTo(cents)).transform(graft.graph.Iterate.ckpt)
+    val (cents, best) = lloydAssign(nv, nlist, lloydIterations)
     val c = broadcast(cents)
-    val best = assignTo(cents)
     val assigned = nv.join(best, "vid")
     // queries probe their nprobe nearest lists
     val probes = nv.filter(col("vid") < queryMaxId).crossJoin(c)
@@ -205,6 +221,48 @@ object Similarity {
         round(dot(col("qv"), col("cv2")), 6).as("cos"))
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k).drop("rk")
+  }
+
+  /** SemDeDup-shaped SEMANTIC deduplication (Abbas et al. 2023, public
+    * method): cluster the embedding space with the same deterministic
+    * Lloyd quantizer [[ivfTopK]] trains, then compare pairs only WITHIN
+    * a cluster and drop every vector that has a lower-id cluster-mate
+    * with cosine ≥ `threshold`. The within-cluster restriction is the
+    * whole point at 100 TB: pairwise work is Σ|cluster|² instead of
+    * |corpus|², and `maxClusterSize` (via [[graft.text.Dedup.capBuckets]],
+    * exact drop counters) bounds any degenerate hot cluster.
+    *
+    * Emits one row per input vector — (vid, cl, is_kept) — so the
+    * caller filters `is_kept` for the survivors or audits the drop rate
+    * per cluster. Deterministic end-to-end (id-seeded Lloyd, min-id
+    * keeper, no RNG), so the DuckDB oracle replays it exactly.
+    *
+    * Scale shape: Lloyd = broadcast cross-score + two bounded
+    * aggregations per step (nlist·dim cells); the pair stage shuffles
+    * (cl, vid, v) once on the cluster id; the drop set flows back as an
+    * 8-byte-key left join. Reference analog: the duplicate-edge /
+    * near-duplicate role of `preprocessing/conversions.hpp`'s
+    * duplicate-edge filters, lifted to embedding space.
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double = 0.8, nlist: Int = 8,
+                    lloydIterations: Int = 2,
+                    maxClusterSize: Int = 100000): DataFrame = {
+    val nv = df.select(col(idCol).as("vid"),
+      normalize(transform(col(vecCol), x => x.cast("double"))).as("v"))
+    val (_, best) = lloydAssign(nv, nlist, lloydIterations)
+    val assigned = graft.text.Dedup.capBuckets(
+      nv.join(best, "vid"), Seq("cl"), maxClusterSize)
+    val a = assigned.select(col("cl"), col("vid").as("id1"), col("v").as("v1"))
+    val b = assigned.select(col("cl"), col("vid").as("id2"), col("v").as("v2"))
+    val dropped = a.join(b, Seq("cl")).filter(col("id1") < col("id2"))
+      .filter(round(dot(col("v1"), col("v2")), 6) >= threshold)
+      .select(col("id2").as("vid")).distinct()
+      .withColumn("__dropped", lit(true))
+    nv.select("vid").join(best, "vid")
+      .join(dropped, Seq("vid"), "left")
+      .select(col("vid"), col("cl"),
+        not(coalesce(col("__dropped"), lit(false))).as("is_kept"))
   }
 
   /** Product-quantization ANN top-k (ADC — asymmetric distance

@@ -331,6 +331,48 @@ object Dedup {
           .as("contaminated_frac"))
   }
 
+  /** Per-document n-gram NOVELTY against a reference corpus: the
+    * fraction of each scored document's distinct word n-grams that do
+    * NOT occur anywhere in `reference` — the memorization/novelty
+    * signal a pipeline publishes when adding a new crawl on top of an
+    * existing training corpus (high novelty = genuinely new text; low
+    * novelty = paraphrase/copy mass already trained on).
+    *
+    * Same n-gram machinery as [[contamination]] (q101) but the OPPOSITE
+    * scale regime: a benchmark is MBs and broadcasts, a reference
+    * CORPUS is corpus-sized — so the membership probe is a shuffled
+    * left-semi-style join keyed on the n-gram (8-byte xxhash64 keys
+    * under `hashed=true`, the 100 TB path), never a broadcast, and the
+    * reference side reduces to map-side-combined distinct hashes. One
+    * further shuffle keys the per-doc seen-counts by doc id.
+    *
+    * Emits one row per scored doc: (id, n_ngrams, n_seen, novelty,
+    * is_novel) with novelty = 1 − n_seen/n_ngrams rounded 6 dp and
+    * `is_novel` = rounded novelty ≥ `minNovelty`. Short docs (< n
+    * tokens) have one whole-doc shingle (the [[ngramSet]] convention).
+    */
+  def ngramNovelty(docs: DataFrame, reference: DataFrame, idCol: String,
+                   textCol: String, n: Int = 3, minNovelty: Double = 0.5,
+                   hashed: Boolean = true): DataFrame = {
+    val docNg = docs.select(col(idCol), ngramSet(col(textCol), n, hashed).as("ngs"))
+    val cand = docNg.select(col(idCol),
+      size(col("ngs")).cast("long").as("n_ngrams"),
+      explode(col("ngs")).as("ng"))
+    val refNg = reference
+      .select(explode(ngramSet(col(textCol), n, hashed)).as("ng")).distinct()
+    val seen = cand.join(refNg, Seq("ng"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_seen"))
+    val novelty = round(
+      when(col("n_ngrams") > 0,
+        lit(1.0d) - col("n_seen").cast("double") / col("n_ngrams"))
+        .otherwise(lit(0.0d)), 6)
+    docNg.select(col(idCol), size(col("ngs")).cast("long").as("n_ngrams"))
+      .join(seen, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_seen"))
+      .select(col(idCol), col("n_ngrams"), col("n_seen"),
+        novelty.as("novelty"), (novelty >= minNovelty).as("is_novel"))
+  }
+
   /** Cross-group n-gram overlap matrix: for every pair of corpus
     * groups (languages, sources, snapshots) the distinct-n-gram
     * intersection, union sizes, and Jaccard — the audit that catches a

@@ -128,6 +128,85 @@ object Sampling {
         (col("__boff") + col("__local")).as("quota_rank"): _*)
   }
 
+  /** DSIR-shaped importance weighting (Xie et al. 2023, public method):
+    * score every document by how much more likely its hashed unigram
+    * features are under the TARGET distribution (rows matching
+    * `targetPred`, e.g. a trusted high-quality slice) than under the
+    * RAW corpus distribution — the data-selection step that picks
+    * pretraining documents "shaped like" a target domain without a
+    * trained classifier.
+    *
+    * weight(doc) = Σ_tokens [ln p̂_t(b(tok)) − ln p̂_r(b(tok))] with
+    * add-1-smoothed bucket distributions over `numBuckets` hashed
+    * buckets; b(tok) = portable polynomial token hash
+    * ([[graft.functions.PolyHashTokens]]) mod `numBuckets`, so the
+    * DuckDB oracle derives identical buckets. The per-bucket log-ratio
+    * is rounded to INTEGER micro-nats (lr_e6) before the per-doc sum —
+    * an integer sum is order-independent, so the published weight_e6
+    * compares exactly across engines regardless of aggregation order
+    * (the int8-audit err_e9 playbook).
+    *
+    * Scale shape: bucket totals are one map-side-combined aggregate
+    * bounded by `numBuckets` output rows; the log-ratio table broadcasts
+    * (numBuckets rows); per-doc weights are ONE shuffle keyed by doc id
+    * with map-side partial sums. No collect, no window, no data-sized
+    * broadcast.
+    */
+  def dsirWeights(df: DataFrame, idCol: String, textCol: String,
+                  targetPred: org.apache.spark.sql.Column,
+                  numBuckets: Int = 1024): DataFrame = {
+    require(numBuckets > 0, "numBuckets must be positive")
+    val tb = df.select(col(idCol).as("__id"), targetPred.as("__t"),
+        explode(graft.functions.PolyHashTokens.of(
+          TextAnalysis.wsTokens(col(textCol)))).as("__h"))
+      .select(col("__id"), col("__t"),
+        pmod(col("__h"), lit(numBuckets.toLong)).as("b"))
+    val bt = tb.groupBy("b").agg(
+      sum(when(col("__t"), 1L).otherwise(0L)).as("ct"),
+      count(lit(1)).as("cr"))
+    val tot = bt.agg(sum("ct").as("t_total"), sum("cr").as("r_total"))
+    val lr = bt.crossJoin(broadcast(tot)).select(col("b"),
+      round((log((col("ct") + 1L).cast("double") /
+               (col("t_total") + numBuckets.toLong).cast("double")) -
+             log((col("cr") + 1L).cast("double") /
+               (col("r_total") + numBuckets.toLong).cast("double"))) * 1e6d)
+        .cast("long").as("lr_e6"))
+    val w = tb.join(broadcast(lr), "b")
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_tokens"), sum("lr_e6").as("weight_e6"))
+    df.select(col(idCol), targetPred.as("is_target"))
+      .join(w, col(idCol) === col("__id"), "left")
+      .select(col(idCol), col("is_target"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("weight_e6"), lit(0L)).as("weight_e6"),
+        (coalesce(col("weight_e6"), lit(0L)) > 0L).as("keep"))
+  }
+
+  /** Deterministic train/val/test split assignment — the hash split
+    * every dataset release ships. The bucket is
+    * [[Packing.shuffledId]] (affine permutation of the id space) mod
+    * `denom`, NOT the raw id: raw-id ranges correlate with crawl order/
+    * source, so `id % 100 < 80` would put whole sources in one split,
+    * while the permutation spreads every id neighborhood across splits.
+    * Closed-form and RNG-free: re-runs, retries, and external auditors
+    * (or the DuckDB oracle) derive the identical assignment, and a doc
+    * keeps its split when the corpus around it changes — the property
+    * that prevents silent test-set leakage across dataset versions.
+    * Pure per-row projection: zero shuffle at any corpus size.
+    */
+  def splitAssign(df: DataFrame, idCol: String,
+                  trainPct: Int = 80, valPct: Int = 10,
+                  denom: Int = 100): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= denom,
+      "split percentages must fit in denom")
+    val bucket = pmod(Packing.shuffledId(col(idCol).cast("long")),
+      lit(denom.toLong))
+    df.withColumn("split",
+      when(bucket < trainPct, lit("train"))
+        .when(bucket < trainPct + valPct, lit("val"))
+        .otherwise(lit("test")))
+  }
+
   /** Achieved sample sizes per stratum: (stratum, n_total, n_sampled) —
     * the audit view a mixing run publishes next to the sample itself.
     */

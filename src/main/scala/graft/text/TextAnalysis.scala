@@ -84,6 +84,54 @@ object TextAnalysis {
       wordScore * 0.15) * 10000) / 10000
   }
 
+  /** Gopher-style repetition quality signals (Rae et al. 2021 §A1.1,
+    * public method): per-document distinct-token ratio, most-frequent-
+    * bigram fraction, and duplicated-trigram occurrence fraction, plus
+    * the boolean curation gate over them. Raw counts come out of the
+    * one-pass compiled [[graft.functions.RepetitionStats]] kernel as
+    * exact integers (zero shuffle — pure per-row scan at any corpus
+    * size); only the published convenience ratios divide, rounded 6 dp.
+    *
+    * Complements [[repetitionSignals]] (q95): that one shuffles
+    * (doc, word) count rows for its word stats and publishes the
+    * rep-frac family (1 − distinct/total); this one is the compiled
+    * zero-shuffle path and publishes the other half of the Gopher rule
+    * set — the MODE bigram's share and the occurrence MASS of repeated
+    * trigrams (all occurrences of a duplicated gram, not just the extra
+    * ones) — plus the combined boolean gate.
+    *
+    * Gate (kept = true) — the Gopher-shaped thresholds, parameterized:
+    * distinct-token ratio ≥ `minDistinctRatio` AND top-bigram fraction
+    * ≤ `maxTopBigramFrac` AND duplicated-trigram fraction ≤
+    * `maxDupTrigramFrac`. Documents with < 2 tokens have no bigrams/
+    * trigrams: those fractions are defined 0 (denominator guard) and
+    * pass their terms; an EMPTY document's distinct ratio is 0, so the
+    * min-distinct term rejects it (length gates live in q107/q108).
+    */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String,
+                      minDistinctRatio: Double = 0.2,
+                      maxTopBigramFrac: Double = 0.2,
+                      maxDupTrigramFrac: Double = 0.3): DataFrame = {
+    val st = graft.functions.RepetitionStats.of(wsTokens(col(textCol)))
+    def frac(num: Column, den: Column): Column =
+      round(when(den > 0, num.cast("double") / den).otherwise(lit(0.0d)), 6)
+    docs.select(col(idCol), st.as("st"))
+      .select(col(idCol),
+        col("st.n_tokens").as("n_tokens"),
+        col("st.n_distinct").as("n_distinct"),
+        col("st.top_bigram_count").as("top_bigram_count"),
+        col("st.dup_trigram_occ").as("dup_trigram_occ"),
+        frac(col("st.n_distinct"), col("st.n_tokens")).as("distinct_ratio"),
+        frac(col("st.top_bigram_count"), col("st.n_bigrams"))
+          .as("top_bigram_frac"),
+        frac(col("st.dup_trigram_occ"), col("st.n_trigrams"))
+          .as("dup_trigram_frac"))
+      .withColumn("repetition_ok",
+        col("distinct_ratio") >= minDistinctRatio &&
+        col("top_bigram_frac") <= maxTopBigramFrac &&
+        col("dup_trigram_frac") <= maxDupTrigramFrac)
+  }
+
   /** Word k-shingles of the lowercased text. */
   def shingles(text: Column, k: Int = 3): Column = {
     val toks = transform(wsTokens(text), t => lower(t))

@@ -93,6 +93,36 @@ class PlanShapeSpec extends SparkSpec {
       "the within-n rank must partition by (n, bucket)")
   }
 
+  test("dsirWeights: the bucket log-ratio table broadcasts; no data-sized build side") {
+    val plan = graft.text.Sampling.dsirWeights(docs, "doc_id", "text",
+      col("doc_id") < 2L, numBuckets = 64)
+    assert(countJoins(plan, "BroadcastHashJoin") >= 1,
+      "the numBuckets-row lr table must broadcast onto the token stream")
+  }
+
+  test("splitAssign: pure projection, zero exchange") {
+    val plan = graft.text.Sampling.splitAssign(docs.select("doc_id"), "doc_id")
+    assert(!plan.queryExecution.executedPlan.toString.contains("Exchange"),
+      "the hash split must not shuffle")
+  }
+
+  test("ngramNovelty: membership probe is a semi-join (reference side never inflates rows)") {
+    val ref = Seq((100L, "the cat sat on the mat today ok")).toDF("doc_id", "text")
+    val plan = graft.text.Dedup.ngramNovelty(docs, ref, "doc_id", "text", n = 3)
+    assert(plan.queryExecution.sparkPlan.toString.contains("LeftSemi"),
+      "seen-gram counting must ride a left-semi join, not an inner join")
+  }
+
+  test("semanticDedup: Lloyd centroid scoring broadcasts the centroids") {
+    val vecs = (0 until 16).map { i =>
+      (i.toLong, Array.tabulate(8)(d => (i * 8 + d).toFloat / 100f))
+    }.toDF("id", "v")
+    val plan = graft.similarity.Similarity.semanticDedup(vecs, "id", "v",
+      threshold = 0.8, nlist = 4, lloydIterations = 1)
+    assert(countJoins(plan, "BroadcastNestedLoopJoin") >= 1,
+      "every assignment pass must cross-score against BROADCAST centroids")
+  }
+
   test("quotaSample: within-group rank partitions by (group, key bucket)") {
     import org.apache.spark.sql.execution.window.WindowExec
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
