@@ -1957,12 +1957,60 @@ object SparkEntry {
           docs.filter(col("doc_id") % 7 === 0),
           "doc_id", "text", n = 3, minNovelty = 0.5, hashed = true)
         .orderBy("doc_id")
-    })
+    }),
+
+    // CCNet-style perplexity terciles per language over q112's bigram
+    // LM bits — head/middle/tail via histogram-decomposed integer
+    // thresholds (no per-language data-sized window).
+    "q140_perplexity_buckets" -> ((s, d) =>
+      TextAnalysis.perplexityBuckets(Tables.documents(s, d),
+          "doc_id", "text", "lang", vocabSize = 200)
+        .orderBy("doc_id")),
+
+    // Hard-negative mining for contrastive training data: top-5 most
+    // similar vectors with a DIFFERENT label, queries vec_id < 100.
+    "q141_hard_negatives" -> ((s, d) =>
+      Similarity.hardNegatives(Tables.embeddings(s, d),
+          "vec_id", "embedding", "label", k = 5, queryMaxId = 100L)
+        .orderBy("query_id", "neighbor_id"))
   )
 
   private def b2l(b: Boolean): Long = if (b) 1L else 0L
 
   // ---- oracles ----------------------------------------------------------
+
+  /** q112's bigram-LM derivation (CTE list after WITH + the per-doc
+    * bits SELECT) — shared verbatim by q112 (scores) and q140
+    * (CCNet tercile bucketing over the same scores).
+    */
+  private val bigramBitsCtes: String =
+    """base AS (SELECT doc_id,
+              list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                x -> x <> '') AS ws FROM documents),
+            rawtok AS (SELECT doc_id, t.w FROM base, UNNEST(base.ws) AS t(w)),
+            cnt AS (SELECT w, COUNT(*) AS c FROM rawtok GROUP BY w),
+            vocab AS (SELECT w FROM cnt ORDER BY c DESC, w LIMIT 200),
+            vt AS (SELECT LEAST(COUNT(*), 200) +
+                     CASE WHEN COUNT(*) > 200 THEN 1 ELSE 0 END AS vt FROM cnt),
+            big AS (SELECT doc_id, ws[i] AS r1, ws[i+1] AS r2
+                    FROM base, UNNEST(range(1, len(ws))) AS t(i)),
+            mp AS (SELECT doc_id,
+                     CASE WHEN r1 IN (SELECT w FROM vocab) THEN r1
+                          ELSE '<unk>' END AS w1,
+                     CASE WHEN r2 IN (SELECT w FROM vocab) THEN r2
+                          ELSE '<unk>' END AS w2
+                   FROM big),
+            cb AS (SELECT w1, w2, COUNT(*) AS cb FROM mp GROUP BY 1, 2),
+            cu AS (SELECT w1, SUM(cb) AS cu FROM cb GROUP BY 1),
+            sc AS (SELECT mp.doc_id,
+                     ROUND(LN((cb.cb + 0.5) / (cu.cu + 0.5 * vt.vt)), 7) AS lp
+                   FROM mp JOIN cb USING (w1, w2) JOIN cu USING (w1)
+                   CROSS JOIN vt)"""
+
+  private val bigramBitsSelect: String =
+    """SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                ROUND(-AVG(lp) / LN(2), 4) AS bits_per_token
+         FROM sc GROUP BY doc_id"""
 
   /** 4-iteration PageRank unrolled as CTE stages — shared by q19 (batch)
     * and q84 (streamed): both engines must land on identical ranks.
@@ -3609,31 +3657,8 @@ object SparkEntry {
     // count, per-bigram log-probs rounded to 7 dp before the per-doc
     // average (cross-engine float parity), bits rounded to 4 dp.
     "q112_bigram_lm_bits" ->
-      """WITH base AS (SELECT doc_id,
-              list_filter(string_split_regex(trim(lower(text)), '\s+'),
-                x -> x <> '') AS ws FROM documents),
-            rawtok AS (SELECT doc_id, t.w FROM base, UNNEST(base.ws) AS t(w)),
-            cnt AS (SELECT w, COUNT(*) AS c FROM rawtok GROUP BY w),
-            vocab AS (SELECT w FROM cnt ORDER BY c DESC, w LIMIT 200),
-            vt AS (SELECT LEAST(COUNT(*), 200) +
-                     CASE WHEN COUNT(*) > 200 THEN 1 ELSE 0 END AS vt FROM cnt),
-            big AS (SELECT doc_id, ws[i] AS r1, ws[i+1] AS r2
-                    FROM base, UNNEST(range(1, len(ws))) AS t(i)),
-            mp AS (SELECT doc_id,
-                     CASE WHEN r1 IN (SELECT w FROM vocab) THEN r1
-                          ELSE '<unk>' END AS w1,
-                     CASE WHEN r2 IN (SELECT w FROM vocab) THEN r2
-                          ELSE '<unk>' END AS w2
-                   FROM big),
-            cb AS (SELECT w1, w2, COUNT(*) AS cb FROM mp GROUP BY 1, 2),
-            cu AS (SELECT w1, SUM(cb) AS cu FROM cb GROUP BY 1),
-            sc AS (SELECT mp.doc_id,
-                     ROUND(LN((cb.cb + 0.5) / (cu.cu + 0.5 * vt.vt)), 7) AS lp
-                   FROM mp JOIN cb USING (w1, w2) JOIN cu USING (w1)
-                   CROSS JOIN vt)
-         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-                ROUND(-AVG(lp) / LN(2), 4) AS bits_per_token
-         FROM sc GROUP BY doc_id ORDER BY doc_id""",
+      s"""WITH $bigramBitsCtes
+         $bigramBitsSelect ORDER BY doc_id""",
 
     // Bit-exact replay of pqTopK's deterministic codebook derivation:
     // vid%8 seed partition → rounded subspace centroids → one Lloyd
@@ -4332,6 +4357,55 @@ object SparkEntry {
                   ELSE 0.0 END, 6) AS novelty FROM m)
          SELECT doc_id, n_ngrams, n_seen, novelty,
                 (novelty >= 0.5) AS is_novel
-         FROM r ORDER BY doc_id"""
+         FROM r ORDER BY doc_id""",
+
+    // q112's bits CTEs verbatim, then the histogram tercile rule on the
+    // 1e-4 integer grid: t1/t2 = smallest grid values whose cumulative
+    // count reaches ceil(n/3) / ceil(2n/3) (3*cum >= n integer form).
+    "q140_perplexity_buckets" ->
+      s"""WITH $bigramBitsCtes,
+            bits AS ($bigramBitsSelect),
+            wl AS (SELECT d.doc_id, d.lang AS g,
+                CAST(ROUND(b.bits_per_token * 10000) AS BIGINT) AS bits_e4
+                FROM documents d JOIN bits b USING (doc_id)),
+            hist AS (SELECT g, bits_e4, COUNT(*) AS c FROM wl GROUP BY 1, 2),
+            cum AS (SELECT g, bits_e4,
+                SUM(c) OVER (PARTITION BY g ORDER BY bits_e4) AS cum
+                FROM hist),
+            tot AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n FROM hist
+                    GROUP BY g),
+            th AS (SELECT c.g,
+                MIN(CASE WHEN c.cum * 3 >= t.n THEN c.bits_e4 END) AS t1,
+                MIN(CASE WHEN c.cum * 3 >= t.n * 2 THEN c.bits_e4 END) AS t2
+                FROM cum c JOIN tot t USING (g) GROUP BY c.g)
+         SELECT w.doc_id, w.g AS lang, w.bits_e4,
+                CASE WHEN w.bits_e4 <= th.t1 THEN 'head'
+                     WHEN w.bits_e4 <= th.t2 THEN 'middle'
+                     ELSE 'tail' END AS ppl_bucket
+         FROM wl w JOIN th USING (g) ORDER BY w.doc_id""",
+
+    // q23's brute-force shape with the label anti-filter inside the
+    // join (negatives filtered BEFORE ranking).
+    "q141_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, label,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings),
+            n AS (SELECT vec_id, label, v,
+              sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+            nv AS (SELECT vec_id, label,
+              CASE WHEN nrm > 0 THEN list_transform(v, x -> x / nrm) ELSE v END AS v
+              FROM n),
+            scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+              c.label AS neighbor_label,
+              round(list_sum(list_transform(range(1, len(q.v) + 1),
+                i -> q.v[i] * c.v[i])), 6) AS cos
+              FROM nv q JOIN nv c ON q.vec_id < 100
+                AND q.vec_id <> c.vec_id AND q.label <> c.label),
+            ranked AS (SELECT query_id, neighbor_id, neighbor_label, cos,
+              ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, neighbor_id) AS rk FROM scored)
+         SELECT query_id, neighbor_id, neighbor_label, cos
+         FROM ranked WHERE rk <= 5
+         ORDER BY query_id, neighbor_id"""
   )
 }

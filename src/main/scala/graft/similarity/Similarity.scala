@@ -334,6 +334,40 @@ object Similarity {
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k).drop("rk")
   }
 
+  /** Hard-NEGATIVE mining for contrastive/embedding training data: for
+    * each query vector, the top-k most similar corpus vectors with a
+    * DIFFERENT label — the semantically-near-but-wrong examples a
+    * retriever/embedding trainer needs next to its positives. Emits
+    * (query_id, neighbor_id, neighbor_label, cos).
+    *
+    * This is the brute/oracle path ([[bruteForceTopK]]'s shape plus the
+    * label anti-filter inside the join condition — negatives are
+    * filtered BEFORE ranking, so the k hardest negatives survive even
+    * when same-label neighbors dominate the raw top-k). At 100 TB,
+    * overfetch from [[ivfTopK]] (k · a few, nprobe lists) and apply the
+    * same label filter + re-rank on its bounded candidate set — the
+    * corpus side here broadcasts only because the fixture is small.
+    */
+  def hardNegatives(df: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String, k: Int, queryMaxId: Long,
+                    broadcastCorpus: Boolean = true): DataFrame = {
+    val base = df.select(col(idCol).as("vid"),
+      normalize(transform(col(vecCol), x => x.cast("double"))).as("v"),
+      col(labelCol).as("lbl"))
+    val q = base.filter(col("vid") < queryMaxId)
+      .select(col("vid").as("query_id"), col("v").as("qv"), col("lbl").as("ql"))
+    val c0 = base.select(col("vid").as("neighbor_id"), col("v").as("cv"),
+      col("lbl").as("nl"))
+    val c = if (broadcastCorpus) broadcast(c0) else c0
+    val scored = q.join(c,
+        col("query_id") =!= col("neighbor_id") && col("ql") =!= col("nl"))
+      .select(col("query_id"), col("neighbor_id"),
+        col("nl").as("neighbor_label"),
+        round(dot(col("qv"), col("cv")), 6).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k).drop("rk")
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold via LSH buckets. */
   def embeddingDuplicatePairs(df: DataFrame, idCol: String, vecCol: String,
                               dim: Int, threshold: Double = 0.95,

@@ -374,6 +374,49 @@ object TextAnalysis {
         round(-avg(col("lp")) / lit(math.log(2.0)), 4).as("bits_per_token"))
   }
 
+  /** CCNet-style perplexity BUCKETING (Wenzek et al. 2020, public
+    * method): split every stratum (language) into head/middle/tail
+    * terciles of the [[bigramLmBits]] score — the standard step between
+    * LM scoring and mixing (train mostly on head+middle, downweight
+    * tail). Only documents with ≥ 1 bigram are scored (the
+    * [[bigramLmBits]] domain).
+    *
+    * Thresholds are NOT a per-stratum sort of the corpus: bits/token is
+    * first fixed to a 1e-4 integer grid (`bits_e4`), then per-stratum
+    * cumulative counts run over the (stratum, bits_e4) HISTOGRAM — rows
+    * bounded by the grid (a few-bits range × 10⁴ cells), never by
+    * corpus size — and t1/t2 are the smallest grid values whose
+    * cumulative count reaches ⌈n/3⌉ / ⌈2n/3⌉ (pure integer rule:
+    * 3·cum ≥ n). The threshold table broadcasts back onto the scan.
+    * Same histogram-decomposition playbook as `Packing.balancedShards`;
+    * a hot language never serializes one task. Ties at a threshold all
+    * land in the lower bucket (deterministic, oracle-identical).
+    */
+  def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String,
+                        strataCol: String, vocabSize: Int = 1000,
+                        alpha: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bits = bigramLmBits(docs, idCol, textCol, vocabSize, alpha)
+    val wl = docs.select(col(idCol).as("doc_id"), col(strataCol).as("__g"))
+      .join(bits.select(col("doc_id"),
+        round(col("bits_per_token") * 10000).cast("long").as("bits_e4")),
+        "doc_id")
+    val hist = wl.groupBy("__g", "bits_e4").agg(count(lit(1)).as("__c"))
+    val cum = hist.withColumn("__cum",
+      sum("__c").over(Window.partitionBy("__g").orderBy("bits_e4")
+        .rowsBetween(Window.unboundedPreceding, 0)))
+    val tot = hist.groupBy("__g").agg(sum("__c").as("__n"))
+    val th = cum.join(tot, "__g")
+      .groupBy("__g")
+      .agg(min(when(col("__cum") * 3 >= col("__n"), col("bits_e4"))).as("__t1"),
+           min(when(col("__cum") * 3 >= col("__n") * 2, col("bits_e4"))).as("__t2"))
+    wl.join(broadcast(th), "__g")
+      .select(col("doc_id"), col("__g").as(strataCol), col("bits_e4"),
+        when(col("bits_e4") <= col("__t1"), "head")
+          .when(col("bits_e4") <= col("__t2"), "middle")
+          .otherwise("tail").as("ppl_bucket"))
+  }
+
   /** Composite keep/drop decision — the gate a curation pipeline applies
     * after computing its per-document signals. Rules fire in priority
     * order (first hit names the verdict): too_short (token count), then

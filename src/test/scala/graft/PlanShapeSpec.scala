@@ -123,6 +123,24 @@ class PlanShapeSpec extends SparkSpec {
       "every assignment pass must cross-score against BROADCAST centroids")
   }
 
+  test("perplexityBuckets: threshold table broadcasts; the per-stratum window runs over the histogram, not the data") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val withLang = docs.withColumn("lang", lit("en"))
+    val plan = graft.text.TextAnalysis.perplexityBuckets(withLang,
+      "doc_id", "text", "lang", vocabSize = 8)
+    assert(countJoins(plan, "BroadcastHashJoin") >= 1,
+      "the per-stratum t1/t2 table must broadcast back onto the scan")
+    val wins = plan.queryExecution.sparkPlan
+      .collect { case w: WindowExec => w }
+    assert(wins.nonEmpty, "expected the cumulative-count window")
+    wins.foreach { w =>
+      assert(w.child.exists {
+        case _: BaseAggregateExec => true; case _ => false
+      }, s"the cumulative window must consume the (stratum, grid) histogram: $w")
+    }
+  }
+
   test("quotaSample: within-group rank partitions by (group, key bucket)") {
     import org.apache.spark.sql.execution.window.WindowExec
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
