@@ -1972,7 +1972,28 @@ object SparkEntry {
     "q141_hard_negatives" -> ((s, d) =>
       Similarity.hardNegatives(Tables.embeddings(s, d),
           "vec_id", "embedding", "label", k = 5, queryMaxId = 100L)
-        .orderBy("query_id", "neighbor_id"))
+        .orderBy("query_id", "neighbor_id")),
+
+    // Data-constrained epoch allocation: 60k-token budget over the
+    // languages, sqrt-tempered integer weights, 2-epoch cap (binds for
+    // every non-en language at sf0.01) — all-integer arithmetic.
+    "q142_epoch_allocation" -> ((s, d) =>
+      graft.text.Sampling.epochAllocation(
+          Tables.documents(s, d).select(col("lang"),
+            TextAnalysis.tokenCount(col("text")).cast("long").as("tok")),
+          "lang", "tok", budget = 60000L, maxEpochs = 2)
+        .orderBy("lang")),
+
+    // Contamination attribution on q101's corpus/benchmark split: the
+    // benchmark item each contaminated doc overlaps most (4-grams).
+    "q143_contamination_attribution" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.contaminationAttribution(
+          docs.filter(col("doc_id") % 50 =!= 0),
+          docs.filter(col("doc_id") % 50 === 0),
+          "doc_id", "text", n = 4, hashed = true)
+        .orderBy("doc_id")
+    })
   )
 
   private def b2l(b: Boolean): Long = if (b) 1L else 0L
@@ -4406,6 +4427,53 @@ object SparkEntry {
                 ORDER BY cos DESC, neighbor_id) AS rk FROM scored)
          SELECT query_id, neighbor_id, neighbor_label, cos
          FROM ranked WHERE rk <= 5
-         ORDER BY query_id, neighbor_id"""
+         ORDER BY query_id, neighbor_id""",
+
+    // All-integer replay: floor-sqrt weights, integral division (//)
+    // for the share, the (2e4*alloc + n) // (2n) half-up epochs
+    // identity.
+    "q142_epoch_allocation" ->
+      """WITH base AS (SELECT lang,
+              CAST(len(list_filter(string_split_regex(trim(lower(text)),
+                '\s+'), x -> x <> '')) AS BIGINT) AS tok FROM documents),
+            c AS (SELECT lang, CAST(SUM(tok) AS BIGINT) AS n_tokens
+                  FROM base GROUP BY lang HAVING SUM(tok) > 0),
+            u AS (SELECT lang, n_tokens,
+                  CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT)
+                    AS weight_int FROM c),
+            z AS (SELECT CAST(SUM(weight_int) AS BIGINT) AS z FROM u),
+            a AS (SELECT lang, n_tokens, weight_int,
+                  (60000 * weight_int) // z AS share FROM u, z)
+         SELECT lang, n_tokens, weight_int,
+                LEAST(share, 2 * n_tokens) AS alloc_tokens,
+                (20000 * LEAST(share, 2 * n_tokens) + n_tokens)
+                  // (2 * n_tokens) AS epochs_e4,
+                (2 * n_tokens <= share) AS capped
+         FROM a ORDER BY lang""",
+
+    // q101's 4-gram shape; argmax per doc = ROW_NUMBER over
+    // (n_shared DESC, bench_id) — the same total order as the engine's
+    // max_by struct.
+    "q143_contamination_attribution" ->
+      """WITH base AS (SELECT doc_id,
+              list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                          x -> x <> '') AS toks FROM documents),
+            sh AS (SELECT doc_id, list_distinct(
+              CASE WHEN len(toks) < 4 THEN [array_to_string(toks, ' ')]
+                ELSE list_transform(range(len(toks) - 3),
+                  i -> toks[i+1] || ' ' || toks[i+2] || ' ' ||
+                       toks[i+3] || ' ' || toks[i+4]) END) AS ngs
+              FROM base),
+            corp AS (SELECT doc_id, unnest(ngs) AS ng FROM sh
+                     WHERE doc_id % 50 <> 0),
+            ben AS (SELECT doc_id AS bench_id, unnest(ngs) AS ng FROM sh
+                    WHERE doc_id % 50 = 0),
+            ov AS (SELECT c.doc_id, b.bench_id, COUNT(*) AS n_shared
+                   FROM corp c JOIN ben b USING (ng) GROUP BY 1, 2),
+            best AS (SELECT doc_id, bench_id, n_shared,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                     ORDER BY n_shared DESC, bench_id) AS rk FROM ov)
+         SELECT doc_id, bench_id, n_shared FROM best WHERE rk = 1
+         ORDER BY doc_id"""
   )
 }

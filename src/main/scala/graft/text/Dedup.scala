@@ -331,6 +331,38 @@ object Dedup {
           .as("contaminated_frac"))
   }
 
+  /** Contamination ATTRIBUTION — [[contamination]] names the
+    * contaminated documents; this names the benchmark ITEM responsible:
+    * for every corpus document sharing ≥ 1 word n-gram with the eval
+    * set, the benchmark document it overlaps most (ties → lowest bench
+    * id — a total order, so both engines pick the same winner). The
+    * report a decontamination run actually ships ("doc X collides with
+    * GSM8K item Y on 14 5-grams"), enabling per-item review instead of
+    * blanket drops.
+    *
+    * Scale shape: identical to [[contamination]] — the (bench_id,
+    * n-gram) side is eval-set-sized and broadcasts; the per-(doc,
+    * bench) counts and the per-doc argmax are two map-side-combined
+    * aggregates keyed by the 8-byte doc id (`hashed=true` for 8-byte
+    * n-gram keys at 100 TB).
+    */
+  def contaminationAttribution(corpus: DataFrame, benchmark: DataFrame,
+                               idCol: String, textCol: String, n: Int = 5,
+                               hashed: Boolean = false): DataFrame = {
+    val docNg = corpus.select(col(idCol),
+      explode(ngramSet(col(textCol), n, hashed)).as("ng"))
+    val benchNg = broadcast(benchmark
+      .select(col(idCol).as("bench_id"),
+        explode(ngramSet(col(textCol), n, hashed)).as("ng")))
+    docNg.join(benchNg, "ng")
+      .groupBy(col(idCol), col("bench_id")).agg(count(lit(1)).as("n_shared"))
+      .groupBy(col(idCol))
+      .agg(max_by(struct(col("bench_id"), col("n_shared")),
+        struct(col("n_shared"), -col("bench_id"))).as("m"))
+      .select(col(idCol), col("m.bench_id").as("bench_id"),
+        col("m.n_shared").as("n_shared"))
+  }
+
   /** Per-document n-gram NOVELTY against a reference corpus: the
     * fraction of each scored document's distinct word n-grams that do
     * NOT occur anywhere in `reference` — the memorization/novelty

@@ -207,6 +207,43 @@ object Sampling {
         .otherwise(lit("test")))
   }
 
+  /** Data-constrained EPOCH allocation (the repeat-data budgeting of
+    * Muennighoff et al. 2023, public method): split a total token
+    * budget across strata by sqrt-tempered weights, capping every
+    * stratum at `maxEpochs` passes over its unique tokens (repeating
+    * data beyond a few epochs stops buying loss). Emits one row per
+    * stratum: (stratum, n_tokens, weight_int, alloc_tokens, epochs_e4,
+    * capped).
+    *
+    * Every published number is INTEGER-exact at any scale: weights are
+    * ⌊√n_j⌋ (integer), the share is `(budget·w) div Σw` (integral
+    * division, never a double — the 2⁵³ hazard the r8 ADVICE flagged in
+    * floor(x/y)), the cap comparison is pure long arithmetic, and
+    * epochs_e4 = half-up-rounded 1e4·alloc/n via the
+    * `(2·10⁴·alloc + n) div 2n` integer identity. One map-side-combined
+    * aggregate + a broadcast scalar; output is #strata rows.
+    */
+  def epochAllocation(df: DataFrame, strataCol: String, tokensCol: String,
+                      budget: Long, maxEpochs: Int = 4): DataFrame = {
+    require(budget > 0 && maxEpochs > 0, "budget and maxEpochs must be positive")
+    val counts = df.groupBy(strataCol)
+      .agg(sum(col(tokensCol)).as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("weight_int",
+        floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
+    val z = counts.agg(sum("weight_int").as("z"))
+    counts.crossJoin(broadcast(z))
+      .withColumn("__share", expr(s"(CAST($budget AS BIGINT) * weight_int) div z"))
+      .withColumn("alloc_tokens",
+        least(col("__share"), lit(maxEpochs.toLong) * col("n_tokens")))
+      .select(col(strataCol), col("n_tokens"), col("weight_int"),
+        col("alloc_tokens"),
+        expr("(20000 * alloc_tokens + n_tokens) div (2 * n_tokens)")
+          .as("epochs_e4"),
+        (lit(maxEpochs.toLong) * col("n_tokens") <= col("__share"))
+          .as("capped"))
+  }
+
   /** Achieved sample sizes per stratum: (stratum, n_total, n_sampled) —
     * the audit view a mixing run publishes next to the sample itself.
     */
