@@ -38,6 +38,16 @@ object ScaleBench {
     "q65_knn_ivf" -> graft.SparkEntry.queries("q65_knn_ivf"),
     "q117_pack_sequences" -> graft.SparkEntry.queries("q117_pack_sequences"),
     "q130_balanced_shards" -> graft.SparkEntry.queries("q130_balanced_shards"),
+    // r9 flagships: semantic dedup (Lloyd + within-cluster pairs over a
+    // planted corpus that scales with the embeddings table), DSIR
+    // weighting, n-gram novelty (shuffled semi-join), CCNet terciles
+    // (histogram thresholds), hard negatives (fixed query set vs a
+    // 10x corpus).
+    "q135_semantic_dedup" -> graft.SparkEntry.queries("q135_semantic_dedup"),
+    "q137_dsir_weights" -> graft.SparkEntry.queries("q137_dsir_weights"),
+    "q139_ngram_novelty" -> graft.SparkEntry.queries("q139_ngram_novelty"),
+    "q140_perplexity_buckets" -> graft.SparkEntry.queries("q140_perplexity_buckets"),
+    "q141_hard_negatives" -> graft.SparkEntry.queries("q141_hard_negatives"),
     "dedup_e2e_full" -> ((s, d) => {
       val docs = graft.Tables.documents(s, d)
       val pairs = graft.text.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
