@@ -18,7 +18,18 @@ object GraftSession {
       // in Tables.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
   def local(cpus: String): SparkSession = {
-    val s = builder(s"local[$cpus]", cpus).getOrCreate()
+    val b = builder(s"local[$cpus]", cpus)
+    // A/B instrumentation hook (the SPARK_GRAFT_AGG_FALLBACK pattern,
+    // generalized): SPARK_GRAFT_EXTRA_CONF="k=v;k2=v2" applies
+    // context-init confs (locality wait, AQE toggles, ...) without a
+    // rebuild. Not used by any production path.
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(';').foreach { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) if k.nonEmpty => b.config(k.trim, v.trim)
+        case _ => ()
+      }
+    })
+    val s = b.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }

@@ -308,15 +308,22 @@ object Algorithms {
     val (withAdj, mapping) = triangleEdgeAdj(edges)
     // Edge (u,v) closes one triangle per common out-neighbor w: u and v
     // each gain |∩|, every w gains 1. Rows: 2|E| + #triangles — not the
-    // 3-per-wedge explode of the join formulation.
+    // 3-per-wedge explode of the join formulation. The three corner
+    // contributions come out of ONE pass over the intersect rows (a
+    // per-row concat + explode), NOT a 3-branch union: union branches
+    // each re-evaluate their (uncached) input subtree, so the union
+    // formulation executed the adjacency joins + intersect kernel
+    // THREE times per query (visible as triplicated SortMergeJoins in
+    // the final plan).
     val inter = withAdj.select(col("u"), col("v"),
       graft.functions.SortedIntersect.of(col("nu"), col("nv")).as("ws"))
-    val corners = inter.select(col("u").as("newid"),
-        size(col("ws")).cast("long").as("c"))
-      .union(inter.select(col("v").as("newid"),
-        size(col("ws")).cast("long").as("c")))
-      .union(inter.select(explode(col("ws")).as("newid"),
-        lit(1L).as("c")))
+    val c = size(col("ws")).cast("long")
+    val corners = inter.select(explode(concat(
+        array(struct(col("u").as("newid"), c.as("c")),
+              struct(col("v").as("newid"), c.as("c"))),
+        transform(col("ws"), w => struct(w.as("newid"), lit(1L).as("c")))))
+        .as("p"))
+      .select(col("p.newid").as("newid"), col("p.c").as("c"))
       .groupBy("newid").agg(sum("c").as("triangles"))
       .filter(col("triangles") > 0)
     corners.join(mapping, corners("newid") === mapping("newid"))

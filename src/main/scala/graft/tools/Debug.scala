@@ -58,6 +58,68 @@ object Debug {
             .foreach(_.unpersist(blocking = true))
           spark.catalog.clearCache(); System.gc()
         }
+      case "stages" =>
+        // args: stages <sfDir> <q> <repeats> — per-run stage table
+        // (tasks, wall ms, max task ms) to localize repeat-run
+        // parallelism collapses.
+        val sfDir = args(1)
+        val q = args(2)
+        val reps = args.drop(3).headOption.map(_.toInt).getOrElse(2)
+        val rows = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Int, Long, Long, Long, Long, Long)]()
+        @volatile var runIdx = 0
+        val taskDur = new java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.ConcurrentLinkedQueue[Long]]()
+        spark.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onTaskEnd(
+                te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+              taskDur.computeIfAbsent(te.stageId,
+                _ => new java.util.concurrent.ConcurrentLinkedQueue[Long]())
+                .add(te.taskInfo.duration)
+            }
+            override def onStageCompleted(
+                sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+              val si = sc.stageInfo
+              val wall = (for {a <- si.completionTime; b <- si.submissionTime}
+                yield a - b).getOrElse(-1L)
+              import scala.jdk.CollectionConverters._
+              val ds = Option(taskDur.get(si.stageId))
+                .map(_.asScala.toSeq.sorted).getOrElse(Seq.empty)
+              val tmax = if (ds.nonEmpty) ds.last else -1L
+              val tmed = if (ds.nonEmpty) ds(ds.size / 2) else -1L
+              rows.add((runIdx, si.numTasks, wall,
+                si.taskMetrics.executorRunTime, tmed, tmax,
+                si.taskMetrics.executorCpuTime / 1000000))
+              if (wall > 5000)
+                println(s"  SLOWSTAGE ${si.stageId} name=${si.name} " +
+                  s"details=${si.details.linesIterator.take(3).mkString(" | ")}")
+            }
+          })
+        val fn = graft.SparkEntry.queries(q)
+        for (i <- 1 to reps) {
+          runIdx = i
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = true))
+          spark.catalog.clearCache(); System.gc()
+          // SPARK_GRAFT_SETTLE_S: sleep before each run (C2-queue-drain
+          // A/B for the repeat-run slowdown investigation)
+          sys.env.get("SPARK_GRAFT_SETTLE_S").foreach(s =>
+            Thread.sleep(s.toLong * 1000))
+          val t0 = System.nanoTime()
+          val df = fn(spark, sfDir)
+          df.count()
+          println(f"RUN $i total ${(System.nanoTime() - t0) / 1e9}%.2f s")
+          val joins = df.queryExecution.executedPlan.toString.linesIterator
+            .filter(l => l.contains("Join") || l.contains("Exchange"))
+            .map(_.trim.takeWhile(_ != '(')).toSeq
+          println(s"  PLANJOINS ${joins.groupBy(identity).map { case (k, v) => s"${v.size}x $k" }.toSeq.sorted.mkString("; ")}")
+          Thread.sleep(500) // let stage-completed events drain
+          import scala.jdk.CollectionConverters._
+          rows.asScala.toSeq.filter(_._1 == i).sortBy(-_._3).take(8)
+            .foreach { case (_, n, wall, run, tmed, tmax, cpu) =>
+              println(f"  STAGE tasks=$n%5d wall=${wall}%6d ms sumTaskRun=${run}%7d ms" +
+                f" taskMed=${tmed}%6d ms taskMax=${tmax}%6d ms sumTaskCpu=${cpu}%7d ms")
+            }
+        }
       case other =>
         sys.error(s"unknown: $other")
     }
