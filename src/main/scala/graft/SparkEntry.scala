@@ -1907,21 +1907,10 @@ object SparkEntry {
     // then Lloyd-cluster (q65's quantizer) + within-cluster cosine
     // ≥ 0.8 → min-id keeper. The oracle replays the identical
     // quantizer CTEs and pair rule.
-    "q135_semantic_dedup" -> ((s, d) => {
-      val e0 = Tables.embeddings(s, d).select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double")).as("lv"))
-      val leaders = e0.filter(col("vec_id") % 4 === 0)
-        .select(col("vec_id").as("gid"), col("lv").as("glv"))
-      val planted = e0.select(col("vec_id"),
-          (col("vec_id") - col("vec_id") % 4).as("gid"))
-        .join(leaders, "gid")
-        .select(col("vec_id"),
-          transform(col("glv"),
-            x => x + (col("vec_id") % 4).cast("double") * lit(0.02d)).as("pv"))
-      Similarity.semanticDedup(planted, "vec_id", "pv",
+    "q135_semantic_dedup" -> ((s, d) =>
+      Similarity.semanticDedup(semanticDedupPlanted(s, d), "vec_id", "pv",
           threshold = 0.8, nlist = 8, lloydIterations = 2)
-        .orderBy("vid")
-    }),
+        .orderBy("vid")),
 
     // Gopher-style repetition quality signals + gate (one-pass compiled
     // kernel, exact integers; thresholds chosen to split this fixture —
@@ -1971,7 +1960,8 @@ object SparkEntry {
     // similar vectors with a DIFFERENT label, queries vec_id < 100.
     "q141_hard_negatives" -> ((s, d) =>
       Similarity.hardNegatives(Tables.embeddings(s, d),
-          "vec_id", "embedding", "label", k = 5, queryMaxId = 100L)
+          "vec_id", "embedding", "label", k = 5, queryMaxId = 100L,
+          broadcastCorpus = true) // fixture-sized corpus; default is false
         .orderBy("query_id", "neighbor_id")),
 
     // Data-constrained epoch allocation: 60k-token budget over the
@@ -1993,8 +1983,44 @@ object SparkEntry {
           docs.filter(col("doc_id") % 50 === 0),
           "doc_id", "text", n = 4, hashed = true)
         .orderBy("doc_id")
-    })
+    }),
+
+    // q135's planted corpus through the SCALE configuration of semantic
+    // dedup: nlist auto-derived as max(8, ceil(sqrt(N))) (SemDeDup's ~√N
+    // regime — the oracle re-derives it from its own COUNT(*)) and the
+    // blocked (cl, b1, b2) pair stage. Blocking only routes pairs, so
+    // the oracle replays the unblocked within-cluster rule verbatim.
+    "q144_semantic_dedup_auto" -> ((s, d) =>
+      Similarity.semanticDedup(semanticDedupPlanted(s, d), "vec_id", "pv",
+          threshold = 0.8, nlist = 0, lloydIterations = 2)
+        .orderBy("vid")),
+
+    // IVF-path hard-negative mining (the 100 TB variant of q141): the
+    // query probes its nprobe nearest coarse lists, candidates are
+    // label-filtered and re-ranked within the probed lists only. The
+    // oracle replays the quantizer + probe + filter exactly.
+    "q145_hard_negatives_ivf" -> ((s, d) =>
+      Similarity.hardNegativesIvf(Tables.embeddings(s, d),
+          "vec_id", "embedding", "label", k = 5, queryMaxId = 100L,
+          nlist = 8, nprobe = 4, lloydIterations = 2)
+        .orderBy("query_id", "neighbor_id"))
   )
+
+  /** q135/q144's shared fixture: the raw embeddings are near-random, so
+    * plant near-dup groups — each member of a 4-group is its leader's
+    * vector shifted by (vid % 4)·0.02 per dimension.
+    */
+  private def semanticDedupPlanted(s: SparkSession, d: String): DataFrame = {
+    val e0 = Tables.embeddings(s, d).select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("lv"))
+    val leaders = e0.filter(col("vec_id") % 4 === 0)
+      .select(col("vec_id").as("gid"), col("lv").as("glv"))
+    e0.select(col("vec_id"), (col("vec_id") - col("vec_id") % 4).as("gid"))
+      .join(leaders, "gid")
+      .select(col("vec_id"),
+        transform(col("glv"),
+          x => x + (col("vec_id") % 4).cast("double") * lit(0.02d)).as("pv"))
+  }
 
   private def b2l(b: Boolean): Long = if (b) 1L else 0L
 
@@ -4198,64 +4224,17 @@ object SparkEntry {
          FROM planted p LEFT JOIN comp c ON p.doc_id = c.id
          ORDER BY p.doc_id""",
 
-    // q65's Lloyd quantizer CTEs verbatim (seed vec_id % 8, 2 refine
+    // q65's Lloyd quantizer CTEs verbatim (seed vec_id % nlist, 2 refine
     // steps, 6-dp rounding at every cross-engine float boundary) over
     // the PLANTED vectors, then the SemDeDup pair rule: drop a vector
     // iff a lower-id cluster-mate has cosine >= 0.8.
-    "q135_semantic_dedup" -> {
-      val lloyd = 2
-      def sims(tag: String, cent: String) =
-        s""",
-            sims$tag AS (SELECT nv.vec_id, nv.v, c.cl,
-                     ROUND(list_sum(list_transform(range(1, len(nv.v) + 1),
-                       i -> nv.v[i] * c.cv[i])), 6) AS sim
-                     FROM nv CROSS JOIN $cent c)"""
-      def refine(j: Int) =
-        sims(j.toString, s"cent${j - 1}") +
-        s""",
-            asg$j AS (SELECT vec_id, v, cl FROM (
-                      SELECT vec_id, v, cl, ROW_NUMBER() OVER (
-                        PARTITION BY vec_id ORDER BY sim DESC, cl) AS rk
-                      FROM sims$j) WHERE rk = 1),
-            pe$j AS (SELECT a.cl, i AS pos, a.v[i] AS val
-                   FROM asg$j a, UNNEST(range(1, len(a.v) + 1)) AS t$j(i)),
-            cm$j AS (SELECT cl, pos, AVG(val) AS m FROM pe$j GROUP BY 1, 2),
-            cent$j AS (SELECT cl, list(ROUND(m, 6) ORDER BY pos) AS cv
-                     FROM cm$j GROUP BY cl)"""
-      s"""WITH e0 AS (SELECT vec_id,
-                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS lv
-                    FROM embeddings),
-            lead AS (SELECT vec_id AS gid, lv AS glv FROM e0
-                     WHERE vec_id % 4 = 0),
-            e AS (SELECT e0.vec_id,
-                  list_transform(l.glv, x -> x + (e0.vec_id % 4) * 0.02)
-                    AS v0
-                  FROM e0 JOIN lead l ON l.gid = e0.vec_id - e0.vec_id % 4),
-            nr AS (SELECT vec_id, v0,
-                   sqrt(list_sum(list_transform(v0, x -> x * x))) AS nm FROM e),
-            nv AS (SELECT vec_id, CASE WHEN nm > 0
-                     THEN list_transform(v0, x -> x / nm) ELSE v0 END AS v
-                   FROM nr),
-            pe0 AS (SELECT vec_id % 8 AS cl, i AS pos, v[i] AS val
-                   FROM nv, UNNEST(range(1, len(v) + 1)) AS t0(i)),
-            cm0 AS (SELECT cl, pos, AVG(val) AS m FROM pe0 GROUP BY 1, 2),
-            cent0 AS (SELECT cl, list(ROUND(m, 6) ORDER BY pos) AS cv
-                     FROM cm0 GROUP BY cl)${(1 to lloyd).map(refine).mkString}${sims("F", s"cent$lloyd")},
-            asg AS (SELECT vec_id, v, cl FROM (
-                      SELECT vec_id, v, cl, ROW_NUMBER() OVER (
-                        PARTITION BY vec_id ORDER BY sim DESC, cl) AS rk
-                      FROM simsF) WHERE rk = 1),
-            dropped AS (SELECT DISTINCT b.vec_id AS id2
-                      FROM asg a JOIN asg b
-                        ON a.cl = b.cl AND a.vec_id < b.vec_id
-                      WHERE ROUND(list_sum(list_transform(
-                        range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])), 6)
-                        >= 0.8)
-         SELECT a.vec_id AS vid, a.cl,
-                (dr.id2 IS NULL) AS is_kept
-         FROM asg a LEFT JOIN dropped dr ON dr.id2 = a.vec_id
-         ORDER BY vid"""
-    },
+    "q135_semantic_dedup" -> semanticDedupOracleSql(autoNlist = false),
+
+    // Same oracle with nlist DERIVED the way the engine derives it —
+    // GREATEST(8, CEIL(SQRT(COUNT(*)))) over the same normalized input.
+    // The engine's (cl, b1, b2) pair blocking only routes pairs, so the
+    // unblocked within-cluster rule here replays it exactly.
+    "q144_semantic_dedup_auto" -> semanticDedupOracleSql(autoNlist = true),
 
     // Same tokenization as q132 (lower → ws-split → drop empties); gram
     // counts grouped on the STRINGS, exactly the kernel's hash-map.
@@ -4474,6 +4453,137 @@ object SparkEntry {
                    ROW_NUMBER() OVER (PARTITION BY doc_id
                      ORDER BY n_shared DESC, bench_id) AS rk FROM ov)
          SELECT doc_id, bench_id, n_shared FROM best WHERE rk = 1
-         ORDER BY doc_id"""
+         ORDER BY doc_id""",
+
+    // q65's quantizer CTEs (seed vec_id % 8, 2 refine steps) with
+    // nprobe = 4 probes and the label anti-filter inside the candidate
+    // join — the exact IVF hard-negative path, replayed end-to-end.
+    "q145_hard_negatives_ivf" -> {
+      val lloyd = 2
+      def sims(tag: String, cent: String) =
+        s""",
+            sims$tag AS (SELECT nv.vec_id, nv.v, c.cl,
+                     ROUND(list_sum(list_transform(range(1, len(nv.v) + 1),
+                       i -> nv.v[i] * c.cv[i])), 6) AS sim
+                     FROM nv CROSS JOIN $cent c)"""
+      def refine(j: Int) =
+        sims(j.toString, s"cent${j - 1}") +
+        s""",
+            asg$j AS (SELECT vec_id, v, cl FROM (
+                      SELECT vec_id, v, cl, ROW_NUMBER() OVER (
+                        PARTITION BY vec_id ORDER BY sim DESC, cl) AS rk
+                      FROM sims$j) WHERE rk = 1),
+            pe$j AS (SELECT a.cl, i AS pos, a.v[i] AS val
+                   FROM asg$j a, UNNEST(range(1, len(a.v) + 1)) AS t$j(i)),
+            cm$j AS (SELECT cl, pos, AVG(val) AS m FROM pe$j GROUP BY 1, 2),
+            cent$j AS (SELECT cl, list(ROUND(m, 6) ORDER BY pos) AS cv
+                     FROM cm$j GROUP BY cl)"""
+      s"""WITH e AS (SELECT vec_id, label,
+                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v0
+                    FROM embeddings),
+            nr AS (SELECT vec_id, label, v0,
+                   sqrt(list_sum(list_transform(v0, x -> x * x))) AS nm FROM e),
+            nv AS (SELECT vec_id, label, CASE WHEN nm > 0
+                     THEN list_transform(v0, x -> x / nm) ELSE v0 END AS v
+                   FROM nr),
+            pe0 AS (SELECT vec_id % 8 AS cl, i AS pos, v[i] AS val
+                   FROM nv, UNNEST(range(1, len(v) + 1)) AS t0(i)),
+            cm0 AS (SELECT cl, pos, AVG(val) AS m FROM pe0 GROUP BY 1, 2),
+            cent0 AS (SELECT cl, list(ROUND(m, 6) ORDER BY pos) AS cv
+                     FROM cm0 GROUP BY cl)${(1 to lloyd).map(refine).mkString}${sims("F", s"cent$lloyd")},
+            asg AS (SELECT s.vec_id, s.v, s.cl, nv.label FROM (
+                      SELECT vec_id, v, cl, ROW_NUMBER() OVER (
+                        PARTITION BY vec_id ORDER BY sim DESC, cl) AS rk
+                      FROM simsF) s JOIN nv USING (vec_id) WHERE s.rk = 1),
+            probes AS (SELECT p.vec_id AS query_id, p.v AS qv, p.cl,
+                         nv.label AS ql FROM (
+                         SELECT vec_id, v, cl, ROW_NUMBER() OVER (
+                           PARTITION BY vec_id ORDER BY sim DESC, cl) AS pk
+                         FROM simsF WHERE vec_id < 100) p
+                       JOIN nv USING (vec_id) WHERE p.pk <= 4),
+            scored AS (SELECT p.query_id, g.vec_id AS neighbor_id,
+                       g.label AS neighbor_label,
+                       ROUND(list_sum(list_transform(range(1, len(p.qv) + 1),
+                         i -> p.qv[i] * g.v[i])), 6) AS cos
+                       FROM probes p JOIN asg g USING (cl)
+                       WHERE p.query_id <> g.vec_id AND p.ql <> g.label)
+         SELECT query_id, neighbor_id, neighbor_label, cos FROM (
+           SELECT query_id, neighbor_id, neighbor_label, cos,
+             ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+           FROM scored) WHERE rk <= 5
+         ORDER BY query_id, neighbor_id"""
+    }
   )
+
+  /** q135/q144's oracle: the planted fixture, the Lloyd quantizer CTEs
+    * (6-dp rounding at every cross-engine float boundary), then the
+    * SemDeDup pair rule — drop a vector iff a lower-id cluster-mate has
+    * cosine >= 0.8. `autoNlist = false` seeds `vec_id % 8` (q135);
+    * `autoNlist = true` re-derives the engine's
+    * GREATEST(8, CEIL(SQRT(COUNT(*)))) from the same normalized input
+    * (q144). The engine's (cl, b1, b2) pair blocking only ROUTES pairs,
+    * so the unblocked within-cluster join here replays it exactly.
+    */
+  private def semanticDedupOracleSql(autoNlist: Boolean): String = {
+    val lloyd = 2
+    val nlCte =
+      if (autoNlist)
+        """,
+            nlq AS (SELECT GREATEST(8,
+                      CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) AS n FROM nv)"""
+      else ""
+    val seed = if (autoNlist) "vec_id % (SELECT n FROM nlq)" else "vec_id % 8"
+    def sims(tag: String, cent: String) =
+      s""",
+            sims$tag AS (SELECT nv.vec_id, nv.v, c.cl,
+                     ROUND(list_sum(list_transform(range(1, len(nv.v) + 1),
+                       i -> nv.v[i] * c.cv[i])), 6) AS sim
+                     FROM nv CROSS JOIN $cent c)"""
+    def refine(j: Int) =
+      sims(j.toString, s"cent${j - 1}") +
+      s""",
+            asg$j AS (SELECT vec_id, v, cl FROM (
+                      SELECT vec_id, v, cl, ROW_NUMBER() OVER (
+                        PARTITION BY vec_id ORDER BY sim DESC, cl) AS rk
+                      FROM sims$j) WHERE rk = 1),
+            pe$j AS (SELECT a.cl, i AS pos, a.v[i] AS val
+                   FROM asg$j a, UNNEST(range(1, len(a.v) + 1)) AS t$j(i)),
+            cm$j AS (SELECT cl, pos, AVG(val) AS m FROM pe$j GROUP BY 1, 2),
+            cent$j AS (SELECT cl, list(ROUND(m, 6) ORDER BY pos) AS cv
+                     FROM cm$j GROUP BY cl)"""
+    s"""WITH e0 AS (SELECT vec_id,
+                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS lv
+                    FROM embeddings),
+            lead AS (SELECT vec_id AS gid, lv AS glv FROM e0
+                     WHERE vec_id % 4 = 0),
+            e AS (SELECT e0.vec_id,
+                  list_transform(l.glv, x -> x + (e0.vec_id % 4) * 0.02)
+                    AS v0
+                  FROM e0 JOIN lead l ON l.gid = e0.vec_id - e0.vec_id % 4),
+            nr AS (SELECT vec_id, v0,
+                   sqrt(list_sum(list_transform(v0, x -> x * x))) AS nm FROM e),
+            nv AS (SELECT vec_id, CASE WHEN nm > 0
+                     THEN list_transform(v0, x -> x / nm) ELSE v0 END AS v
+                   FROM nr)$nlCte,
+            pe0 AS (SELECT $seed AS cl, i AS pos, v[i] AS val
+                   FROM nv, UNNEST(range(1, len(v) + 1)) AS t0(i)),
+            cm0 AS (SELECT cl, pos, AVG(val) AS m FROM pe0 GROUP BY 1, 2),
+            cent0 AS (SELECT cl, list(ROUND(m, 6) ORDER BY pos) AS cv
+                     FROM cm0 GROUP BY cl)${(1 to lloyd).map(refine).mkString}${sims("F", s"cent$lloyd")},
+            asg AS (SELECT vec_id, v, cl FROM (
+                      SELECT vec_id, v, cl, ROW_NUMBER() OVER (
+                        PARTITION BY vec_id ORDER BY sim DESC, cl) AS rk
+                      FROM simsF) WHERE rk = 1),
+            dropped AS (SELECT DISTINCT b.vec_id AS id2
+                      FROM asg a JOIN asg b
+                        ON a.cl = b.cl AND a.vec_id < b.vec_id
+                      WHERE ROUND(list_sum(list_transform(
+                        range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])), 6)
+                        >= 0.8)
+         SELECT a.vec_id AS vid, a.cl,
+                (dr.id2 IS NULL) AS is_kept
+         FROM asg a LEFT JOIN dropped dr ON dr.id2 = a.vec_id
+         ORDER BY vid"""
+  }
 }

@@ -237,27 +237,71 @@ object Similarity {
     * per cluster. Deterministic end-to-end (id-seeded Lloyd, min-id
     * keeper, no RNG), so the DuckDB oracle replays it exactly.
     *
-    * Scale shape: Lloyd = broadcast cross-score + two bounded
-    * aggregations per step (nlist·dim cells); the pair stage shuffles
-    * (cl, vid, v) once on the cluster id; the drop set flows back as an
-    * 8-byte-key left join. Reference analog: the duplicate-edge /
+    * `nlist = 0` (the default) derives the cluster count from the
+    * corpus: `max(8, ⌈√N⌉)` — SemDeDup's ~√N regime, one count job.
+    * A FIXED nlist is the scale trap: cluster population grows with the
+    * corpus, so within-cluster pair work is N²/nlist and parallelism is
+    * capped at a constant. With nlist ≈ √N both shrink to ~N per
+    * cluster-sweep and the cluster count itself scales.
+    *
+    * The pair stage does NOT shuffle on the cluster id alone (an
+    * nlist-valued key would serialize degenerate corpora onto nlist
+    * tasks). Each member gets a deterministic secondary block
+    * `b = hash(vid) mod pairBlocks`, and the all-pairs self-join rides
+    * the triangular fragment-replicate scheme: a member in block p
+    * enters the LEFT side under keys (cl, p, q) for q ∈ [p, blocks) and
+    * the RIGHT side under (cl, q, p) for q ∈ [0, p], so every unordered
+    * pair meets on exactly one (cl, blockLo, blockHi) key. Shuffle
+    * volume is (pairBlocks+1)/2 × the member vectors per side — the
+    * price of pairBlocks·(pairBlocks+1)/2 tasks per cluster instead
+    * of 1; pair COUNT (the quadratic term that dominates at scale) is
+    * unchanged.
+    *
+    * Over-cap clusters (capBuckets) are excluded from the pair stage
+    * ENTIRELY — every member of a dropped cluster reports
+    * `is_kept = true` and only the drop counters record the skip. A
+    * corpus whose hottest cluster exceeds the cap therefore under-dedups
+    * rather than stalls; callers wanting partial coverage of a
+    * degenerate cluster should raise the cap or pre-split the cluster
+    * (oracles replay the uncapped rule, so keep fixtures below the cap).
+    *
+    * Scale shape: one count job (auto-nlist), Lloyd = broadcast
+    * cross-score + two bounded aggregations per step (nlist·dim cells);
+    * the pair stage shuffles on (cl, b1, b2) — key cardinality
+    * nlist·pairBlocks²/2, never a constant; the drop set flows back as
+    * an 8-byte-key left join. Reference analog: the duplicate-edge /
     * near-duplicate role of `preprocessing/conversions.hpp`'s
     * duplicate-edge filters, lifted to embedding space.
     */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
-                    threshold: Double = 0.8, nlist: Int = 8,
+                    threshold: Double = 0.8, nlist: Int = 0,
                     lloydIterations: Int = 2,
-                    maxClusterSize: Int = 100000): DataFrame = {
+                    maxClusterSize: Int = 100000,
+                    pairBlocks: Int = 16): DataFrame = {
+    require(pairBlocks >= 1, "pairBlocks must be >= 1")
     val nv = df.select(col(idCol).as("vid"),
       normalize(transform(col(vecCol), x => x.cast("double"))).as("v"))
-    val (_, best) = lloydAssign(nv, nlist, lloydIterations)
+    val k =
+      if (nlist > 0) nlist
+      else math.max(8, math.ceil(math.sqrt(nv.count().toDouble)).toInt)
+    val (_, best) = lloydAssign(nv, k, lloydIterations)
     val assigned = graft.text.Dedup.capBuckets(
       nv.join(best, "vid"), Seq("cl"), maxClusterSize)
-    val a = assigned.select(col("cl"), col("vid").as("id1"), col("v").as("v1"))
-    val b = assigned.select(col("cl"), col("vid").as("id2"), col("v").as("v2"))
-    val dropped = a.join(b, Seq("cl")).filter(col("id1") < col("id2"))
+      .withColumn("b",
+        pmod(xxhash64(col("vid")), lit(pairBlocks.toLong)).cast("int"))
+    val a = assigned.select(col("cl"), col("vid").as("id1"),
+      col("v").as("v1"), col("b").as("b1"),
+      explode(sequence(col("b"), lit(pairBlocks - 1))).as("b2"))
+    val b = assigned.select(col("cl"), col("vid").as("id2"),
+      col("v").as("v2"), col("b").as("b2"),
+      explode(sequence(lit(0), col("b"))).as("b1"))
+    // (b1 < b2) pairs meet once (low block left); same-block pairs meet
+    // in both orders → keep id1 < id2. The dropped vector of a matched
+    // pair is always its higher id (the SemDeDup min-id-keeper rule).
+    val dropped = a.join(b, Seq("cl", "b1", "b2"))
+      .filter(col("b1") < col("b2") || col("id1") < col("id2"))
       .filter(round(dot(col("v1"), col("v2")), 6) >= threshold)
-      .select(col("id2").as("vid")).distinct()
+      .select(greatest(col("id1"), col("id2")).as("vid")).distinct()
       .withColumn("__dropped", lit(true))
     nv.select("vid").join(best, "vid")
       .join(dropped, Seq("vid"), "left")
@@ -343,14 +387,14 @@ object Similarity {
     * This is the brute/oracle path ([[bruteForceTopK]]'s shape plus the
     * label anti-filter inside the join condition — negatives are
     * filtered BEFORE ranking, so the k hardest negatives survive even
-    * when same-label neighbors dominate the raw top-k). At 100 TB,
-    * overfetch from [[ivfTopK]] (k · a few, nprobe lists) and apply the
-    * same label filter + re-rank on its bounded candidate set — the
-    * corpus side here broadcasts only because the fixture is small.
+    * when same-label neighbors dominate the raw top-k). The scale path
+    * is [[hardNegativesIvf]]. `broadcastCorpus` defaults to FALSE —
+    * broadcasting the full corpus embedding table is a driver-OOM
+    * footgun at any real size; small fixtures opt in explicitly.
     */
   def hardNegatives(df: DataFrame, idCol: String, vecCol: String,
                     labelCol: String, k: Int, queryMaxId: Long,
-                    broadcastCorpus: Boolean = true): DataFrame = {
+                    broadcastCorpus: Boolean = false): DataFrame = {
     val base = df.select(col(idCol).as("vid"),
       normalize(transform(col(vecCol), x => x.cast("double"))).as("v"),
       col(labelCol).as("lbl"))
@@ -364,6 +408,52 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         col("nl").as("neighbor_label"),
         round(dot(col("qv"), col("cv")), 6).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k).drop("rk")
+  }
+
+  /** IVF-path hard-negative mining — the 100 TB variant of
+    * [[hardNegatives]]: train [[ivfTopK]]'s deterministic coarse
+    * quantizer, probe each query's `nprobe` nearest lists, and rank
+    * negatives only within the probed lists. The label anti-filter runs
+    * INSIDE the candidate join (before the top-k rank), so — unlike a
+    * fixed (k·c) overfetch then filter — no negative is lost to
+    * same-label neighbors crowding a truncated candidate list; the
+    * candidate set is already bounded by nprobe/nlist of the corpus.
+    *
+    * Scale shape: no corpus-sized broadcast anywhere — centroids
+    * (nlist·dim) broadcast, the corpus shuffles once on its list id,
+    * probed queries shuffle on the same key, and the per-query rank
+    * windows over ~nprobe·N/nlist candidate rows. Approximation is
+    * exactly IVF's: negatives outside the probed lists are unseen
+    * (recall rises with nprobe). Reference analog: the top-K output
+    * discipline of `toolkits/collaborative_filtering/rating.cpp:24-48`.
+    */
+  def hardNegativesIvf(df: DataFrame, idCol: String, vecCol: String,
+                       labelCol: String, k: Int, queryMaxId: Long,
+                       nlist: Int = 16, nprobe: Int = 4,
+                       lloydIterations: Int = 2): DataFrame = {
+    val base = df.select(col(idCol).as("vid"),
+      normalize(transform(col(vecCol), x => x.cast("double"))).as("v"),
+      col(labelCol).as("lbl"))
+    val (cents, best) = lloydAssign(base.select("vid", "v"), nlist,
+      lloydIterations)
+    val assigned = base.join(best, "vid")
+    val probes = base.filter(col("vid") < queryMaxId)
+      .crossJoin(broadcast(cents))
+      .select(col("vid").as("query_id"), col("v").as("qv"),
+        col("lbl").as("ql"), col("cl"),
+        round(dot(col("v"), col("cv")), 6).as("sim"))
+    val w0 = Window.partitionBy("query_id").orderBy(desc("sim"), asc("cl"))
+    val probed = probes.withColumn("pk", row_number().over(w0))
+      .filter(col("pk") <= nprobe).select("query_id", "qv", "ql", "cl")
+    val scored = probed.join(assigned.select(col("cl"),
+        col("vid").as("neighbor_id"), col("v").as("cv2"),
+        col("lbl").as("nl")), "cl")
+      .filter(col("query_id") =!= col("neighbor_id") && col("ql") =!= col("nl"))
+      .select(col("query_id"), col("neighbor_id"),
+        col("nl").as("neighbor_label"),
+        round(dot(col("qv"), col("cv2")), 6).as("cos"))
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k).drop("rk")
   }

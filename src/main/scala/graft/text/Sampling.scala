@@ -216,11 +216,16 @@ object Sampling {
     * capped).
     *
     * Every published number is INTEGER-exact at any scale: weights are
-    * ⌊√n_j⌋ (integer), the share is `(budget·w) div Σw` (integral
-    * division, never a double — the 2⁵³ hazard the r8 ADVICE flagged in
-    * floor(x/y)), the cap comparison is pure long arithmetic, and
-    * epochs_e4 = half-up-rounded 1e4·alloc/n via the
-    * `(2·10⁴·alloc + n) div 2n` integer identity. One map-side-combined
+    * ⌊√n_j⌋ (integer), the share is `(budget·w) div Σw` computed by the
+    * overflow-free decomposition `(budget div z)·w + ((budget mod z)·w)
+    * div z` — the naive product `budget·w` wraps int64 once budget·⌊√n⌋
+    * exceeds 2⁶³ (a 10¹³-token budget × a 3·10⁶ weight already does),
+    * while in the decomposition term 1 is ≤ budget (because w ≤ z) and
+    * term 2's product is < z·w ≤ z², safe whenever total corpus tokens
+    * fit int64. epochs_e4 = half-up-rounded 1e4·alloc/n via the same
+    * split: alloc = q·n + r → 10⁴·q + (2·10⁴·r + n) div 2n, exact while
+    * 2·10⁴·n_j fits int64 (n_j < 4.6·10¹⁴ tokens per stratum — ~20×
+    * a full 100 TB corpus in one stratum). One map-side-combined
     * aggregate + a broadcast scalar; output is #strata rows.
     */
   def epochAllocation(df: DataFrame, strataCol: String, tokensCol: String,
@@ -233,12 +238,15 @@ object Sampling {
         floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
     val z = counts.agg(sum("weight_int").as("z"))
     counts.crossJoin(broadcast(z))
-      .withColumn("__share", expr(s"(CAST($budget AS BIGINT) * weight_int) div z"))
+      .withColumn("__share", expr(
+        s"(CAST($budget AS BIGINT) div z) * weight_int" +
+          s" + ((CAST($budget AS BIGINT) % z) * weight_int) div z"))
       .withColumn("alloc_tokens",
         least(col("__share"), lit(maxEpochs.toLong) * col("n_tokens")))
       .select(col(strataCol), col("n_tokens"), col("weight_int"),
         col("alloc_tokens"),
-        expr("(20000 * alloc_tokens + n_tokens) div (2 * n_tokens)")
+        expr("10000 * (alloc_tokens div n_tokens)" +
+          " + (20000 * (alloc_tokens % n_tokens) + n_tokens) div (2 * n_tokens)")
           .as("epochs_e4"),
         (lit(maxEpochs.toLong) * col("n_tokens") <= col("__share"))
           .as("capped"))

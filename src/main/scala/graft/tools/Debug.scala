@@ -120,6 +120,66 @@ object Debug {
                 f" taskMed=${tmed}%6d ms taskMax=${tmax}%6d ms sumTaskCpu=${cpu}%7d ms")
             }
         }
+      case "codegen" =>
+        // Does a trainer superstep's generated source repeat across
+        // iterations (Janino cache hit → C2 compiles once) or is every
+        // iteration a fresh class (the 10–50 s/run C2 recompile)?
+        // Prints per-run Janino compile counts + JVM JIT deltas for a
+        // tiny FM train, then diffs the whole-stage codegen SOURCE of
+        // two consecutive loop iterations of the same shape.
+        import java.lang.management.ManagementFactory
+        import org.apache.spark.metrics.source.CodegenMetrics
+        def jitMs: Long = Option(ManagementFactory.getCompilationMXBean)
+          .map(_.getTotalCompilationTime).getOrElse(0L)
+        def janinoN: Long = CodegenMetrics.METRIC_COMPILATION_TIME.getCount
+        def janinoMs: Long = CodegenMetrics.METRIC_COMPILATION_TIME.getSnapshot
+          .getValues.sum
+        val rows = (1L to 40L).flatMap(u => (100L to 139L).map(i =>
+          (u, i, ((u * i) % 7).toDouble)))
+        val ratings = rows.toDF("user", "item", "rating")
+        for (run <- 1 to 2) {
+          val (j0, n0, t0) = (jitMs, janinoN, System.nanoTime())
+          val ex = graft.cf.Fm.featuresFromRatings(ratings, Seq("user", "item"))
+          graft.cf.Fm.train(ex, rank = 4, iterations = 4)
+          println(f"CODEGEN_RUN $run wall=${(System.nanoTime() - t0) / 1e9}%.2f s" +
+            s" janinoCompiles+${janinoN - n0} jit+${jitMs - j0} ms" +
+            s" janinoTotal=${janinoMs} ms")
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = true))
+          spark.catalog.clearCache()
+        }
+        // Now the source diff: two structurally identical single
+        // supersteps built the way the loop builds them (fresh Column
+        // trees per iteration), compared as generated source text.
+        import org.apache.spark.sql.execution.debug._
+        def superstep(w: org.apache.spark.sql.DataFrame) = {
+          val flat = graft.cf.Fm.featuresFromRatings(ratings, Seq("user", "item"))
+            .select(col("example_id"), col("y"),
+              explode(col("features")).as("feature"))
+          val joined = flat.join(w, "feature")
+          joined.groupBy("example_id").agg(
+            first("y").as("y"),
+            graft.functions.VecSum.of(col("v"), 4).as("S"),
+            sum("w").as("wsum"))
+        }
+        val w0 = ratings.select(xxhash64(lit(0), col("user")).as("feature"))
+          .distinct()
+          .select(col("feature"),
+            transform(sequence(lit(0), lit(3)),
+              k => k.cast("double") / 10).as("v"), lit(0.0d).as("w"))
+        val s1 = codegenStringSeq(superstep(w0).queryExecution.executedPlan)
+        val s2 = codegenStringSeq(superstep(w0).queryExecution.executedPlan)
+        println(s"CODEGEN_UNITS run1=${s1.size} run2=${s2.size}")
+        s1.zip(s2).zipWithIndex.foreach { case (((_, c1, _), (_, c2, _)), i) =>
+          if (c1 == c2) println(s"UNIT $i IDENTICAL (${c1.length} chars)")
+          else {
+            val d = c1.linesIterator.zip(c2.linesIterator).zipWithIndex
+              .filter { case ((a, b), _) => a != b }.take(8).toSeq
+            println(s"UNIT $i DIFFERS (${d.size}+ lines):")
+            d.foreach { case ((a, b), ln) =>
+              println(s"  L$ln\n   1| $a\n   2| $b") }
+          }
+        }
       case other =>
         sys.error(s"unknown: $other")
     }

@@ -123,6 +123,31 @@ class PlanShapeSpec extends SparkSpec {
       "every assignment pass must cross-score against BROADCAST centroids")
   }
 
+  test("semanticDedup: pair stage keys on (cl, b1, b2), never the nlist-valued cl alone") {
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val vecs = (0 until 16).map { i =>
+      (i.toLong, Array.tabulate(8)(d => (i * 8 + d).toFloat / 100f))
+    }.toDF("id", "v")
+    val plan = graft.similarity.Similarity.semanticDedup(vecs, "id", "v",
+      threshold = 0.8, nlist = 4, lloydIterations = 1, pairBlocks = 16)
+    val joins = plan.queryExecution.sparkPlan
+      .collect { case j: BaseJoinExec => j }
+    // the all-pairs self-join must carry the secondary blocks in its
+    // equi-keys — partitioning cardinality nlist·blocks²/2, so a
+    // degenerate corpus never serializes onto nlist tasks
+    assert(joins.exists { j =>
+      val names = j.leftKeys.flatMap(_.references.map(_.name)).toSet
+      Set("cl", "b1", "b2").subsetOf(names)
+    }, s"no join keyed on (cl, b1, b2); joins=\n${joins.mkString("\n")}")
+    // and no INNER join keys on the bare cluster id alone (the tiny
+    // left-anti probe against capBuckets' oversized-key frame may)
+    import org.apache.spark.sql.catalyst.plans.Inner
+    assert(!joins.exists { j =>
+      val names = j.leftKeys.flatMap(_.references.map(_.name)).toSet
+      j.joinType == Inner && names == Set("cl")
+    }, "an inner join shuffles on the nlist-valued cl alone")
+  }
+
   test("perplexityBuckets: threshold table broadcasts; the per-stratum window runs over the histogram, not the data") {
     import org.apache.spark.sql.execution.window.WindowExec
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec

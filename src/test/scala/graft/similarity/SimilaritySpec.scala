@@ -101,6 +101,62 @@ class SimilaritySpec extends SparkSpec {
     assert(!pairs.exists(p => p._2 == 3L))
   }
 
+  test("semanticDedup: blocked pair stage = unblocked rule; auto-nlist ~ sqrt(N)") {
+    val rng = new scala.util.Random(23)
+    // 16 groups of 4 near-identical vectors on ORTHOGONAL axes of a
+    // 16-dim space: in-group cosine ~1, cross-group ~0 — so the drop
+    // rule fires exactly within groups, whatever Lloyd clusters them to
+    val vecs = (0 until 64).map { i =>
+      val g = i / 4
+      val base = Array.tabulate(16)(d => if (d == g) 1.0f else 0.0f)
+      (i.toLong, base.map(x => x + rng.nextFloat() * 0.01f))
+    }.toDF("id", "v")
+    def run(blocks: Int, nl: Int) =
+      Similarity.semanticDedup(vecs, "id", "v", threshold = 0.9,
+          nlist = nl, lloydIterations = 1, pairBlocks = blocks)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+        .sortBy(_._1)
+    // blocking must only ROUTE pairs — identical output at any pairBlocks
+    val unblocked = run(1, 4)
+    assert(run(16, 4).sameElements(unblocked))
+    assert(run(3, 4).sameElements(unblocked))
+    // auto-nlist: ceil(sqrt(64)) = 8 seed clusters; groups are internal
+    // near-dups, so each 4-group keeps exactly its min-id member when
+    // the group lands in one cluster (near-identical vectors always do)
+    val auto = run(16, 0)
+    val kept = auto.filter(_._3).map(_._1)
+    assert(kept.sameElements((0 until 64 by 4).map(_.toLong)),
+      s"each planted 4-group must keep only its leader, kept=${kept.toSeq}")
+    assert(auto.map(_._2).distinct.length <= 8)
+  }
+
+  test("hardNegativesIvf: equals brute path at full probe; respects labels at partial probe") {
+    val rng = new scala.util.Random(31)
+    val bases = Array(
+      Array(1.0f, 0.0f, 0.0f, 0.0f), Array(0.0f, 1.0f, 0.0f, 0.0f),
+      Array(0.0f, 0.0f, 1.0f, 0.0f), Array(0.0f, 0.0f, 0.0f, 1.0f))
+    val vecs = (0 until 80).map { i =>
+      (i.toLong, bases(i % 4).map(x => x + rng.nextFloat() * 0.05f),
+        s"label${i % 3}")
+    }.toDF("id", "v", "lbl")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+    // nprobe = nlist → the candidate set is the full corpus, so the IVF
+    // path must EQUAL the brute path row for row
+    val brute = rows(Similarity.hardNegatives(vecs, "id", "v", "lbl",
+      k = 3, queryMaxId = 10L, broadcastCorpus = true))
+    val full = rows(Similarity.hardNegativesIvf(vecs, "id", "v", "lbl",
+      k = 3, queryMaxId = 10L, nlist = 4, nprobe = 4, lloydIterations = 2))
+    assert(full.sameElements(brute))
+    // partial probe: k results per query, never the query's own label
+    val part = Similarity.hardNegativesIvf(vecs, "id", "v", "lbl",
+      k = 3, queryMaxId = 10L, nlist = 4, nprobe = 2, lloydIterations = 2)
+    val got = rows(part)
+    assert(got.groupBy(_._1).forall(_._2.length == 3))
+    got.foreach { case (q, _, nl, _) => assert(nl != s"label${q % 3}") }
+  }
+
   test("pqTopK retrieves same-cluster neighbors and is deterministic") {
     val rng = new scala.util.Random(11)
     // two tight clusters on orthogonal axes of an 8-dim space
