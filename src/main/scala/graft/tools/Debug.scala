@@ -108,6 +108,29 @@ object Debug {
           val df = fn(spark, sfDir)
           df.count()
           println(f"RUN $i total ${(System.nanoTime() - t0) / 1e9}%.2f s")
+          // Per-aggregate SQL metrics for THIS run's plan instance:
+          // ObjectHashAggregate publishes "number of sort fallback
+          // tasks" — the direct confirm/refute for the repeat-run
+          // sort-fallback hypothesis (fallback serializes every
+          // buffer through the sorter: a known ~50x CPU cliff).
+          import org.apache.spark.sql.execution.aggregate.{BaseAggregateExec, ObjectHashAggregateExec}
+          import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+          def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
+            p match {
+              case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+              case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+                walk(q.plan)
+              case agg: BaseAggregateExec =>
+                val ms = agg.metrics.map { case (k, m) =>
+                    s"$k=${m.value}" }.toSeq.sorted.mkString(" ")
+                println(s"  AGGMETRICS ${agg.getClass.getSimpleName} " +
+                  s"groups=${agg.groupingExpressions.map(_.name).mkString(",")} $ms")
+              case _ => ()
+            }
+            p.children.foreach(walk)
+            p.subqueries.foreach(walk)
+          }
+          walk(df.queryExecution.executedPlan)
           val joins = df.queryExecution.executedPlan.toString.linesIterator
             .filter(l => l.contains("Join") || l.contains("Exchange"))
             .map(_.trim.takeWhile(_ != '(')).toSeq
