@@ -2003,8 +2003,39 @@ object SparkEntry {
       Similarity.hardNegativesIvf(Tables.embeddings(s, d),
           "vec_id", "embedding", "label", k = 5, queryMaxId = 100L,
           nlist = 8, nprobe = 4, lloydIterations = 2)
-        .orderBy("query_id", "neighbor_id"))
+        .orderBy("query_id", "neighbor_id")),
+
+    // Efraimidis–Spirakis weighted sampling without replacement over
+    // per-doc token counts — u from the affine-permuted id, so the
+    // oracle draws the identical sample.
+    "q146_priority_sample" -> ((s, d) =>
+      graft.text.Sampling.prioritySample(
+          Tables.documents(s, d).select(col("doc_id"),
+            TextAnalysis.tokenCount(col("text")).cast("long").as("tok")),
+          "doc_id", "tok", k = 50)
+        .orderBy(desc("priority"), col("doc_id"))),
+
+    // Content-defined chunking dedup: boundaries from per-token hashes,
+    // so a shared passage dedups at ANY offset. A fixed 24-token tail
+    // is planted on doc_id % 5 == 0 (identically in the oracle): its
+    // interior chunks dedup across the 100 planted docs while each
+    // doc's seam chunk stays unique — the CDC resynchronization
+    // property itself, exercised end-to-end.
+    "q147_cdc_chunks" -> ((s, d) =>
+      Dedup.cdcChunkDuplication(
+          Tables.documents(s, d).select(col("doc_id"),
+            when(col("doc_id") % 5 === 0,
+              concat(col("text"), lit(" " + cdcSharedTail)))
+              .otherwise(col("text")).as("text2")),
+          "doc_id", "text2", cutModulus = 8, hashed = true)
+        .orderBy("doc_id"))
   )
+
+  /** q147's planted shared passage (24 lowercase ASCII tokens). */
+  private val cdcSharedTail: String =
+    "boilerplate license terms apply to this shared trailing passage " +
+      "which repeats verbatim across many documents in the corpus and " +
+      "therefore chunks identically after the first content cut"
 
   /** q135/q144's shared fixture: the raw embeddings are near-random, so
     * plant near-dup groups — each member of a 4-group is its leader's
@@ -4513,7 +4544,57 @@ object SparkEntry {
              PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
            FROM scored) WHERE rk <= 5
          ORDER BY query_id, neighbor_id"""
-    }
+    },
+
+    // A-ES replay: u = (shuffledId(id) mod 2^20 + 1) / (2^20 + 1),
+    // key = round(ln(u)/w, 8), top-50 by (key DESC, id).
+    "q146_priority_sample" ->
+      """WITH base AS (SELECT doc_id,
+              CAST(len(list_filter(string_split_regex(trim(lower(text)),
+                '\s+'), x -> x <> '')) AS BIGINT) AS w FROM documents),
+            p AS (SELECT doc_id, w,
+              ROUND(ln((((doc_id * 1103515245) % 2147483647) % 1048576
+                + 1.0) / 1048577.0) / w, 8) AS priority
+              FROM base WHERE w > 0)
+         SELECT doc_id, w, priority FROM p
+         ORDER BY priority DESC, doc_id LIMIT 50""",
+
+    // CDC replay: same planted tail, same per-token base-31 polynomial
+    // hash (q137's SQL form), cut after h % 8 = 0, chunk = running cut
+    // count, then q102's distinct-chunk dup accounting on the STRINGS
+    // (the engine shuffles xxhash64 keys; counts agree absent 64-bit
+    // collisions, the q139-documented hashed-path discipline).
+    "q147_cdc_chunks" ->
+      """WITH f AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0
+              THEN text || ' boilerplate license terms apply to this shared trailing passage which repeats verbatim across many documents in the corpus and therefore chunks identically after the first content cut'
+              ELSE text END AS t2 FROM documents),
+            base AS (SELECT doc_id,
+              list_filter(string_split_regex(trim(lower(t2)), '\s+'),
+                x -> x <> '') AS toks FROM f WHERE len(trim(t2)) > 0),
+            tok AS (SELECT doc_id, i AS pos, toks[i+1] AS tok
+                    FROM base, UNNEST(range(len(toks))) t(i)),
+            hh AS (SELECT doc_id, pos, tok,
+              list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(string_split(tok, ''),
+                  c -> CAST(ascii(c) AS BIGINT))),
+                (acc, x) -> (acc * 31 + x) % 2147483647) AS h FROM tok),
+            ck AS (SELECT doc_id, pos, tok,
+              COALESCE(SUM(CASE WHEN h % 8 = 0 THEN 1 ELSE 0 END) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS ch FROM hh),
+            cs AS (SELECT doc_id, ch,
+              string_agg(tok, ' ' ORDER BY pos) AS chunk
+              FROM ck GROUP BY 1, 2),
+            occ AS (SELECT DISTINCT doc_id, chunk FROM cs),
+            bc AS (SELECT chunk, COUNT(*) AS n_docs FROM occ GROUP BY 1)
+         SELECT o.doc_id, COUNT(*) AS n_chunks,
+                CAST(SUM(CASE WHEN bc.n_docs > 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_dup_chunks,
+                CAST(SUM(CASE WHEN bc.n_docs > 1 THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*) AS dup_frac
+         FROM occ o JOIN bc USING (chunk)
+         GROUP BY o.doc_id ORDER BY o.doc_id"""
   )
 
   /** q135/q144's oracle: the planted fixture, the Lloyd quantizer CTEs

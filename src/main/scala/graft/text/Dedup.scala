@@ -561,6 +561,68 @@ object Dedup {
         (col("n_dup_chunks").cast("double") / col("n_chunks")).as("dup_frac"))
   }
 
+  /** CONTENT-DEFINED chunking + chunk-level dedup (the rsync/LBFS
+    * boundary principle — Muthitacharoen et al., "A low-bandwidth
+    * network file system", SOSP 2001 — lifted to token streams): a
+    * chunk boundary falls AFTER any token whose portable polynomial
+    * hash ≡ 0 (mod `cutModulus`), so boundaries move WITH the content,
+    * not with byte offsets. Where [[chunkDuplication]]'s fixed aligned
+    * blocks miss a duplicated passage the moment an insertion shifts
+    * its alignment, CDC re-synchronizes within one chunk: an edit
+    * perturbs only the chunks touching the edit (the seam), and every
+    * chunk after the next cut point is bit-identical again — the
+    * property the `CdcSpec` insertion-locality test pins. Expected
+    * chunk length = cutModulus tokens.
+    *
+    * Emits per doc: (id, n_chunks, n_dup_chunks, dup_frac) over the
+    * doc's DISTINCT chunk set, a dup being a chunk shared with ≥ 1
+    * other document — same report shape as [[chunkDuplication]].
+    *
+    * Scale shape: the cut decision is per-token (the compiled
+    * [[graft.functions.PolyHashTokens]] kernel — deliberately NOT a
+    * windowed rolling hash: per-token cuts are exactly as
+    * content-defined and replay in ANSI SQL); the chunk index is a
+    * running sum windowed per document (tasks bounded by tokens/doc,
+    * never corpus size); chunk grouping shuffles 8-byte xxhash64 keys
+    * when `hashed` (the 100 TB path — the oracle's string path is
+    * bit-exact on fixtures). No unbounded buffers: a boilerplate chunk
+    * shared by millions of docs is one count row.
+    */
+  def cdcChunkDuplication(docs: DataFrame, idCol: String, textCol: String,
+                          cutModulus: Int = 16,
+                          hashed: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(cutModulus >= 2, "cutModulus must be >= 2")
+    val toks = transform(TextAnalysis.wsTokens(col(textCol)), t => lower(t))
+    val tokRows = docs
+      .select(col(idCol), toks.as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col(idCol), posexplode(zip_with(col("toks"),
+        graft.functions.PolyHashTokens.of(col("toks")),
+        (t, h) => struct(t.as("tok"), h.as("h")))))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cut = when(pmod(col("col.h"), lit(cutModulus.toLong)) === 0, 1L)
+      .otherwise(0L)
+    val assigned = tokRows.select(col(idCol), col("pos"),
+      col("col.tok").as("tok"),
+      coalesce(sum(cut).over(w), lit(0L)).as("ck"))
+    val chunks = assigned.groupBy(col(idCol), col("ck"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("tok")))),
+        s => s.getField("tok")), " ").as("chunk0"))
+    val occ = chunks.select(col(idCol),
+        (if (hashed) xxhash64(col("chunk0")) else col("chunk0")).as("chunk"))
+      .distinct()
+    val byChunk = occ.groupBy("chunk").agg(count(lit(1)).as("n_docs"))
+    occ.join(byChunk, "chunk")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .select(col(idCol), col("n_chunks"), col("n_dup_chunks"),
+        (col("n_dup_chunks").cast("double") / col("n_chunks")).as("dup_frac"))
+  }
+
   /** Sliding-window duplicated-span detection — exact substring dedup in
     * the shape of "Deduplicating Training Data Makes Language Models
     * Better" (Lee et al. 2022): every `w`-token window of every document

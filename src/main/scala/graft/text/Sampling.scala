@@ -252,6 +252,38 @@ object Sampling {
           .as("capped"))
   }
 
+  /** Weighted sampling WITHOUT replacement (the Efraimidis–Spirakis
+    * A-ES scheme, public method: "Weighted random sampling with a
+    * reservoir", IPL 2006): each row draws u_i ∈ (0,1) and keeps key
+    * k_i = u_i^(1/w_i); the k largest keys are a weight-proportional
+    * sample without replacement. Here u_i is DERIVED, not random —
+    * the affine-permuted id ([[Packing.shuffledId]]) scaled into (0,1)
+    * — so re-runs, retries, and the DuckDB oracle draw identical
+    * samples (the replayable-random discipline of q32/q59/q89).
+    *
+    * Ranking uses ln(u)/w (monotone in u^(1/w)), rounded to 8 dp
+    * BEFORE the top-k on both engines so the order never rides a last
+    * ulp of libm; ties break on the id. Emits the k winners as
+    * (id, w, priority).
+    *
+    * Scale shape: pure projection + global top-k — Spark plans
+    * orderBy+limit as TakeOrderedAndProject (per-partition top-k, a
+    * k·partitions driver merge), so nothing data-sized ever sorts or
+    * shuffles; the reference analog is the top-K output discipline of
+    * `toolkits/collaborative_filtering/rating.cpp:24-48`.
+    */
+  def prioritySample(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int, uDenom: Long = 1048576L): DataFrame = {
+    require(k > 0 && uDenom > 1, "k and uDenom must be positive")
+    val u = (pmod(Packing.shuffledId(col(idCol).cast("long")), lit(uDenom))
+      .cast("double") + lit(1.0d)) / lit((uDenom + 1).toDouble)
+    df.filter(col(weightCol) > 0)
+      .select(col(idCol), col(weightCol).cast("long").as("w"),
+        round(log(u) / col(weightCol).cast("double"), 8).as("priority"))
+      .orderBy(desc("priority"), col(idCol))
+      .limit(k)
+  }
+
   /** Achieved sample sizes per stratum: (stratum, n_total, n_sampled) —
     * the audit view a mixing run publishes next to the sample itself.
     */

@@ -155,4 +155,32 @@ class SpanShardSpec extends SparkSpec {
       .orderBy("shard").as[(Long, Long, Long, Double)].collect()
     assert(m.toSeq == Seq((0L, 2L, 20L, 1.0), (1L, 2L, 20L, 1.0)))
   }
+
+  test("prioritySample: replayable, weight-monotone in expectation, top-k planned as TakeOrdered") {
+    val docs = (0L until 400L).map(i => (i, if (i < 200) 1L else 50L))
+      .toDF("doc_id", "w")
+    val top = Sampling.prioritySample(docs, "doc_id", "w", k = 40)
+    // the A-ES key for a local replay: same permuted-id u, same rounding
+    val got = top.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getDouble(2)))
+    def key(id: Long, w: Long): Double = {
+      val u = ((id * 1103515245L) % 2147483647L % 1048576L + 1.0) / 1048577.0
+      BigDecimal(math.log(u) / w).setScale(8,
+        BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expect = (0L until 400L).map(i => (i, if (i < 200) 1L else 50L))
+      .map { case (i, w) => (i, w, key(i, w)) }
+      .sortBy { case (i, _, p) => (-p, i) }.take(40)
+    assert(got.toSeq == expect,
+      s"sample must replay exactly; got head ${got.take(3).toSeq}")
+    // weight 50 rows are ~50x likelier: expect a heavy majority
+    assert(got.count(_._2 == 50L) >= 30)
+    // deterministic rerun
+    assert(top.collect().map(_.toSeq).toSeq == got.map(t =>
+      Seq(t._1, t._2, t._3)).toSeq)
+    // the plan must be a bounded top-k, never a global sort
+    val plan = top.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject, got:\n$plan")
+  }
 }
