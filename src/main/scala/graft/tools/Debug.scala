@@ -203,6 +203,118 @@ object Debug {
               println(s"  L$ln\n   1| $a\n   2| $b") }
           }
         }
+      case "tri" =>
+        // Bisect the repeat-run anomaly: run the triangle pipeline in
+        // pieces, repeated. args: tri <sfDir> <piece> <reps> where
+        // piece ∈ adj (triangleEdgeAdj via totalTriangles' scalar agg) |
+        // counts (full triangleCounts incl. corner explode + mapping
+        // join).
+        val sfDir = args(1)
+        val piece = args(2)
+        val reps = args.drop(3).headOption.map(_.toInt).getOrElse(3)
+        val edges = spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .select(col("l_suppkey").as("src"),
+            (col("l_partkey") % 100).as("dst"))
+          .filter(col("src") =!= col("dst")).distinct()
+          .transform(graft.graph.Iterate.ckpt)
+        edges.count()
+        val keep = spark.sparkContext.getPersistentRDDs.keySet
+        for (i <- 1 to reps) {
+          spark.sparkContext.getPersistentRDDs
+            .filterNot { case (id, _) => keep.contains(id) }
+            .values.foreach(_.unpersist(blocking = true))
+          spark.catalog.clearCache(); System.gc()
+          val t0 = System.nanoTime()
+          // inline replica of triangleEdgeAdj for the sub-piece variants
+          def pieces(): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+            val und = edges.select(least(col("src"), col("dst")).as("src"),
+                greatest(col("src"), col("dst")).as("dst")).distinct()
+              .transform(graft.graph.Iterate.ckpt)
+            val (relabeled, mapping) = graft.graph.Generators.orderByDegree(und)
+            val oriented = relabeled.select(
+                least(col("src"), col("dst")).as("u"),
+                greatest(col("src"), col("dst")).as("v"))
+              .transform(graft.graph.Iterate.ckpt)
+            val adj = oriented.groupBy(col("u").as("w"))
+              .agg(sort_array(collect_list(col("v"))).as("nbrs"))
+              .transform(graft.graph.Iterate.ckpt)
+            val withAdj = oriented
+              .join(adj.select(col("w").as("u"), col("nbrs").as("nu")), "u")
+              .join(adj.select(col("w").as("v"), col("nbrs").as("nv")),
+                Seq("v"), "left")
+              .select(col("u"), col("v"), col("nu"),
+                coalesce(col("nv"), array().cast("array<bigint>")).as("nv"))
+            (withAdj, mapping)
+          }
+          val out = piece match {
+            case "adj" => graft.graph.Algorithms.totalTriangles(edges)
+            case "counts" => graft.graph.Algorithms.triangleCounts(edges)
+              .agg(coalesce(org.apache.spark.sql.functions.sum("triangles"),
+                lit(0L))).first().getLong(0)
+            case "corners" => // corner explode + groupBy, NO mapping join
+              val (withAdj, _) = pieces()
+              val inter = withAdj.select(col("u"), col("v"),
+                graft.functions.SortedIntersect.of(col("nu"), col("nv")).as("ws"))
+              val c = size(col("ws")).cast("long")
+              inter.select(explode(concat(
+                  array(struct(col("u").as("newid"), c.as("c")),
+                        struct(col("v").as("newid"), c.as("c"))),
+                  transform(col("ws"), w => struct(w.as("newid"), lit(1L).as("c")))))
+                  .as("p"))
+                .select(col("p.newid").as("newid"), col("p.c").as("c"))
+                .groupBy("newid")
+                .agg(org.apache.spark.sql.functions.sum("c").as("t"))
+                .agg(coalesce(org.apache.spark.sql.functions.sum("t"), lit(0L)))
+                .first().getLong(0)
+            case "corners2" => // long-array posexplode variant (no structs)
+              val (withAdj, _) = pieces()
+              val inter = withAdj.select(col("u"), col("v"),
+                graft.functions.SortedIntersect.of(col("nu"), col("nv")).as("ws"))
+              val c = size(col("ws")).cast("long")
+              inter.select(c.as("c"),
+                  posexplode(concat(array(col("u"), col("v")), col("ws"))))
+                .select(col("col").as("newid"),
+                  when(col("pos") < 2, col("c")).otherwise(lit(1L)).as("w"))
+                .groupBy("newid")
+                .agg(org.apache.spark.sql.functions.sum("w").as("t"))
+                .agg(coalesce(org.apache.spark.sql.functions.sum("t"), lit(0L)))
+                .first().getLong(0)
+            case "mapjoin" => // intersect counts joined to mapping, no explode
+              val (withAdj, mapping) = pieces()
+              val perU = withAdj.select(col("u").as("newid"),
+                graft.functions.SortedIntersect.countOf(col("nu"), col("nv")).as("c"))
+                .groupBy("newid")
+                .agg(org.apache.spark.sql.functions.sum("c").as("t"))
+              perU.join(mapping, "newid")
+                .agg(coalesce(org.apache.spark.sql.functions.sum("t"), lit(0L)))
+                .first().getLong(0)
+          }
+          println(f"TRI $piece RUN $i ${(System.nanoTime() - t0) / 1e9}%.2f s out=$out")
+        }
+      case "obd" =>
+        // Minimal repeat-run repro candidate: just the orderByDegree
+        // pre-pass (RDD sort + zipWithIndex hop) over the q14 graph,
+        // repeated in one warm JVM.
+        val sfDir = args(1)
+        val reps = args.drop(2).headOption.map(_.toInt).getOrElse(3)
+        val edges = spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .select(col("l_suppkey").as("src"),
+            (col("l_partkey") % 100).as("dst"))
+          .filter(col("src") =!= col("dst")).distinct()
+          .select(least(col("src"), col("dst")).as("src"),
+            greatest(col("src"), col("dst")).as("dst")).distinct()
+          .transform(graft.graph.Iterate.ckpt)
+        edges.count()
+        for (i <- 1 to reps) {
+          spark.sparkContext.getPersistentRDDs.values
+            .filterNot(_.id <= 10).foreach(_.unpersist(blocking = true))
+          spark.catalog.clearCache(); System.gc()
+          val t0 = System.nanoTime()
+          val (rel, mapping) = graft.graph.Generators.orderByDegree(edges)
+          val n = rel.count()
+          val m = mapping.count()
+          println(f"OBD RUN $i ${(System.nanoTime() - t0) / 1e9}%.2f s rel=$n map=$m")
+        }
       case other =>
         sys.error(s"unknown: $other")
     }

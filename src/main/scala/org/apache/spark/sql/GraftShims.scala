@@ -45,6 +45,33 @@ object GraftShims {
     val cdf = df.asInstanceOf[CDataset[Row]]
     val spark = cdf.sparkSession.asInstanceOf[CSparkSession]
     val ck = cdf.localCheckpoint(true).asInstanceOf[CDataset[Row]]
+    // Debug hook (GRAFT_DEBUG_CKPT): the iterative drivers' heavy
+    // aggregates execute INSIDE this materializing action, so their
+    // executed-plan metrics are invisible to any walk of the caller's
+    // final frame — print them here, where the executed AQE plan (and
+    // its populated SQLMetrics, e.g. ObjectHashAggregate's
+    // numTasksFallBacked) is still in hand. Diagnostic only.
+    if (sys.env.contains("GRAFT_DEBUG_CKPT")) {
+      import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
+        p match {
+          case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+          case q: QueryStageExec => walk(q.plan)
+          case agg: BaseAggregateExec =>
+            val ms = agg.metrics.map { case (k, m) => s"$k=${m.value}" }
+              .toSeq.sorted.mkString(" ")
+            System.err.println(s"[ckpt-agg] ${agg.getClass.getSimpleName} " +
+              s"groups=${agg.groupingExpressions.map(_.name).mkString(",")} $ms")
+          case _ => ()
+        }
+        p.children.foreach(walk)
+        p.subqueries.foreach(walk)
+      }
+      // the INPUT frame's physical plan is what the checkpoint action
+      // executed (ck itself is just a scan of the materialized RDD)
+      walk(cdf.queryExecution.executedPlan)
+    }
     // localCheckpoint's own LogicalRDD carries the materialized plan's
     // output partitioning/ordering (attribute-rewritten). Keep those —
     // they let EnsureRequirements elide one exchange per superstep when
