@@ -60,4 +60,21 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // time); the box has 32 cores and compilation overlaps execution, so
   // widening the compiler pool shortens the slow interpreted phase.
   "-XX:CICompilerCount=12",
+) ++ (
+  // Pre-touch the whole heap at JVM start (skippable for quick local
+  // iteration via SPARK_GRAFT_NO_PRETOUCH=1). -Xms=-Xmx COMMITS the
+  // heap but does not TOUCH it, and on this microVM host first-touch
+  // of a page costs ~45 us of kernel/VMM CPU charged to the faulting
+  // TASK thread (host-side demand paging) — the root cause of the
+  // r8-r10 "repeat-run anomaly": G1 allocates regions lazily, so the
+  // SECOND heavy run swept past run 1's high-water mark into untouched
+  // address space and burned 100-300 s of pure fault CPU inside
+  // ordinary array code (measured: the anomalous run carries 7.35M
+  // minor faults vs 0.5M, and with pre-touch faults drop to ~20k, the
+  // anomaly disappears, and steady-state runs get ~2x faster because
+  // even "good" runs were paying fault tax). Cost: one-time ~6.5 min
+  // at JVM start for a 64g heap, OFF every timed region. See
+  // FM_INFLATION_ANALYSIS.md r11 addendum.
+  if (sys.env.contains("SPARK_GRAFT_NO_PRETOUCH")) Seq.empty[String]
+  else Seq("-XX:+AlwaysPreTouch")
 ) ++ sys.env.get("SPARK_GRAFT_JVM_OPTS").toSeq.flatMap(_.split("\\s+").toSeq)

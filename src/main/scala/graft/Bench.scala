@@ -311,12 +311,25 @@ object Bench {
       //    only in the calib timeline).
       // Estimator: publish the RETRY (steady-state) run whenever a
       // retry was triggered and the retry itself is clean (no error, no
-      // >5 s JIT, and — for calib triggers — a clean post-run
-      // mini-calib); keep the FIRST run only when the retry reproduces
-      // the contamination. Never min-of-two: a clean-but-slower retry
-      // replaces the first run, so ordinary run-to-run variance is not
-      // harvested downward. Both runs land in `retried` with the
-      // trigger and the kept side, so every cut is auditable.
+      // >5 s JIT, NOT slower than the first run, and — for calib
+      // triggers — a clean post-run mini-calib); keep the FIRST run
+      // otherwise. Never min-of-two in the variance-harvesting sense: a
+      // retry only replaces the first run when the trigger's own causal
+      // story holds — "run 1 = run 2 + one-time contamination" — which
+      // REQUIRES dt1 ≤ dt0. A retry materially SLOWER than its first
+      // run cannot be "the first run minus one-time JIT/burst"; it is
+      // by construction a second execution of the same plan in one
+      // warm JVM, i.e. exactly the documented repeat-run anomaly's
+      // trigger shape (FM_INFLATION_ANALYSIS.md r10 addendum 2 — run 2
+      // of an identical plan 4-10x run 1/3, JIT family refuted, so the
+      // JIT/calib guards below cannot catch it). The r10 committed
+      // artifact published such a retry as q53_fm's number (first
+      // 14.3 s, retry 122.4 s, kept retry) — ~108 s of known
+      // instrument artifact in the headline (r10 VERDICT What's-wrong
+      // #1). Gate: dt1 <= dt0 * 1.2 (the 1.2 allows ordinary jitter —
+      // an equal-time clean retry is still the better-attested
+      // number). Both runs land in `retried` with the trigger and the
+      // kept side, so every cut is auditable.
       val retryEnabled = err0.isEmpty && dt0 > 3.0 &&
         !sys.env.contains("SPARK_GRAFT_NO_RETRY")
       def burstyMini(m: Double): Boolean = refMini.exists(r => m > 1.5 * r)
@@ -348,6 +361,7 @@ object Bench {
         // steady-state JIT is small and the halving test still catches
         // the one-time 55 s→16 s drops (the r8 q86 solo A/B).
         val retryClean = err1.isEmpty &&
+          dt1 <= dt0 * 1.2 &&
           jit1 <= math.max(5000L, jitDelta / 2) &&
           !retryMini.exists(burstyMini)
         val kept = if (retryClean) "retry" else "first"
@@ -470,7 +484,7 @@ object Bench {
       // best instantaneous estimate of the run's own window, published
       // raw in *_calib_brackets so the correction is auditable.
       def normalize(runs: Seq[Double], calibs: Seq[Double],
-                    brackets: Seq[(Double, Double)]): Seq[Double] = {
+                    brackets: Seq[(Double, Double)]): Seq[(Double, Boolean)] = {
         // ref = the mini instrument's own suite-head reading (a steady
         // host then gives normalized == raw); calib_sec/20 was wrong —
         // per-job overhead means 1/20 of the work is NOT 1/20 of the
@@ -482,11 +496,16 @@ object Bench {
         // mid-run and the bracket geomean is a guess — publish the RAW
         // number for that run instead of a fabricated "normalized" one
         // (the run's bracket pair is in *_calib_brackets either way).
+        // Returns (value, applied): the boolean says whether THIS entry
+        // is calib-corrected or raw, published as *_calib_applied so a
+        // mixed-basis normalized array is explicit in the artifact
+        // instead of only re-derivable from the brackets (r10 ADVICE —
+        // the r10 pr run 1, 36.8 s, was such a silently-raw value).
         runs.lazyZip(calibs).lazyZip(brackets).toSeq.map {
           case (r, c, (pre, post)) =>
             val agree = pre > 0 && post > 0 &&
               math.max(pre, post) / math.min(pre, post) <= 1.3
-            if (agree && c > 0) r * ref / c else r
+            if (agree && c > 0) (r * ref / c, true) else (r, false)
         }
       }
       def spread(runs: Seq[Double]): Double =
@@ -518,7 +537,9 @@ object Bench {
       val dt = runs.min
       val dtMed = runs.sorted.apply(runs.size / 2)
       val rate = nEdges.toDouble * iters / dt
-      val prNorm = normalize(runs, prCalibs.toSeq, prBrackets.toSeq)
+      val prNormed = normalize(runs, prCalibs.toSeq, prBrackets.toSeq)
+      val prNorm = prNormed.map(_._1)
+      val prApplied = prNormed.map(_._2)
       System.err.println(f"[bench] pagerank_throughput $nEdges%d edges x $iters iters = $dt%.2f s best / $dtMed%.2f s median (${rate / 1e6}%.2f M edge-iters/s best); spread raw ${spread(runs)}%.2fx / normalized ${spread(prNorm)}%.2fx")
       // Second commensurable baseline row: triangle counting — BASELINE.md
       // times twitter-2010 (1.5 B edges) at 55 min ≈ 454k edges/s. Same
@@ -553,15 +574,17 @@ object Bench {
         }
         val tcDt = tcRuns.min
         val tcRate = nEdges.toDouble / tcDt
-        val tcNorm = normalize(tcRuns, tcCalibs.toSeq, tcBrackets.toSeq)
+        val tcNormed = normalize(tcRuns, tcCalibs.toSeq, tcBrackets.toSeq)
+        val tcNorm = tcNormed.map(_._1)
+        val tcApplied = tcNormed.map(_._2)
         System.err.println(f"[bench] triangle_throughput $nEdges%d edges = $tcDt%.2f s best (${tcRate / 1e3}%.0f k edges/s); spread raw ${spread(tcRuns)}%.2fx / normalized ${spread(tcNorm)}%.2fx")
-        s""","tc_sec":$tcDt,"tc_sec_runs":${tcRuns.mkString("[", ",", "]")},"tc_calib_runs":${tcCalibs.mkString("[", ",", "]")},"tc_calib_brackets":${tcBrackets.map { case (a, b) => s"[$a,$b]" }.mkString("[", ",", "]")},"tc_steal_frac_runs":${tcSteal.mkString("[", ",", "]")},"tc_sec_runs_normalized":${tcNorm.mkString("[", ",", "]")},"tc_spread_normalized":${spread(tcNorm)},"tc_edges_per_sec":$tcRate"""
+        s""","tc_sec":$tcDt,"tc_sec_runs":${tcRuns.mkString("[", ",", "]")},"tc_calib_runs":${tcCalibs.mkString("[", ",", "]")},"tc_calib_brackets":${tcBrackets.map { case (a, b) => s"[$a,$b]" }.mkString("[", ",", "]")},"tc_steal_frac_runs":${tcSteal.mkString("[", ",", "]")},"tc_sec_runs_normalized":${tcNorm.mkString("[", ",", "]")},"tc_calib_applied":${tcApplied.mkString("[", ",", "]")},"tc_spread_normalized":${spread(tcNorm)},"tc_edges_per_sec":$tcRate"""
       } catch { case e: Throwable =>
         System.err.println(s"[bench] triangle probe failed: $e")
         e.printStackTrace()
         ""
       }
-      s""","pr_edges":$nEdges,"pr_iters":$iters,"pr_sec":$dt,"pr_sec_median":$dtMed,"pr_sec_runs":${runs.mkString("[", ",", "]")},"pr_calib_runs":${prCalibs.mkString("[", ",", "]")},"pr_calib_brackets":${prBrackets.map { case (a, b) => s"[$a,$b]" }.mkString("[", ",", "]")},"pr_steal_frac_runs":${prSteal.mkString("[", ",", "]")},"pr_sec_runs_normalized":${prNorm.mkString("[", ",", "]")},"pr_spread_normalized":${spread(prNorm)},"pr_edge_iters_per_sec":$rate$tc"""
+      s""","pr_edges":$nEdges,"pr_iters":$iters,"pr_sec":$dt,"pr_sec_median":$dtMed,"pr_sec_runs":${runs.mkString("[", ",", "]")},"pr_calib_runs":${prCalibs.mkString("[", ",", "]")},"pr_calib_brackets":${prBrackets.map { case (a, b) => s"[$a,$b]" }.mkString("[", ",", "]")},"pr_steal_frac_runs":${prSteal.mkString("[", ",", "]")},"pr_sec_runs_normalized":${prNorm.mkString("[", ",", "]")},"pr_calib_applied":${prApplied.mkString("[", ",", "]")},"pr_spread_normalized":${spread(prNorm)},"pr_edge_iters_per_sec":$rate$tc"""
     } catch { case e: Throwable =>
       System.err.println(s"[bench] throughput probe failed: ${e.getMessage}")
       ""
@@ -586,7 +609,7 @@ object Bench {
       .map(v => s""","extra_conf":${jstr(v)}""").getOrElse("")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs$retriedJson,"sf":"$sfDir"$calibJson$miniRefJson$timelineJson$stealJson$extraConfJson$thr}"""
     val benchFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE",
-      "/root/repo/bench_full_r10.json")
+      "/root/repo/bench_full_r11.json")
     // Persist the complete per-query JSON — the round artifact only
     // keeps the stdout tail, which truncated half the r2 numbers. Full
     // (unfiltered) runs at sf0.1 only, so neither a local subset run nor

@@ -2016,7 +2016,7 @@ object SparkEntry {
         .orderBy(desc("priority"), col("doc_id"))),
 
     // Content-defined chunking dedup: boundaries from per-token hashes,
-    // so a shared passage dedups at ANY offset. A fixed 24-token tail
+    // so a shared passage dedups at ANY offset. A fixed 27-token tail
     // is planted on doc_id % 5 == 0 (identically in the oracle): its
     // interior chunks dedup across the 100 planted docs while each
     // doc's seam chunk stays unique — the CDC resynchronization
@@ -2031,7 +2031,7 @@ object SparkEntry {
         .orderBy("doc_id"))
   )
 
-  /** q147's planted shared passage (24 lowercase ASCII tokens). */
+  /** q147's planted shared passage (27 lowercase ASCII tokens). */
   private val cdcSharedTail: String =
     "boilerplate license terms apply to this shared trailing passage " +
       "which repeats verbatim across many documents in the corpus and " +

@@ -257,13 +257,23 @@ object Similarity {
     * of 1; pair COUNT (the quadratic term that dominates at scale) is
     * unchanged.
     *
-    * Over-cap clusters (capBuckets) are excluded from the pair stage
-    * ENTIRELY — every member of a dropped cluster reports
-    * `is_kept = true` and only the drop counters record the skip. A
-    * corpus whose hottest cluster exceeds the cap therefore under-dedups
-    * rather than stalls; callers wanting partial coverage of a
-    * degenerate cluster should raise the cap or pre-split the cluster
-    * (oracles replay the uncapped rule, so keep fixtures below the cap).
+    * Over-cap clusters: `capMode` picks the degradation.
+    *  - `"exclude"` (default, the oracle-replayed rule): the cluster is
+    *    excluded from the pair stage ENTIRELY — every member reports
+    *    `is_kept = true` and only the drop counters record the skip. A
+    *    corpus whose hottest cluster exceeds the cap under-dedups
+    *    rather than stalls (oracles replay the uncapped rule, so keep
+    *    fixtures below the cap).
+    *  - `"subsample"`: a deterministic hash-threshold subsample of
+    *    ≈`maxClusterSize` members (member enters the pair stage iff
+    *    xxhash64(vid) lands in the lowest cap/size slice of a 2²⁰-grain
+    *    ring) — the densest clusters dedup PARTIALLY instead of not at
+    *    all. Sizes are a bounded (≤ nlist rows) aggregate broadcast
+    *    back, so the mode costs one tiny join and zero extra shuffles;
+    *    the subsample count fluctuates binomially (±~√cap) around the
+    *    cap, which only moves how much of the cluster gets covered,
+    *    never correctness of what is compared. Unsampled members report
+    *    `is_kept = true`.
     *
     * Scale shape: one count job (auto-nlist), Lloyd = broadcast
     * cross-score + two bounded aggregations per step (nlist·dim cells);
@@ -277,16 +287,50 @@ object Similarity {
                     threshold: Double = 0.8, nlist: Int = 0,
                     lloydIterations: Int = 2,
                     maxClusterSize: Int = 100000,
-                    pairBlocks: Int = 16): DataFrame = {
+                    pairBlocks: Int = 16,
+                    capMode: String = "exclude"): DataFrame = {
     require(pairBlocks >= 1, "pairBlocks must be >= 1")
-    val nv = df.select(col(idCol).as("vid"),
+    require(capMode == "exclude" || capMode == "subsample",
+      s"capMode must be exclude|subsample, got $capMode")
+    val nv0 = df.select(col(idCol).as("vid"),
       normalize(transform(col(vecCol), x => x.cast("double"))).as("v"))
-    val k =
-      if (nlist > 0) nlist
-      else math.max(8, math.ceil(math.sqrt(nv.count().toDouble)).toInt)
+    // Auto-nlist needs a count action BEFORE the pipeline's own first
+    // action; counting the raw frame would recompute the full
+    // read+normalize lineage a second time (r10 ADVICE). Materialize
+    // nv once (stats-clean localCheckpoint) so the count is a scan of
+    // the materialized rows and Lloyd + the pair stage + the final
+    // join all reuse them.
+    val (nv, k) =
+      if (nlist > 0) (nv0, nlist)
+      else {
+        val m = graft.graph.Iterate.ckpt(nv0)
+        (m, math.max(8, math.ceil(math.sqrt(m.count().toDouble)).toInt))
+      }
     val (_, best) = lloydAssign(nv, k, lloydIterations)
-    val assigned = graft.text.Dedup.capBuckets(
-      nv.join(best, "vid"), Seq("cl"), maxClusterSize)
+    val members = nv.join(best, "vid")
+    val capped = capMode match {
+      case "exclude" =>
+        graft.text.Dedup.capBuckets(members, Seq("cl"), maxClusterSize)
+      case "subsample" =>
+        // Cluster sizes are a bounded aggregate (≤ nlist rows; map-side
+        // partials), and only the over-cap rows — tiny by construction —
+        // broadcast back. Keep rule: hash-ring slice, exact-arithmetic
+        // cross-multiplied (ring · size vs cap · ring, both < 2^63 for
+        // any corpus that fits int64 ids), deterministic across runs
+        // and executors. The salt decorrelates the keep decision from
+        // the pairBlocks hash below (same xxhash64 input would make
+        // sampled members non-uniform across blocks).
+        val ring = 1L << 20
+        val overCap = members.groupBy("cl")
+          .agg(count(lit(1)).as("__csz"))
+          .filter(col("__csz") > maxClusterSize)
+        members.join(broadcast(overCap), Seq("cl"), "left")
+          .filter(col("__csz").isNull ||
+            pmod(xxhash64(lit(0x5eedL), col("vid")), lit(ring)) * col("__csz")
+              < lit(maxClusterSize.toLong) * lit(ring))
+          .drop("__csz")
+    }
+    val assigned = capped
       .withColumn("b",
         pmod(xxhash64(col("vid")), lit(pairBlocks.toLong)).cast("int"))
     val a = assigned.select(col("cl"), col("vid").as("id1"),

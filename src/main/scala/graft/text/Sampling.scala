@@ -221,8 +221,10 @@ object Sampling {
     * div z` — the naive product `budget·w` wraps int64 once budget·⌊√n⌋
     * exceeds 2⁶³ (a 10¹³-token budget × a 3·10⁶ weight already does),
     * while in the decomposition term 1 is ≤ budget (because w ≤ z) and
-    * term 2's product is < z·w ≤ z², safe whenever total corpus tokens
-    * fit int64. epochs_e4 = half-up-rounded 1e4·alloc/n via the same
+    * term 2's product is < z·w ≤ z² ≤ S·(total corpus tokens) by
+    * Cauchy–Schwarz (S = #strata, since z = Σ⌊√n_j⌋ and Σ√n_j ≤
+    * √(S·Σn_j)) — safe whenever S·total fits int64, i.e. any real
+    * corpus short of ~10⁵ strata over 100 TB-of-tokens each. epochs_e4 = half-up-rounded 1e4·alloc/n via the same
     * split: alloc = q·n + r → 10⁴·q + (2·10⁴·r + n) div 2n, exact while
     * 2·10⁴·n_j fits int64 (n_j < 4.6·10¹⁴ tokens per stratum — ~20×
     * a full 100 TB corpus in one stratum). One map-side-combined

@@ -65,9 +65,19 @@ object Debug {
         val sfDir = args(1)
         val q = args(2)
         val reps = args.drop(3).headOption.map(_.toInt).getOrElse(2)
-        val rows = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Int, Long, Long, Long, Long, Long)]()
+        val rows = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Int, Int, Long, Long, Long, Long, Long)]()
         @volatile var runIdx = 0
         val taskDur = new java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.ConcurrentLinkedQueue[Long]]()
+        // Per-stage sums of the EXECUTED tasks' named SQL-metric
+        // accumulable updates (r10 VERDICT next#2's instrument): the
+        // plan-walk AGGMETRICS below reads the final df's plan
+        // INSTANCES, which show 0 when the heavy aggregate executed in
+        // a reused-exchange / subquery stage — the task-level
+        // accumulables are attributed to the stage that actually ran,
+        // so "number of sort fallback tasks" / spill are read from the
+        // executed instance no matter which plan tree owns it.
+        val stageAcc = new java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.ConcurrentHashMap[String, Long]]()
+        val accKeys = Seq("fallback", "spill", "avg hash probe")
         spark.sparkContext.addSparkListener(
           new org.apache.spark.scheduler.SparkListener {
             override def onTaskEnd(
@@ -75,6 +85,16 @@ object Debug {
               taskDur.computeIfAbsent(te.stageId,
                 _ => new java.util.concurrent.ConcurrentLinkedQueue[Long]())
                 .add(te.taskInfo.duration)
+              val m = stageAcc.computeIfAbsent(te.stageId,
+                _ => new java.util.concurrent.ConcurrentHashMap[String, Long]())
+              te.taskInfo.accumulables.foreach { ai =>
+                ai.name.filter(n => accKeys.exists(n.toLowerCase.contains))
+                  .foreach { n =>
+                    val upd = ai.update.map(_.toString.toLongOption.getOrElse(0L))
+                      .getOrElse(0L)
+                    if (upd != 0L) m.merge(n, upd, (a, b) => a + b)
+                  }
+              }
             }
             override def onStageCompleted(
                 sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
@@ -86,7 +106,7 @@ object Debug {
                 .map(_.asScala.toSeq.sorted).getOrElse(Seq.empty)
               val tmax = if (ds.nonEmpty) ds.last else -1L
               val tmed = if (ds.nonEmpty) ds(ds.size / 2) else -1L
-              rows.add((runIdx, si.numTasks, wall,
+              rows.add((runIdx, si.stageId, si.numTasks, wall,
                 si.taskMetrics.executorRunTime, tmed, tmax,
                 si.taskMetrics.executorCpuTime / 1000000))
               if (wall > 5000)
@@ -95,6 +115,16 @@ object Debug {
             }
           })
         val fn = graft.SparkEntry.queries(q)
+        // Per-run MINOR-fault delta of this (forked, in-process-Spark)
+        // JVM: -Xms=-Xmx commits the heap but does not TOUCH it, so the
+        // first allocation sweep through untouched address space pays
+        // page-zeroing/fault kernel CPU attributed to the faulting TASK
+        // thread — exactly the signature the r10 vmstat sample (THP /
+        // major-fault / compaction counters only) could not see.
+        def minorFaults(): Long = try {
+          val s = scala.io.Source.fromFile("/proc/self/stat")
+          try s.getLines().next().split("\\s+")(9).toLong finally s.close()
+        } catch { case _: Throwable => -1L }
         for (i <- 1 to reps) {
           runIdx = i
           spark.sparkContext.getPersistentRDDs.values
@@ -104,10 +134,12 @@ object Debug {
           // A/B for the repeat-run slowdown investigation)
           sys.env.get("SPARK_GRAFT_SETTLE_S").foreach(s =>
             Thread.sleep(s.toLong * 1000))
+          val mf0 = minorFaults()
           val t0 = System.nanoTime()
           val df = fn(spark, sfDir)
           df.count()
-          println(f"RUN $i total ${(System.nanoTime() - t0) / 1e9}%.2f s")
+          println(f"RUN $i total ${(System.nanoTime() - t0) / 1e9}%.2f s" +
+            f" minorFaults+${minorFaults() - mf0}")
           // Per-aggregate SQL metrics for THIS run's plan instance:
           // ObjectHashAggregate publishes "number of sort fallback
           // tasks" — the direct confirm/refute for the repeat-run
@@ -137,10 +169,14 @@ object Debug {
           println(s"  PLANJOINS ${joins.groupBy(identity).map { case (k, v) => s"${v.size}x $k" }.toSeq.sorted.mkString("; ")}")
           Thread.sleep(500) // let stage-completed events drain
           import scala.jdk.CollectionConverters._
-          rows.asScala.toSeq.filter(_._1 == i).sortBy(-_._3).take(8)
-            .foreach { case (_, n, wall, run, tmed, tmax, cpu) =>
-              println(f"  STAGE tasks=$n%5d wall=${wall}%6d ms sumTaskRun=${run}%7d ms" +
-                f" taskMed=${tmed}%6d ms taskMax=${tmax}%6d ms sumTaskCpu=${cpu}%7d ms")
+          rows.asScala.toSeq.filter(_._1 == i).sortBy(-_._4).take(8)
+            .foreach { case (_, sid, n, wall, run, tmed, tmax, cpu) =>
+              val acc = Option(stageAcc.get(sid))
+                .map(_.asScala.toSeq.sorted
+                  .map { case (k, v) => s"$k=$v" }.mkString(" "))
+                .filter(_.nonEmpty).map("  [" + _ + "]").getOrElse("")
+              println(f"  STAGE $sid%4d tasks=$n%5d wall=${wall}%6d ms sumTaskRun=${run}%7d ms" +
+                f" taskMed=${tmed}%6d ms taskMax=${tmax}%6d ms sumTaskCpu=${cpu}%7d ms$acc")
             }
         }
       case "codegen" =>
@@ -288,6 +324,7 @@ object Debug {
               perU.join(mapping, "newid")
                 .agg(coalesce(org.apache.spark.sql.functions.sum("t"), lit(0L)))
                 .first().getLong(0)
+            case other => sys.error(s"unknown piece: $other")
           }
           println(f"TRI $piece RUN $i ${(System.nanoTime() - t0) / 1e9}%.2f s out=$out")
         }

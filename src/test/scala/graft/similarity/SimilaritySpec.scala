@@ -130,6 +130,36 @@ class SimilaritySpec extends SparkSpec {
     assert(auto.map(_._2).distinct.length <= 8)
   }
 
+  test("semanticDedup capMode=subsample: over-cap cluster dedups partially, deterministically") {
+    val rng = new scala.util.Random(41)
+    // ONE planted near-dup group of 60 (all pairwise cosine ~1) with
+    // nlist=1, so the single Lloyd cluster is over any cap < 60.
+    val vecs = (0 until 60).map { i =>
+      (i.toLong, Array.tabulate(8)(d => (if (d == 0) 1.0f else 0.0f) +
+        rng.nextFloat() * 0.01f))
+    }.toDF("id", "v")
+    def keptIds(capMode: String, cap: Int) =
+      Similarity.semanticDedup(vecs, "id", "v", threshold = 0.9,
+          nlist = 1, lloydIterations = 1, maxClusterSize = cap,
+          pairBlocks = 4, capMode = capMode)
+        .filter(col("is_kept")).collect().map(_.getLong(0)).sorted.toSeq
+    // exclude: the over-cap cluster skips the pair stage entirely
+    assert(keptIds("exclude", 20) == (0L until 60L))
+    // subsample: ~20 members enter the pair stage; all sampled pairs
+    // match, so every sampled member but the sample's min id drops —
+    // PARTIAL dedup of the degenerate cluster instead of none. The
+    // hash-threshold sample size is binomial around the cap, so bound
+    // it loosely; determinism is exact (same ids kept run-over-run).
+    val sub = keptIds("subsample", 20)
+    assert(sub.length < 60, "subsample mode must dedup some of the over-cap cluster")
+    assert(sub.length >= 25, s"subsample must not dedup far beyond the cap slice (kept=${sub.length})")
+    assert(keptIds("subsample", 20) == sub)
+    // at-or-under cap the two modes agree with the uncapped rule:
+    // the whole group is one near-dup set → only the min id survives
+    assert(keptIds("subsample", 60) == Seq(0L))
+    assert(keptIds("exclude", 60) == Seq(0L))
+  }
+
   test("hardNegativesIvf: equals brute path at full probe; respects labels at partial probe") {
     val rng = new scala.util.Random(31)
     val bases = Array(
