@@ -626,8 +626,15 @@ object Bench {
     val extraConfJson = sys.env.get("SPARK_GRAFT_EXTRA_CONF")
       .map(v => s""","extra_conf":${jstr(v)}""").getOrElse("")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs$retriedJson,"sf":"$sfDir"$calibJson$miniRefJson$timelineJson$stealJson$extraConfJson$thr}"""
+    // Default deliberately does NOT point at the committed round
+    // artifact (bench_full_r11.json): the round driver re-runs Bench
+    // after the round's last commit, and a default aimed at the
+    // committed file silently mutated it three rounds running (the
+    // r8-r10 artifact-hygiene findings). The driver's own roll lands
+    // in a fresh *_driver file, adjudicated against the committed run
+    // by the authority rule (README) at the next commit.
     val benchFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE",
-      "/root/repo/bench_full_r11.json")
+      "/root/repo/bench_full_r11_driver.json")
     // Persist the complete per-query JSON — the round artifact only
     // keeps the stdout tail, which truncated half the r2 numbers. Full
     // (unfiltered) runs at sf0.1 only, so neither a local subset run nor
