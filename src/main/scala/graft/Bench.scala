@@ -42,6 +42,16 @@ object Bench {
         if (f.length > 7) f(7).toLong else 0L
       } finally src.close()
     } catch { case _: Throwable => 0L }
+    // Minor-fault delta per probe run (/proc/self/stat field 10):
+    // first-touch page faults cost ~45 µs of task CPU each on this
+    // microVM host (FM_INFLATION_ANALYSIS.md r11 addendum). With the
+    // heap pre-touched, tens of thousands per run is clean; millions
+    // means the run's seconds are fault-storm contamination, not the
+    // engine — published so that attribution is mechanical.
+    def minorFaults(): Long = try {
+      val src = scala.io.Source.fromFile("/proc/self/stat")
+      try src.getLines().next().split("\\s+")(9).toLong finally src.close()
+    } catch { case _: Throwable => -1L }
     val jiffiesPerSec = 100.0 // USER_HZ on linux
     // Fraction of the HOST's whole vCPU capacity stolen during the
     // window. Denominator = the number of per-CPU "cpuN" lines in
@@ -538,15 +548,18 @@ object Bench {
       val prCalibs = scala.collection.mutable.ArrayBuffer.empty[Double]
       val prBrackets = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
       val prSteal = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val prMinflt = scala.collection.mutable.ArrayBuffer.empty[Long]
       val runs = (1 to 3).map { _ =>
         settle()
         val pre = probeCalib()
         val s0 = stealJiffies()
+        val mf0 = minorFaults()
         val t0 = System.nanoTime()
         graft.graph.Algorithms.pageRank(g, iterations = iters)
           .agg(org.apache.spark.sql.functions.sum("pr")).collect()
         val dt = (System.nanoTime() - t0) / 1e9
         prSteal += stealFrac(s0, stealJiffies(), dt)
+        prMinflt += (minorFaults() - mf0)
         val post = probeCalib()
         prBrackets += ((pre, post))
         prCalibs += math.sqrt(pre * post)
@@ -577,14 +590,17 @@ object Bench {
         val tcCalibs = scala.collection.mutable.ArrayBuffer.empty[Double]
         val tcBrackets = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
         val tcSteal = scala.collection.mutable.ArrayBuffer.empty[Double]
+        val tcMinflt = scala.collection.mutable.ArrayBuffer.empty[Long]
         val tcRuns = (1 to 3).map { _ =>
           settle()
           val pre = probeCalib()
           val s0 = stealJiffies()
+          val mf0 = minorFaults()
           val t0 = System.nanoTime()
           graft.graph.Algorithms.totalTriangles(g)
           val dt = (System.nanoTime() - t0) / 1e9
           tcSteal += stealFrac(s0, stealJiffies(), dt)
+          tcMinflt += (minorFaults() - mf0)
           val post = probeCalib()
           tcBrackets += ((pre, post))
           tcCalibs += math.sqrt(pre * post)
@@ -596,13 +612,13 @@ object Bench {
         val tcNorm = tcNormed.map(_._1)
         val tcApplied = tcNormed.map(_._2)
         System.err.println(f"[bench] triangle_throughput $nEdges%d edges = $tcDt%.2f s best (${tcRate / 1e3}%.0f k edges/s); spread raw ${spread(tcRuns)}%.2fx / normalized ${spread(tcNorm)}%.2fx")
-        s""","tc_sec":$tcDt,"tc_sec_runs":${tcRuns.mkString("[", ",", "]")},"tc_calib_runs":${tcCalibs.mkString("[", ",", "]")},"tc_calib_brackets":${tcBrackets.map { case (a, b) => s"[$a,$b]" }.mkString("[", ",", "]")},"tc_steal_frac_runs":${tcSteal.mkString("[", ",", "]")},"tc_sec_runs_normalized":${tcNorm.mkString("[", ",", "]")},"tc_calib_applied":${tcApplied.mkString("[", ",", "]")},"tc_spread_normalized":${spread(tcNorm)},"tc_edges_per_sec":$tcRate"""
+        s""","tc_sec":$tcDt,"tc_sec_runs":${tcRuns.mkString("[", ",", "]")},"tc_calib_runs":${tcCalibs.mkString("[", ",", "]")},"tc_calib_brackets":${tcBrackets.map { case (a, b) => s"[$a,$b]" }.mkString("[", ",", "]")},"tc_steal_frac_runs":${tcSteal.mkString("[", ",", "]")},"tc_minflt_runs":${tcMinflt.mkString("[", ",", "]")},"tc_sec_runs_normalized":${tcNorm.mkString("[", ",", "]")},"tc_calib_applied":${tcApplied.mkString("[", ",", "]")},"tc_spread_normalized":${spread(tcNorm)},"tc_edges_per_sec":$tcRate"""
       } catch { case e: Throwable =>
         System.err.println(s"[bench] triangle probe failed: $e")
         e.printStackTrace()
         ""
       }
-      s""","pr_edges":$nEdges,"pr_iters":$iters,"pr_sec":$dt,"pr_sec_median":$dtMed,"pr_sec_runs":${runs.mkString("[", ",", "]")},"pr_calib_runs":${prCalibs.mkString("[", ",", "]")},"pr_calib_brackets":${prBrackets.map { case (a, b) => s"[$a,$b]" }.mkString("[", ",", "]")},"pr_steal_frac_runs":${prSteal.mkString("[", ",", "]")},"pr_sec_runs_normalized":${prNorm.mkString("[", ",", "]")},"pr_calib_applied":${prApplied.mkString("[", ",", "]")},"pr_spread_normalized":${spread(prNorm)},"pr_edge_iters_per_sec":$rate$tc"""
+      s""","pr_edges":$nEdges,"pr_iters":$iters,"pr_sec":$dt,"pr_sec_median":$dtMed,"pr_sec_runs":${runs.mkString("[", ",", "]")},"pr_calib_runs":${prCalibs.mkString("[", ",", "]")},"pr_calib_brackets":${prBrackets.map { case (a, b) => s"[$a,$b]" }.mkString("[", ",", "]")},"pr_steal_frac_runs":${prSteal.mkString("[", ",", "]")},"pr_minflt_runs":${prMinflt.mkString("[", ",", "]")},"pr_sec_runs_normalized":${prNorm.mkString("[", ",", "]")},"pr_calib_applied":${prApplied.mkString("[", ",", "]")},"pr_spread_normalized":${spread(prNorm)},"pr_edge_iters_per_sec":$rate$tc"""
     } catch { case e: Throwable =>
       System.err.println(s"[bench] throughput probe failed: ${e.getMessage}")
       ""

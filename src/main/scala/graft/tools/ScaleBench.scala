@@ -121,7 +121,19 @@ object ScaleBench {
     spark.range(1000000L).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$smallDir/lineitem.parquet").limit(10).count()
 
-    case class Run(sec: Double, jit: Long, steal: Double, calib: Double)
+    // Per-run MINOR-fault delta of this JVM (/proc/self/stat field 10):
+    // first-touch page faults cost ~45 µs of task CPU each on this
+    // microVM host (FM_INFLATION_ANALYSIS.md r11 addendum) — with the
+    // heap pre-touched a run in the low tens of thousands is clean,
+    // while a run in the millions is fault-storm contaminated and its
+    // seconds are not the engine's.
+    def minorFaults(): Long = try {
+      val src = scala.io.Source.fromFile("/proc/self/stat")
+      try src.getLines().next().split("\\s+")(9).toLong finally src.close()
+    } catch { case _: Throwable => -1L }
+
+    case class Run(sec: Double, jit: Long, steal: Double, calib: Double,
+                   minflt: Long)
     def timedRuns(fn: (SparkSession, String) => DataFrame, dir: String,
                   n: Int = 2): Seq[Run] =
       (1 to n).map { _ =>
@@ -129,12 +141,13 @@ object ScaleBench {
         val pre = miniCalib()
         val s0 = stealJiffies()
         val j0 = jitMs
+        val mf0 = minorFaults()
         val t0 = System.nanoTime()
         fn(spark, dir).count()
         val dt = (System.nanoTime() - t0) / 1e9
         val jd = jitMs - j0
         val st = (stealJiffies() - s0) / 100.0 / (dt * nCpus)
-        Run(dt, jd, st, pre)
+        Run(dt, jd, st, pre, minorFaults() - mf0)
       }
 
     val rows = queries.map { case (name, fn) =>
@@ -147,7 +160,7 @@ object ScaleBench {
         f"large ${large.map(r => f"${r.sec}%.2f").mkString("/")} s  ratio $ratio%.2fx " +
         f"(vs linear ${dataRatio}%.0fx; jit s=${small.map(_.jit).mkString("/")} l=${large.map(_.jit).mkString("/")} ms)")
       def runs(rs: Seq[Run]): String = rs.map(r =>
-        f"""{"sec":${r.sec}%.3f,"jit_ms":${r.jit},"steal_frac":${r.steal}%.4f,"pre_calib_sec":${r.calib}%.3f}""")
+        f"""{"sec":${r.sec}%.3f,"jit_ms":${r.jit},"steal_frac":${r.steal}%.4f,"pre_calib_sec":${r.calib}%.3f,"minor_faults":${r.minflt}}""")
         .mkString("[", ",", "]")
       f""""$name":{"small_runs":${runs(small)},"large_runs":${runs(large)},"small_best_sec":$sBest%.3f,"large_best_sec":$lBest%.3f,"ratio":$ratio%.3f,"ratio_vs_linear":${ratio / dataRatio}%.3f}"""
     }
