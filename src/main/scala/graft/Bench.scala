@@ -658,6 +658,14 @@ object Bench {
     if (only.isEmpty && !probeOnly && sfDir.contains("sf0.1"))
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(benchFile), line + "\n")
+    // Probe-only runs persist their full line too (separate .probes
+    // suffix, never the full-suite file): the compact stdout drops the
+    // run/calib/bracket/minflt arrays, which are exactly what a probe
+    // measurement is FOR.
+    if (probeOnly && sfDir.contains("sf0.1"))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(
+          benchFile.stripSuffix(".json") + ".probes.json"), line + "\n")
     // STDOUT gets a COMPACT headline line instead of the full one: the
     // round driver keeps only the last 2000 bytes of stdout and parses
     // the trailing JSON line — the full line (5 KB+ at 116 queries)
