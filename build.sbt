@@ -72,9 +72,34 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // ordinary array code (measured: the anomalous run carries 7.35M
   // minor faults vs 0.5M, and with pre-touch faults drop to ~20k, the
   // anomaly disappears, and steady-state runs get ~2x faster because
-  // even "good" runs were paying fault tax). Cost: one-time ~6.5 min
-  // at JVM start for a 64g heap, OFF every timed region. See
-  // FM_INFLATION_ANALYSIS.md r11 addendum.
-  if (sys.env.contains("SPARK_GRAFT_NO_PRETOUCH")) Seq.empty[String]
+  // even "good" runs were paying fault tax). Cost (re-measured r12,
+  // `time java -Xms64g -Xmx64g -XX:+AlwaysPreTouch -version`): the
+  // pre-touch pass is PARALLEL over the 23 default ParallelGCThreads —
+  // ~20-30 s wall typical for 64g (2.5-10 min of sys CPU), ~90 s in a
+  // contended host window; r11's "6.5 min" figure is the
+  // single-threaded cost (-XX:ParallelGCThreads=1 reproduces it at
+  // 6m56s) and was a mis-measurement of the default path. More threads
+  // do NOT help (32 threads: 38 min sys CPU — host fault-path
+  // contention is superlinear) and -XX:+UseTransparentHugePages is
+  // pathological here (43 min sys CPU: host-side 2M allocation), so
+  // the default thread count stays. All of it is OFF every timed
+  // region. See FM_INFLATION_ANALYSIS.md r11 addendum.
+  // Truthy opt-out only (r11 ADVICE): SPARK_GRAFT_NO_PRETOUCH=0 or
+  // empty keeps pre-touch ON — a presence-only check made =0 disable it.
+  if (sys.env.get("SPARK_GRAFT_NO_PRETOUCH")
+        .exists(v => v.nonEmpty && v != "0" && v != "false"))
+    Seq.empty[String]
   else Seq("-XX:+AlwaysPreTouch")
 ) ++ sys.env.get("SPARK_GRAFT_JVM_OPTS").toSeq.flatMap(_.split("\\s+").toSeq)
+// Tests run tiny in-memory fixtures: a 64g pre-touched heap buys them
+// nothing and costs ~30 s of pre-touch fault tax per forked test JVM
+// (plus 64 GiB of host commit). 16g keeps every spec comfortable while
+// cutting the pre-touch pass to a few seconds; SPARK_DRIVER_MEM still
+// wins for A/B runs. Bench/Verify/ScaleBench (run config) keep the
+// full-size heap above.
+Test / javaOptions := {
+  val heap = sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")
+  (Test / javaOptions).value
+    .filterNot(o => o.startsWith("-Xmx") || o.startsWith("-Xms")) ++
+    Seq(s"-Xmx$heap", s"-Xms${sys.env.getOrElse("SPARK_GRAFT_XMS", heap)}")
+}

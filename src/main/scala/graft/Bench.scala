@@ -27,31 +27,16 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)
     val spark = GraftSession.local(cpus)
-    // Hypervisor steal time (/proc/stat field 8, jiffies summed over all
-    // vCPUs): the direct attribution for slow windows on a shared host.
-    // A 32-task barrier waits for its worst-stolen straggler every
-    // superstep, so barrier-heavy trainers/probes degrade SUPERLINEARLY
-    // in the steal fraction — r7 measured the same probe binary at 14 s
-    // and 95+ s across windows whose CPU calibs moved only ~2×;
-    // steal_frac in the artifact makes that a published number instead
-    // of an inference.
-    def stealJiffies(): Long = try {
-      val src = scala.io.Source.fromFile("/proc/stat")
-      try {
-        val f = src.getLines().next().trim.split("\\s+").drop(1)
-        if (f.length > 7) f(7).toLong else 0L
-      } finally src.close()
-    } catch { case _: Throwable => 0L }
-    // Minor-fault delta per probe run (/proc/self/stat field 10):
-    // first-touch page faults cost ~45 µs of task CPU each on this
-    // microVM host (FM_INFLATION_ANALYSIS.md r11 addendum). With the
-    // heap pre-touched, tens of thousands per run is clean; millions
-    // means the run's seconds are fault-storm contamination, not the
-    // engine — published so that attribution is mechanical.
-    def minorFaults(): Long = try {
-      val src = scala.io.Source.fromFile("/proc/self/stat")
-      try src.getLines().next().split("\\s+")(9).toLong finally src.close()
-    } catch { case _: Throwable => -1L }
+    // Hypervisor steal time: the direct attribution for slow windows on
+    // a shared host. A 32-task barrier waits for its worst-stolen
+    // straggler every superstep, so barrier-heavy trainers/probes
+    // degrade SUPERLINEARLY in the steal fraction — r7 measured the same
+    // probe binary at 14 s and 95+ s across windows whose CPU calibs
+    // moved only ~2×; steal_frac in the artifact makes that a published
+    // number instead of an inference. Minor-fault deltas per probe run
+    // make fault-storm contamination equally mechanical to attribute
+    // (see graft.tools.Proc for both readers' semantics).
+    import graft.tools.Proc.{stealJiffies, minorFaults}
     val jiffiesPerSec = 100.0 // USER_HZ on linux
     // Fraction of the HOST's whole vCPU capacity stolen during the
     // window. Denominator = the number of per-CPU "cpuN" lines in
@@ -643,14 +628,14 @@ object Bench {
       .map(v => s""","extra_conf":${jstr(v)}""").getOrElse("")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs$retriedJson,"sf":"$sfDir"$calibJson$miniRefJson$timelineJson$stealJson$extraConfJson$thr}"""
     // Default deliberately does NOT point at the committed round
-    // artifact (bench_full_r11.json): the round driver re-runs Bench
+    // artifact (bench_full_rNN.json): the round driver re-runs Bench
     // after the round's last commit, and a default aimed at the
     // committed file silently mutated it three rounds running (the
     // r8-r10 artifact-hygiene findings). The driver's own roll lands
     // in a fresh *_driver file, adjudicated against the committed run
     // by the authority rule (README) at the next commit.
     val benchFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE",
-      "/root/repo/bench_full_r11_driver.json")
+      "/root/repo/bench_full_r12_driver.json")
     // Persist the complete per-query JSON — the round artifact only
     // keeps the stdout tail, which truncated half the r2 numbers. Full
     // (unfiltered) runs at sf0.1 only, so neither a local subset run nor
@@ -661,11 +646,15 @@ object Bench {
     // Probe-only runs persist their full line too (separate .probes
     // suffix, never the full-suite file): the compact stdout drops the
     // run/calib/bracket/minflt arrays, which are exactly what a probe
-    // measurement is FOR.
+    // measurement is FOR. APPEND, one JSON line per run — consecutive
+    // probe windows are the whole point of a probe journal, and the
+    // default truncate-on-write kept only the last window (r11 ADVICE).
     if (probeOnly && sfDir.contains("sf0.1"))
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(
-          benchFile.stripSuffix(".json") + ".probes.json"), line + "\n")
+          benchFile.stripSuffix(".json") + ".probes.json"), line + "\n",
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
     // STDOUT gets a COMPACT headline line instead of the full one: the
     // round driver keeps only the last 2000 bytes of stdout and parses
     // the trailing JSON line — the full line (5 KB+ at 116 queries)
@@ -687,6 +676,10 @@ object Bench {
       pick("tc_edges_per_sec") +
       s""","full_artifact":${jstr(benchFile)}}"""
     println(compact)
+    // Streaming queries (q80/q84/q91) leave the state-store maintenance
+    // thread running past session stop; its next tick logged a spurious
+    // [error] into every round artifact's tail (r11 What's-wrong #3).
+    org.apache.spark.sql.GraftShims.stopStateStoreMaintenance()
     spark.stop()
   }
 }

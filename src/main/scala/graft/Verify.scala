@@ -41,6 +41,10 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Same shutdown hygiene as Bench: the streaming queries leave the
+    // state-store maintenance thread running, and its post-stop tick
+    // logs a spurious [error] into the driver's correctness log.
+    org.apache.spark.sql.GraftShims.stopStateStoreMaintenance()
     spark.stop()
   }
 }

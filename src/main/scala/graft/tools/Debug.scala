@@ -121,10 +121,7 @@ object Debug {
         // page-zeroing/fault kernel CPU attributed to the faulting TASK
         // thread — exactly the signature the r10 vmstat sample (THP /
         // major-fault / compaction counters only) could not see.
-        def minorFaults(): Long = try {
-          val s = scala.io.Source.fromFile("/proc/self/stat")
-          try s.getLines().next().split("\\s+")(9).toLong finally s.close()
-        } catch { case _: Throwable => -1L }
+        def minorFaults(): Long = graft.tools.Proc.minorFaults()
         for (i <- 1 to reps) {
           runIdx = i
           spark.sparkContext.getPersistentRDDs.values

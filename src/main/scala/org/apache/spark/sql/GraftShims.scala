@@ -41,6 +41,16 @@ object GraftShims {
   def waitListenerBus(spark: SparkSession): Unit =
     spark.sparkContext.listenerBus.waitUntilEmpty()
 
+  /** Stop the streaming state-store maintenance thread. Sessions that
+    * ran stateful streaming queries (the EdgeStream family) leave it
+    * running after `SparkSession.stop()`, and its next tick logs a
+    * spurious "SparkEnv not active, cannot do maintenance" [error] into
+    * every artifact tail (r11 What's-wrong #3) — call this BEFORE
+    * stopping the session.
+    */
+  def stopStateStoreMaintenance(): Unit =
+    org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+
   def freshCheckpoint(df: DataFrame): DataFrame = {
     val cdf = df.asInstanceOf[CDataset[Row]]
     val spark = cdf.sparkSession.asInstanceOf[CSparkSession]
