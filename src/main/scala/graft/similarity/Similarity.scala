@@ -265,15 +265,20 @@ object Similarity {
     *    rather than stalls (oracles replay the uncapped rule, so keep
     *    fixtures below the cap).
     *  - `"subsample"`: a deterministic hash-threshold subsample of
-    *    ≈`maxClusterSize` members (member enters the pair stage iff
-    *    xxhash64(vid) lands in the lowest cap/size slice of a 2²⁰-grain
-    *    ring) — the densest clusters dedup PARTIALLY instead of not at
-    *    all. Sizes are a bounded (≤ nlist rows) aggregate broadcast
+    *    ≈`maxClusterSize` members (member enters the pair stage iff its
+    *    Lehmer-ring slot `((vid mod p)·c) mod p`, p = 2³¹−1,
+    *    c = 1327217885 ≈ φ·2³¹, lands in the lowest cap/size slice of
+    *    the ring) — the densest clusters dedup PARTIALLY instead of not
+    *    at all. Sizes are a bounded (≤ nlist rows) aggregate broadcast
     *    back, so the mode costs one tiny join and zero extra shuffles;
-    *    the subsample count fluctuates binomially (±~√cap) around the
-    *    cap, which only moves how much of the cluster gets covered,
-    *    never correctness of what is compared. Unsampled members report
-    *    `is_kept = true`.
+    *    the subsample count fluctuates around the cap (golden-ratio
+    *    stride → low-discrepancy even for tiny consecutive id ranges),
+    *    which only moves how much of the cluster gets covered, never
+    *    correctness of what is compared. Unsampled members report
+    *    `is_kept = true`. The ring is a multiplicative-congruential
+    *    step — chosen over xxhash64 (r11) because it is exactly
+    *    replayable in ANSI SQL integer arithmetic, which is what lets
+    *    q148's DuckDB oracle replay the keep rule verbatim.
     *
     * Scale shape: one count job (auto-nlist), Lloyd = broadcast
     * cross-score + two bounded aggregations per step (nlist·dim cells);
@@ -314,20 +319,28 @@ object Similarity {
       case "subsample" =>
         // Cluster sizes are a bounded aggregate (≤ nlist rows; map-side
         // partials), and only the over-cap rows — tiny by construction —
-        // broadcast back. Keep rule: hash-ring slice, exact-arithmetic
-        // cross-multiplied (ring · size vs cap · ring, both < 2^63 for
-        // any corpus that fits int64 ids), deterministic across runs
-        // and executors. The salt decorrelates the keep decision from
-        // the pairBlocks hash below (same xxhash64 input would make
-        // sampled members non-uniform across blocks).
-        val ring = 1L << 20
+        // broadcast back. Keep rule: Lehmer-ring slice (a multiplicative
+        // step on the Mersenne prime p = 2^31-1 — a bijection on
+        // [1, p-1]; the multiplier is the golden-ratio stride ≈ φ·2^31,
+        // Fibonacci-hashing style, so slots are LOW-DISCREPANCY even
+        // over tiny consecutive id ranges — a small MINSTD multiplier
+        // left ids < ~15k all in the ring's low slice), cross-
+        // multiplied in decimal(38,0) so slot·size vs cap·p is EXACT at
+        // any cluster size an int64 can count. Deterministic across
+        // runs and executors, decorrelated from the xxhash64 pairBlocks
+        // hash below by being a different function entirely, and — the
+        // reason it replaced xxhash64 (r11 → r12) — replayable verbatim
+        // in the q148 DuckDB oracle's integer SQL: (p-1)·c < 2^63, so
+        // both engines compute the slot in plain int64.
+        val p = 2147483647L // 2^31 - 1
+        val slot = pmod(pmod(col("vid"), lit(p)) * lit(1327217885L), lit(p))
         val overCap = members.groupBy("cl")
           .agg(count(lit(1)).as("__csz"))
           .filter(col("__csz") > maxClusterSize)
         members.join(broadcast(overCap), Seq("cl"), "left")
           .filter(col("__csz").isNull ||
-            pmod(xxhash64(lit(0x5eedL), col("vid")), lit(ring)) * col("__csz")
-              < lit(maxClusterSize.toLong) * lit(ring))
+            slot.cast("decimal(38,0)") * col("__csz")
+              < lit(maxClusterSize.toLong).cast("decimal(38,0)") * lit(p))
           .drop("__csz")
     }
     val assigned = capped
