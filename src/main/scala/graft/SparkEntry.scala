@@ -37,10 +37,23 @@ object SparkEntry {
 
   /** A unipartite graph that actually contains triangles: suppkey →
     * partkey mod 100 (id ranges overlap, so closures exist).
+    *
+    * The `DIV 1000000` hub-block term is ZERO at every driver SF
+    * (partkeys < 10^6 there, so dst = l_partkey % 100 exactly and the
+    * oracles are unchanged); it exists for the ScaleGen fixture, which
+    * shifts each replica's l_partkey AND l_suppkey by the same 10^6
+    * block stride — making replica r's graph exactly replica 0's graph
+    * shifted by r·10^6: disjoint vertex sets, isomorphic structure. The
+    * r9–r11 scale artifacts instead had every replica map into the SAME
+    * 100 hubs (the % survives any additive shift), which densified the
+    * hub adjacencies and made q14/q30 superlinear by construction (the
+    * annotated note_q14/note_q30 caveats, retired in r12).
     */
   private def triEdges(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
-      .select(col("l_suppkey").as("src"), (col("l_partkey") % 100).as("dst"))
+      .select(col("l_suppkey").as("src"),
+        (col("l_partkey") % 100 +
+          expr("l_partkey DIV 1000000") * lit(1000000L)).as("dst"))
       .filter(col("src") =!= col("dst")).distinct()
 
   /** Implicit ratings (user=customer, item=part, rating=avg quantity). */
@@ -2221,8 +2234,9 @@ object SparkEntry {
          FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
 
     "q14_triangle_count" ->
-      """WITH e0 AS (SELECT DISTINCT l_suppkey AS src, l_partkey % 100 AS dst
-                     FROM lineitem WHERE l_suppkey <> l_partkey % 100),
+      """WITH e0 AS (SELECT DISTINCT l_suppkey AS src,
+                     l_partkey % 100 + l_partkey // 1000000 * 1000000 AS dst
+                     FROM lineitem WHERE l_suppkey <> l_partkey % 100 + l_partkey // 1000000 * 1000000),
             und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
                     FROM e0)
          SELECT COUNT(*) AS n_triangles
@@ -2230,8 +2244,9 @@ object SparkEntry {
               JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b""",
 
     "q15_triangles_per_vertex" ->
-      """WITH e0 AS (SELECT DISTINCT l_suppkey AS src, l_partkey % 100 AS dst
-                     FROM lineitem WHERE l_suppkey <> l_partkey % 100),
+      """WITH e0 AS (SELECT DISTINCT l_suppkey AS src,
+                     l_partkey % 100 + l_partkey // 1000000 * 1000000 AS dst
+                     FROM lineitem WHERE l_suppkey <> l_partkey % 100 + l_partkey // 1000000 * 1000000),
             und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
                     FROM e0),
             tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
@@ -2451,8 +2466,8 @@ object SparkEntry {
 
     "q30_scc_sizes" ->
       """WITH RECURSIVE e AS (SELECT DISTINCT l_suppkey AS src,
-                              l_partkey % 100 AS dst
-                              FROM lineitem WHERE l_suppkey <> l_partkey % 100),
+                              l_partkey % 100 + l_partkey // 1000000 * 1000000 AS dst
+                              FROM lineitem WHERE l_suppkey <> l_partkey % 100 + l_partkey // 1000000 * 1000000),
             reach(a, b) AS (
               SELECT src, dst FROM e
               UNION
@@ -2778,8 +2793,9 @@ object SparkEntry {
     // Sync LPA, 2 rounds unrolled; most-frequent neighbor label, ties to
     // the larger label (communitydetection.cpp:150-153).
     "q57_label_propagation" ->
-      """WITH e0 AS (SELECT DISTINCT l_suppkey AS src, l_partkey % 100 AS dst
-                     FROM lineitem WHERE l_suppkey <> l_partkey % 100),
+      """WITH e0 AS (SELECT DISTINCT l_suppkey AS src,
+                     l_partkey % 100 + l_partkey // 1000000 * 1000000 AS dst
+                     FROM lineitem WHERE l_suppkey <> l_partkey % 100 + l_partkey // 1000000 * 1000000),
             sym AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
             l0 AS (SELECT DISTINCT src AS id, src AS label FROM sym),
             f1 AS (SELECT sym.dst AS id, l0.label, COUNT(*) AS n
@@ -2826,8 +2842,9 @@ object SparkEntry {
          FROM lineitem""",
 
     "q60_seeded_lpa" ->
-      """WITH e0 AS (SELECT DISTINCT l_suppkey AS src, l_partkey % 100 AS dst
-                     FROM lineitem WHERE l_suppkey <> l_partkey % 100),
+      """WITH e0 AS (SELECT DISTINCT l_suppkey AS src,
+                     l_partkey % 100 + l_partkey // 1000000 * 1000000 AS dst
+                     FROM lineitem WHERE l_suppkey <> l_partkey % 100 + l_partkey // 1000000 * 1000000),
             v AS (SELECT src AS id FROM e0 UNION SELECT dst FROM e0)
          SELECT (SELECT COUNT(*) FROM v) AS n_vertices,
                 (SELECT COUNT(DISTINCT src) FROM e0 WHERE src < 5) AS n_seeds,

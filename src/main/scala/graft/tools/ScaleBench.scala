@@ -9,8 +9,9 @@ import org.apache.spark.sql.functions._
   * wall-time ratios, converting the repo's 100 TB plan-shape arguments
   * into one measured decade of scaling. Expected ratio ≈ the data
   * ratio (10×) for linear operators; anything well above is a found
-  * bug (or an annotated workload-densification effect, see q14 note in
-  * the artifact).
+  * bug (the r9-r11 artifacts carried two annotated densification
+  * caveats, note_q14/note_q30 — retired in r12 by the hub-block
+  * fixture fix, so every row now measures disjoint 10× copies).
   *
   * Methodology per (query, scale): two timed runs after blocking
   * cleanup, both published with their JIT deltas; the RATIO uses each
@@ -75,11 +76,10 @@ object ScaleBench {
         .agg(count(lit(1)).as("n_pairs"))),
     // r10: the phase-LOOP graph algorithms (the r9 judge's #5) — the
     // per-phase materialize+checkpoint shapes the pipeline flagships
-    // never exercise. q31/q83 run on spEdges-derived graphs, which
-    // ScaleGen replicates as DISJOINT copies (clean 10× scaling);
-    // q30's triEdges inherits the q14 densification caveat (dst =
-    // l_partkey % 100 survives the replica key shift, so replicas
-    // share the 100 hub vertices — see note_q30 in the artifact).
+    // never exercise. q30/q31/q83 all run on graphs ScaleGen replicates
+    // as DISJOINT isomorphic copies since r12: triEdges' hub-block term
+    // + ScaleGen's block-aligned shared lineitem key stride retired the
+    // r9-r11 note_q14/note_q30 densification caveats.
     "q30_scc_sizes" -> graft.SparkEntry.queries("q30_scc_sizes"),
     "q31_msf" -> graft.SparkEntry.queries("q31_msf"),
     "q83_coreness" -> graft.SparkEntry.queries("q83_coreness")
@@ -97,13 +97,7 @@ object ScaleBench {
     import java.lang.management.ManagementFactory
     def jitMs: Long = Option(ManagementFactory.getCompilationMXBean)
       .map(_.getTotalCompilationTime).getOrElse(0L)
-    def stealJiffies(): Long = try {
-      val src = scala.io.Source.fromFile("/proc/stat")
-      try {
-        val f = src.getLines().next().trim.split("\\s+").drop(1)
-        if (f.length > 7) f(7).toLong else 0L
-      } finally src.close()
-    } catch { case _: Throwable => 0L }
+    import graft.tools.Proc.{stealJiffies, minorFaults}
     val nCpus = Runtime.getRuntime.availableProcessors.toDouble
     def cleanup(): Unit = {
       spark.sparkContext.getPersistentRDDs.values
@@ -120,17 +114,6 @@ object ScaleBench {
     // session warm (JVM startup, parquet machinery)
     spark.range(1000000L).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$smallDir/lineitem.parquet").limit(10).count()
-
-    // Per-run MINOR-fault delta of this JVM (/proc/self/stat field 10):
-    // first-touch page faults cost ~45 µs of task CPU each on this
-    // microVM host (FM_INFLATION_ANALYSIS.md r11 addendum) — with the
-    // heap pre-touched a run in the low tens of thousands is clean,
-    // while a run in the millions is fault-storm contaminated and its
-    // seconds are not the engine's.
-    def minorFaults(): Long = try {
-      val src = scala.io.Source.fromFile("/proc/self/stat")
-      try src.getLines().next().split("\\s+")(9).toLong finally src.close()
-    } catch { case _: Throwable => -1L }
 
     case class Run(sec: Double, jit: Long, steal: Double, calib: Double,
                    minflt: Long)
@@ -165,8 +148,6 @@ object ScaleBench {
       f""""$name":{"small_runs":${runs(small)},"large_runs":${runs(large)},"small_best_sec":$sBest%.3f,"large_best_sec":$lBest%.3f,"ratio":$ratio%.3f,"ratio_vs_linear":${ratio / dataRatio}%.3f}"""
     }
     val line = s"""{"metric":"scale_validation","small":"$smallDir","large":"$largeDir","data_ratio":$dataRatio,""" +
-      s""""note_q14":"the fixture graph's dst domain is l_partkey % 100, so replication densifies the 100 hub vertices instead of growing the vertex set — expected superlinear adjacency-intersection work by construction; the disjoint-scaling triangle evidence is the bench probe (ER graph, fixed degree)",""" +
-      s""""note_q30":"q30 runs on the same %-100 triEdges graph as q14, so the replicas CONNECT through the 100 shared hub vertices and SCC closure work grows superlinearly by construction; q31/q83 run on the key-shifted spEdges graphs (10 disjoint copies, clean scaling)",""" +
       s""""queries":{${rows.mkString(",")}}}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson), line + "\n")
     println(line)

@@ -10,8 +10,10 @@ import org.apache.spark.sql.functions._
   * copies of the world, not N× denser data:
   *
   *  - every integer key (doc_id, vec_id, l_orderkey/o_orderkey,
-  *    l_partkey, l_suppkey, o_custkey) shifts by replica × (max+1), so
-  *    joins stay consistent within a replica and never cross replicas;
+  *    l_partkey, l_suppkey, o_custkey) shifts by replica × (max+1) —
+  *    except lineitem's part/supp keys, which shift by one SHARED
+  *    stride aligned to the triEdges hub block (see below) — so joins
+  *    stay consistent within a replica and never cross replicas;
   *  - document TEXT in replicas > 0 gets a per-replica suffix fused to
   *    EVERY token (`the` → `ther3`): token counts — and hence the
   *    packing/shard workloads — are unchanged, while shingle/
@@ -65,10 +67,24 @@ object ScaleGen {
     val li = spark.read.parquet(s"$src/lineitem.parquet")
     val ord = spark.read.parquet(s"$src/orders.parquet")
     val okOff = math.max(maxOf(li, "l_orderkey"), maxOf(ord, "o_orderkey"))
+    // l_partkey and l_suppkey shift by ONE shared stride, aligned to the
+    // triEdges hub block (10^6, divisible by 100): the q14/q30 graph
+    // derives dst = l_partkey % 100 + (l_partkey DIV 10^6)·10^6, so an
+    // aligned partkey shift moves replica r's 100 hubs to the disjoint
+    // block r·10^6 instead of densifying the shared %-100 hubs (the
+    // r9-r11 note_q14/note_q30 superlinearity), and the EQUAL suppkey
+    // shift makes every replica graph an isomorphic shifted copy of
+    // replica 0 — for spEdges too, whose src/dst id-overlap structure
+    // the old unequal (maxSupp+1 vs maxPart+1) offsets did not preserve.
+    val hubBlock = 1000000L
+    val liOff = {
+      val m = math.max(maxOf(li, "l_partkey"), maxOf(li, "l_suppkey"))
+      ((m + hubBlock - 1) / hubBlock) * hubBlock
+    }
     write(replicate(li, Map(
       "l_orderkey" -> okOff,
-      "l_partkey" -> maxOf(li, "l_partkey"),
-      "l_suppkey" -> maxOf(li, "l_suppkey"))), "lineitem")
+      "l_partkey" -> liOff,
+      "l_suppkey" -> liOff)), "lineitem")
     write(replicate(ord, Map(
       "o_orderkey" -> okOff,
       "o_custkey" -> maxOf(ord, "o_custkey"))), "orders")
