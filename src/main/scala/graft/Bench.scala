@@ -130,9 +130,15 @@ object Bench {
         // inside the timed region) — not every trainer: the full
         // 18-family warm cost 322 s of untimed time for coverage the
         // shared-kernel warm above already gives the rest.
+        // q51/q52 joined in r12: solo A/B showed q51_pmf at 10.5 s with
+        // jit +17.5 s cold vs 5.8-6.7 s steady, and both published
+        // 1.4-1.8x their steady cost across two otherwise-clean rolls —
+        // the same first-execution-JIT shape as the r7 six, landing
+        // just under the 5 s retry trigger.
         val families = Seq(
           "q41_biassgd2_losses", "q48_als_tensor", "q49_timesvdpp",
-          "q53_fm", "q54_als_coord", "q86_fm_side_features")
+          "q51_pmf", "q52_rbm", "q53_fm", "q54_als_coord",
+          "q86_fm_side_features")
           .filter(n => only.forall(_.exists(n.startsWith)))
         val t0 = System.nanoTime()
         for (n <- families; fn <- SparkEntry.queries.get(n))
@@ -239,6 +245,18 @@ object Bench {
       medianOf((1 to 3).map(_ => miniCalib(idx)))
     val refMini: Option[Double] =
       if (calibRuns.isEmpty) None else Some(miniSample(-1))
+    // The burst trigger's reference must be the CLEANEST host window
+    // observed so far, not the suite-head sample alone: the r12 roll-A
+    // artifact caught a contention burst covering exactly the suite
+    // head, which inflated calib_mini_ref_sec to 0.65 s (steady state
+    // 0.15 s) — a threshold of 1.5x THAT was above every later sample,
+    // so the calib trigger was structurally disabled for the whole run
+    // and the burst-hit q01-q08 block published undetected. Running
+    // min over the timeline self-heals within a few samples; published
+    // as calib_mini_min_sec so the trigger threshold is auditable.
+    def minMini: Option[Double] =
+      if (calibTimeline.isEmpty) refMini
+      else Some(calibTimeline.map(_._2).min)
     // Per-query JVM-health telemetry (GRAFT_DEBUG): the suite runs 90+
     // queries in ONE JVM, so resources that grow monotonically across
     // queries (JIT code cache, metaspace, loaded classes) can degrade
@@ -320,7 +338,7 @@ object Bench {
       //    compiles 30 → 2), so this trigger should fire rarely.
       //  - "calib": a hypervisor contention burst over the query's
       //    window. A 1/20-scale mini-calib right after every non-trivial
-      //    query samples host speed; >1.5x the suite-head reading means
+      //    query samples host speed; >1.5x the cleanest reading so far means
       //    the number is a host artifact (the r8 refresh shipped a
       //    q64-q71 block 3-5x inflated by exactly such a burst, visible
       //    only in the calib timeline).
@@ -347,7 +365,7 @@ object Bench {
       // kept side, so every cut is auditable.
       val retryEnabled = err0.isEmpty && dt0 > 3.0 &&
         !sys.env.contains("SPARK_GRAFT_NO_RETRY")
-      def burstyMini(m: Double): Boolean = refMini.exists(r => m > 1.5 * r)
+      def burstyMini(m: Double): Boolean = minMini.exists(r => m > 1.5 * r)
       // Settle before sampling (the probes' settle() lesson): right
       // after a heavy query the async ContextCleaner/listener backlog
       // elevates a short job 2×+ for a few hundred ms, which would
@@ -498,12 +516,14 @@ object Bench {
       // raw in *_calib_brackets so the correction is auditable.
       def normalize(runs: Seq[Double], calibs: Seq[Double],
                     brackets: Seq[(Double, Double)]): Seq[(Double, Boolean)] = {
-        // ref = the mini instrument's own suite-head reading (a steady
+        // ref = the mini instrument's cleanest session reading (a steady
         // host then gives normalized == raw); calib_sec/20 was wrong —
         // per-job overhead means 1/20 of the work is NOT 1/20 of the
         // time, and a mis-scaled ref amplifies instrument noise into
-        // the published normalized spread.
-        val ref = refMini.getOrElse(if (calibs.nonEmpty) calibs.min else 1.0)
+        // the published normalized spread. Running-min (not the head
+        // sample): a burst over the suite head otherwise inflates the
+        // ref and every normalized probe value with it (r12 roll A).
+        val ref = minMini.getOrElse(if (calibs.nonEmpty) calibs.min else 1.0)
         // A correction is only trustworthy when its own PRE and POST
         // brackets agree (≤1.3×): disagreement means the window moved
         // mid-run and the bracket geomean is a guess — publish the RAW
@@ -620,7 +640,8 @@ object Bench {
     // the burst-trigger threshold (1.5× this) — published so every
     // calib-triggered retry decision is auditable from the artifact
     val miniRefJson =
-      refMini.map(r => s""","calib_mini_ref_sec":$r""").getOrElse("")
+      refMini.map(r => s""","calib_mini_ref_sec":$r""").getOrElse("") +
+        minMini.map(r => s""","calib_mini_min_sec":$r""").getOrElse("")
     // Stamp any session-conf override into the artifact: a leaked
     // SPARK_GRAFT_EXTRA_CONF must be visible in the committed numbers,
     // never a silent contaminant (r9 ADVICE).
