@@ -158,6 +158,20 @@ class SimilaritySpec extends SparkSpec {
     // the whole group is one near-dup set → only the min id survives
     assert(keptIds("subsample", 60) == Seq(0L))
     assert(keptIds("exclude", 60) == Seq(0L))
+    // BIT-EXACT ring pin: the q148 DuckDB oracle replays the keep rule
+    // as ((vid mod p)·1327217885 mod p)·size < cap·p with p = 2^31-1 —
+    // if the engine's constant or comparison ever drifts, this must
+    // fail at TEST time, not at driver-oracle time. Every sampled
+    // member of the degenerate all-near-dup cluster except the
+    // sample's min id drops, so kept = unsampled ∪ {min(sampled)}.
+    val p = 2147483647L
+    def slot(v: Long) = ((v % p + p) % p) * 1327217885L % p
+    val sampled = (0L until 60L).filter(v =>
+      BigInt(slot(v)) * 60 < BigInt(20) * p)
+    val expectedKept =
+      ((0L until 60L).toSet -- sampled + sampled.min).toSeq.sorted
+    assert(sub == expectedKept,
+      s"engine keep set must replay the Lehmer ring exactly")
   }
 
   test("hardNegativesIvf: equals brute path at full probe; respects labels at partial probe") {
