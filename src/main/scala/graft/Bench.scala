@@ -36,7 +36,10 @@ object Bench {
     // number instead of an inference. Minor-fault deltas per probe run
     // make fault-storm contamination equally mechanical to attribute
     // (see graft.tools.Proc for both readers' semantics).
-    import graft.tools.Proc.{stealJiffies, minorFaults}
+    // envFlag everywhere a boolean flag is read (r12 ADVICE): one
+    // convention — set-and-truthy — instead of presence-only contains,
+    // so FLAG=0 means OFF for every SPARK_GRAFT_*/GRAFT_DEBUG toggle.
+    import graft.tools.Proc.{stealJiffies, minorFaults, envFlag}
     val jiffiesPerSec = 100.0 // USER_HZ on linux
     // Fraction of the HOST's whole vCPU capacity stolen during the
     // window. Denominator = the number of per-CPU "cpuN" lines in
@@ -124,7 +127,7 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSeq)
     locally {
       val warmDir = "/root/testdata/sf0.001"
-      if (new java.io.File(warmDir).isDirectory && !sys.env.contains("SPARK_GRAFT_NO_SCHEMA_WARM")) {
+      if (new java.io.File(warmDir).isDirectory && !envFlag("SPARK_GRAFT_NO_SCHEMA_WARM")) {
         // The measured worst in-suite JIT payers (GRAFT_DEBUG r7:
         // q53 +47 s, q86 +36 s, q41 +53 s, q48 +59 s of compiler time
         // inside the timed region) — not every trainer: the full
@@ -206,7 +209,7 @@ object Bench {
         calibShuffleRuns.map(t => f"$t%.2f").mkString(", ") + ")")
     // Probe-only mode: skip the query suite, run just the throughput
     // probes (for probe-methodology tuning without an 8-minute suite).
-    val probeOnly = sys.env.contains("SPARK_GRAFT_PROBE_ONLY")
+    val probeOnly = envFlag("SPARK_GRAFT_PROBE_ONLY")
     // In-suite calibration timeline: the start-of-suite calibrations
     // cannot see host contention that arrives MID-run — exactly what the
     // r5 artifact showed (per-query inflation vs r4 ramping from ~1.26×
@@ -254,16 +257,26 @@ object Bench {
     // and the burst-hit q01-q08 block published undetected. Running
     // min over the timeline self-heals within a few samples; published
     // as calib_mini_min_sec so the trigger threshold is auditable.
+    // ROBUST low, not the raw min (r12 ADVICE): a single anomalously
+    // FAST sample (timer/scheduling outlier) would otherwise permanently
+    // tighten the 1.5x trigger band for the rest of the run and rescale
+    // every normalized probe value — so the reference is the SECOND
+    // smallest sample (= median of the 3 smallest) once the timeline has
+    // ≥3 samples, which keeps the self-healing property while requiring
+    // two independent samples to attest any new low.
     def minMini: Option[Double] =
       if (calibTimeline.isEmpty) refMini
-      else Some(calibTimeline.map(_._2).min)
+      else {
+        val xs = calibTimeline.map(_._2).sorted
+        Some(if (xs.size >= 3) xs(1) else xs.head)
+      }
     // Per-query JVM-health telemetry (GRAFT_DEBUG): the suite runs 90+
     // queries in ONE JVM, so resources that grow monotonically across
     // queries (JIT code cache, metaspace, loaded classes) can degrade
     // late queries in ways solo A/B runs never reproduce. Deltas of the
     // compilation- and GC-time beans per query localize that.
     import java.lang.management.ManagementFactory
-    val debug = sys.env.contains("GRAFT_DEBUG")
+    val debug = envFlag("GRAFT_DEBUG")
     def codeCacheUsed: Long = ManagementFactory.getMemoryPoolMXBeans
       .asScala.filter(_.getName.startsWith("CodeHeap"))
       .map(_.getUsage.getUsed).sum
@@ -272,13 +285,19 @@ object Bench {
     // getCompilationMXBean is null on JVMs without a JIT — fall back to 0
     def jitMillis: Long = Option(ManagementFactory.getCompilationMXBean)
       .map(_.getTotalCompilationTime).getOrElse(0L)
-    // (name, first-run sec, retry sec, trigger, which-kept) for every
-    // retried query — published in the artifact so every cut is
-    // auditable (trigger: "jit" = first run absorbed >5 s of measured
-    // compilation; "calib" = the post-query mini-calib read >1.5x the
-    // suite-head host speed, i.e. a contention burst; "jit+calib").
-    val retried = scala.collection.mutable.ArrayBuffer
-      .empty[(String, Double, Double, String, String)]
+    // One timed execution's full bracket: wall time, error, JIT delta,
+    // and — r12 VERDICT #1a — the hypervisor-steal fraction and
+    // minor-fault delta over the query's own window (see onceTimed).
+    case class Timed(sec: Double, err: Option[String], jit: Long,
+                     steal: Double, minflt: Long)
+    // Both runs of every retried query — published in the artifact so
+    // every cut is auditable (trigger: "jit" = first run absorbed >5 s
+    // of measured compilation; "calib" = the post-query mini-calib read
+    // >1.5x the cleanest host reading, i.e. a contention burst;
+    // "jit+calib").
+    case class Retry(name: String, first: Timed, retry: Timed,
+                     trigger: String, kept: String)
+    val retried = scala.collection.mutable.ArrayBuffer.empty[Retry]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) =>
         !probeOnly && only.forall(_.exists(name.startsWith)) }
@@ -305,8 +324,18 @@ object Bench {
         // next query (q29 measured 4x slower in-suite than solo)
         System.gc()
       }
-      def onceTimed(): (Double, Option[String], Long) = {
+      // One timed execution, bracketed by steal-jiffy and minor-fault
+      // reads (r12 VERDICT #1a): the post-query mini-calib samples host
+      // speed AFTER the query, so a contention burst that covers a long
+      // query's window and subsides before the sample goes undetected —
+      // exactly how roll b published q86 at 75 s unflagged. Per-query
+      // steal_frac/minflt_delta make an intra-query burst mechanically
+      // attributable from the query's OWN row even when every calib
+      // sample around it reads clean.
+      def onceTimed(): Timed = {
         val j0 = jitMillis
+        val s0 = stealJiffies()
+        val mf0 = minorFaults()
         val t0 = System.nanoTime()
         // A failing query is recorded as an error, never as a fast
         // success.
@@ -315,14 +344,17 @@ object Bench {
             Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
         }
         val dt = (System.nanoTime() - t0) / 1e9
-        // Read the JIT delta BEFORE cleanup(): compiler activity during
-        // the unpersist/gc epilogue is not the query's and used to
-        // spuriously trip the retry threshold.
+        // Read the JIT/steal/fault deltas BEFORE cleanup(): compiler and
+        // GC activity during the unpersist/gc epilogue is not the
+        // query's and used to spuriously trip the retry threshold.
         val jd = jitMillis - j0
+        val st = stealFrac(s0, stealJiffies(), dt)
+        val mf = minorFaults() - mf0
         cleanup()
-        (dt, err, jd)
+        Timed(dt, err, jd, st, mf)
       }
-      val (dt0, err0, jitDelta) = onceTimed()
+      val run0 = onceTimed()
+      val (dt0, err0, jitDelta) = (run0.sec, run0.err, run0.jit)
       // Contamination retry, two triggers, one retry:
       //  - "jit": whole-stage-codegen classes are keyed by generated
       //    source, so the FIRST in-suite execution of a heavy trainer
@@ -364,7 +396,7 @@ object Bench {
       // number). Both runs land in `retried` with the trigger and the
       // kept side, so every cut is auditable.
       val retryEnabled = err0.isEmpty && dt0 > 3.0 &&
-        !sys.env.contains("SPARK_GRAFT_NO_RETRY")
+        !envFlag("SPARK_GRAFT_NO_RETRY")
       def burstyMini(m: Double): Boolean = minMini.exists(r => m > 1.5 * r)
       // Settle before sampling (the probes' settle() lesson): right
       // after a heavy query the async ContextCleaner/listener backlog
@@ -381,8 +413,9 @@ object Bench {
       val calibTrig = postMini.exists(burstyMini)
       val trigger = (if (jitTrig) Seq("jit") else Seq()) ++
         (if (calibTrig) Seq("calib") else Seq())
-      val (dt, err) = if (trigger.nonEmpty) {
-        val (dt1, err1, jit1) = onceTimed()
+      val kept = if (trigger.nonEmpty) {
+        val run1 = onceTimed()
+        val (dt1, err1, jit1) = (run1.sec, run1.err, run1.jit)
         val retryMini: Option[Double] =
           if (calibTrig && refMini.isDefined) Some(settledMini()) else None
         // "The retry excluded the one-time compilation" ⟺ the observed
@@ -395,14 +428,17 @@ object Bench {
         // the one-time 55 s→16 s drops (the r8 q86 solo A/B).
         val retryClean =
           keepRetry(err1, dt0, dt1, jitDelta, jit1, retryMini.exists(burstyMini))
-        val kept = if (retryClean) "retry" else "first"
-        retried += ((name, dt0, dt1, trigger.mkString("+"), kept))
-        if (retryClean) (dt1, err1) else (dt0, err0)
-      } else (dt0, err0)
+        val keptSide = if (retryClean) "retry" else "first"
+        retried += Retry(name, run0, run1, trigger.mkString("+"), keptSide)
+        if (retryClean) run1 else run0
+      } else run0
+      val (dt, err) = (kept.sec, kept.err)
       System.err.println(f"[bench] $name%-28s $dt%8.2f s" +
         (if (trigger.nonEmpty)
           f" (first ${dt0}%.2f s, jit +${jitDelta} ms, trigger ${trigger.mkString("+")})"
          else "") +
+        (if (kept.steal > 0.01) f" steal=${kept.steal}%.4f" else "") +
+        (if (kept.minflt > 1000000L) s" minflt=${kept.minflt}" else "") +
         err.map(m => s"  ERROR: $m").getOrElse(""))
       if (debug) System.err.println(
         f"[bench-jvm] $name%-28s codecache ${codeCacheUsed / 1048576.0}%6.1f MB" +
@@ -410,21 +446,39 @@ object Bench {
           f" gc +${gcMillis - gc0}%5d ms  jit +${jitMillis - jit0}%5d ms" +
           f"  classes ${ManagementFactory.getClassLoadingMXBean.getLoadedClassCount}%7d" +
           f" (+${ManagementFactory.getClassLoadingMXBean.getLoadedClassCount - cls0}%5d)")
-      (name, dt, err)
+      (name, kept)
     }
     if (results.nonEmpty) miniCalib(results.size)
     def jstr(s: String): String =
       "\"" + s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString } + "\""
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, t) => s"\"" + k + "\":" + t.sec }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(m)) => s"\"" + k + "\":" + jstr(m) }
+    val errs = results.collect { case (k, t) if t.err.isDefined =>
+        s"\"" + k + "\":" + jstr(t.err.get) }
       .mkString("{", ",", "}")
+    // Per-query host-attribution maps (r12 VERDICT #1a), keyed like
+    // `queries` and describing the KEPT run: steal_frac = fraction of
+    // the host's whole vCPU capacity stolen during the query's own
+    // window; minflt = the process's minor-fault delta over it (~45 µs
+    // task-CPU each on this microVM — see graft.tools.Proc). A published
+    // value that disagrees with its sibling rolls now carries its
+    // mechanical attribution in its own row instead of relying on the
+    // post-query calib sample, which is structurally blind to a burst
+    // that ends before it (the r12 roll-b q86 75 s entry).
+    val qSteal = results.map { case (k, t) =>
+        f""""$k":${t.steal}%.5f""" }.mkString("{", ",", "}")
+    val qMinflt = results.map { case (k, t) =>
+        s"\"" + k + "\":" + t.minflt }.mkString("{", ",", "}")
+    def timedJson(t: Timed): String =
+      f""""sec":${t.sec}%.3f,"jit_ms":${t.jit},"steal_frac":${t.steal}%.5f,"minflt":${t.minflt}"""
     val retriedJson = retried
-      .map { case (k, a, b, trig, kept) =>
-        f""""$k":{"first":$a%.3f,"retry":$b%.3f,"trigger":"$trig","kept":"$kept"}""" }
+      .map { r =>
+        s""""${r.name}":{"first":${r.first.sec},"retry":${r.retry.sec},""" +
+          s""""trigger":"${r.trigger}","kept":"${r.kept}",""" +
+          s""""first_run":{${timedJson(r.first)}},"retry_run":{${timedJson(r.retry)}}}""" }
       .mkString(""","retried":{""", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2.sec).sum
     // Throughput probe at a larger edge scale (synthetic, deterministic):
     // per-edge-iteration PageRank rate, comparable to BASELINE.md's
     // published edge-throughput numbers (README.md:118). Skipped for
@@ -434,7 +488,7 @@ object Bench {
     // subset — the suite-state A/B tool (probes after a chosen query
     // subset vs probes alone) that localized the r7 probe degradation.
     val thr = if (only.nonEmpty && !probeOnly &&
-        !sys.env.contains("SPARK_GRAFT_FORCE_PROBES")) "" else try {
+        !envFlag("SPARK_GRAFT_FORCE_PROBES")) "" else try {
       // 2M vertices × 16 = 32M edges: large enough that per-superstep
       // scheduling overhead amortizes and the rate is comparable to
       // BASELINE.md's edge-throughput numbers. Blocking cleanup first:
@@ -647,7 +701,7 @@ object Bench {
     // never a silent contaminant (r9 ADVICE).
     val extraConfJson = sys.env.get("SPARK_GRAFT_EXTRA_CONF")
       .map(v => s""","extra_conf":${jstr(v)}""").getOrElse("")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs$retriedJson,"sf":"$sfDir"$calibJson$miniRefJson$timelineJson$stealJson$extraConfJson$thr}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"queries_steal_frac":$qSteal,"queries_minflt":$qMinflt$retriedJson,"sf":"$sfDir"$calibJson$miniRefJson$timelineJson$stealJson$extraConfJson$thr}"""
     // Default deliberately does NOT point at the committed round
     // artifact (bench_full_rNN.json): the round driver re-runs Bench
     // after the round's last commit, and a default aimed at the
@@ -656,7 +710,7 @@ object Bench {
     // in a fresh *_driver file, adjudicated against the committed run
     // by the authority rule (README) at the next commit.
     val benchFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE",
-      "/root/repo/bench_full_r12_driver.json")
+      "/root/repo/bench_full_r13_driver.json")
     // Persist the complete per-query JSON — the round artifact only
     // keeps the stdout tail, which truncated half the r2 numbers. Full
     // (unfiltered) runs at sf0.1 only, so neither a local subset run nor
@@ -686,8 +740,8 @@ object Bench {
     def pick(key: String): String =
       ("\"" + key + "\":(-?[0-9][0-9.eE+-]*)").r.findFirstMatchIn(line)
         .map(m => s""","$key":${m.group(1)}""").getOrElse("")
-    val slow = results.filter(_._3.isEmpty).sortBy(-_._2).take(12)
-      .map { case (k, v, _) => f""""$k":$v%.2f""" }.mkString("{", ",", "}")
+    val slow = results.filter(_._2.err.isEmpty).sortBy(-_._2.sec).take(12)
+      .map { case (k, t) => f""""$k":${t.sec}%.2f""" }.mkString("{", ",", "}")
     val compact = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"queries":$slow,"errors":$errs""" +
       f""","wall_sec":$wallSec%.1f,"n_retried":${retried.size}""" +
       pick("calib_sec") + pick("calib_shuffle_sec") + pick("steal_frac_wall") +

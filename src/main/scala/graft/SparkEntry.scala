@@ -53,7 +53,7 @@ object SparkEntry {
     Tables.lineitem(s, d)
       .select(col("l_suppkey").as("src"),
         (col("l_partkey") % 100 +
-          expr("l_partkey DIV 1000000") * lit(1000000L)).as("dst"))
+          expr(s"l_partkey DIV ${Tables.HubBlock}") * lit(Tables.HubBlock)).as("dst"))
       .filter(col("src") =!= col("dst")).distinct()
 
   /** Implicit ratings (user=customer, item=part, rating=avg quantity). */
@@ -2234,9 +2234,9 @@ object SparkEntry {
          FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
 
     "q14_triangle_count" ->
-      """WITH e0 AS (SELECT DISTINCT l_suppkey AS src,
-                     l_partkey % 100 + l_partkey // 1000000 * 1000000 AS dst
-                     FROM lineitem WHERE l_suppkey <> l_partkey % 100 + l_partkey // 1000000 * 1000000),
+      s"""WITH e0 AS (SELECT DISTINCT l_suppkey AS src,
+                     l_partkey % 100 + l_partkey // ${Tables.HubBlock} * ${Tables.HubBlock} AS dst
+                     FROM lineitem WHERE l_suppkey <> l_partkey % 100 + l_partkey // ${Tables.HubBlock} * ${Tables.HubBlock}),
             und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
                     FROM e0)
          SELECT COUNT(*) AS n_triangles
@@ -2244,9 +2244,9 @@ object SparkEntry {
               JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b""",
 
     "q15_triangles_per_vertex" ->
-      """WITH e0 AS (SELECT DISTINCT l_suppkey AS src,
-                     l_partkey % 100 + l_partkey // 1000000 * 1000000 AS dst
-                     FROM lineitem WHERE l_suppkey <> l_partkey % 100 + l_partkey // 1000000 * 1000000),
+      s"""WITH e0 AS (SELECT DISTINCT l_suppkey AS src,
+                     l_partkey % 100 + l_partkey // ${Tables.HubBlock} * ${Tables.HubBlock} AS dst
+                     FROM lineitem WHERE l_suppkey <> l_partkey % 100 + l_partkey // ${Tables.HubBlock} * ${Tables.HubBlock}),
             und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
                     FROM e0),
             tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
@@ -2465,9 +2465,9 @@ object SparkEntry {
                 ROUND(AVG(rr), 6) AS mrr, COUNT(*) AS n_users FROM m""",
 
     "q30_scc_sizes" ->
-      """WITH RECURSIVE e AS (SELECT DISTINCT l_suppkey AS src,
-                              l_partkey % 100 + l_partkey // 1000000 * 1000000 AS dst
-                              FROM lineitem WHERE l_suppkey <> l_partkey % 100 + l_partkey // 1000000 * 1000000),
+      s"""WITH RECURSIVE e AS (SELECT DISTINCT l_suppkey AS src,
+                              l_partkey % 100 + l_partkey // ${Tables.HubBlock} * ${Tables.HubBlock} AS dst
+                              FROM lineitem WHERE l_suppkey <> l_partkey % 100 + l_partkey // ${Tables.HubBlock} * ${Tables.HubBlock}),
             reach(a, b) AS (
               SELECT src, dst FROM e
               UNION
@@ -2793,9 +2793,9 @@ object SparkEntry {
     // Sync LPA, 2 rounds unrolled; most-frequent neighbor label, ties to
     // the larger label (communitydetection.cpp:150-153).
     "q57_label_propagation" ->
-      """WITH e0 AS (SELECT DISTINCT l_suppkey AS src,
-                     l_partkey % 100 + l_partkey // 1000000 * 1000000 AS dst
-                     FROM lineitem WHERE l_suppkey <> l_partkey % 100 + l_partkey // 1000000 * 1000000),
+      s"""WITH e0 AS (SELECT DISTINCT l_suppkey AS src,
+                     l_partkey % 100 + l_partkey // ${Tables.HubBlock} * ${Tables.HubBlock} AS dst
+                     FROM lineitem WHERE l_suppkey <> l_partkey % 100 + l_partkey // ${Tables.HubBlock} * ${Tables.HubBlock}),
             sym AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
             l0 AS (SELECT DISTINCT src AS id, src AS label FROM sym),
             f1 AS (SELECT sym.dst AS id, l0.label, COUNT(*) AS n
@@ -2842,9 +2842,9 @@ object SparkEntry {
          FROM lineitem""",
 
     "q60_seeded_lpa" ->
-      """WITH e0 AS (SELECT DISTINCT l_suppkey AS src,
-                     l_partkey % 100 + l_partkey // 1000000 * 1000000 AS dst
-                     FROM lineitem WHERE l_suppkey <> l_partkey % 100 + l_partkey // 1000000 * 1000000),
+      s"""WITH e0 AS (SELECT DISTINCT l_suppkey AS src,
+                     l_partkey % 100 + l_partkey // ${Tables.HubBlock} * ${Tables.HubBlock} AS dst
+                     FROM lineitem WHERE l_suppkey <> l_partkey % 100 + l_partkey // ${Tables.HubBlock} * ${Tables.HubBlock}),
             v AS (SELECT src AS id FROM e0 UNION SELECT dst FROM e0)
          SELECT (SELECT COUNT(*) FROM v) AS n_vertices,
                 (SELECT COUNT(DISTINCT src) FROM e0 WHERE src < 5) AS n_seeds,

@@ -11,6 +11,20 @@ import org.apache.spark.sql.functions._
   * are relational, so graph-shaped operators run over derived edge tables.
   */
 object Tables {
+  /** Hub-block size for the triangle graph's dst derivation
+    * (dst = l_partkey % 100 + (l_partkey DIV HubBlock)·HubBlock) and for
+    * ScaleGen's shared lineitem key stride, which must be a multiple of
+    * it so each replica's 100 hubs land in their own disjoint block
+    * (disjoint isomorphic copies instead of the r9–r11 hub
+    * densification). ONE definition (r12 ADVICE): SparkEntry.triEdges,
+    * its five DuckDB oracle strings, and ScaleGen all reference this —
+    * a silent triEdges-vs-ScaleGen drift would reintroduce the
+    * superlinearity with no oracle to catch it. Must stay a multiple of
+    * 100 (the hub modulus) and above every driver-SF partkey range so
+    * the DIV term is zero there and the sf≤0.1 oracles are unchanged.
+    */
+  val HubBlock = 1000000L
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 

@@ -127,7 +127,7 @@ object Fm {
     // |F|-sized weight checkpoint, and collect in one end-of-loop job.
     var rmses = Vector.empty[Double]
     var rmseFrames = Vector.empty[DataFrame]
-    val verbose = sys.env.contains("GRAFT_DEBUG")
+    val verbose = graft.tools.Proc.envFlag("GRAFT_DEBUG")
     for (iter <- 1 to iterations) {
       val itStart = System.currentTimeMillis
       val joined = flat.join(w, "feature")

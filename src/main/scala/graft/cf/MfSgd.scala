@@ -79,7 +79,7 @@ object MfSgd {
     var rmseFrames = Vector.empty[DataFrame]
     var it = 0
     var halted = false
-    val verbose = sys.env.contains("GRAFT_DEBUG")
+    val verbose = graft.tools.Proc.envFlag("GRAFT_DEBUG")
     while (it < iterations && !halted) {
       val itStart = System.currentTimeMillis
       val score = lit(mu) + col("bu") + col("bi") + dotArr(col("pu"), col("qi"))

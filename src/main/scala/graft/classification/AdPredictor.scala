@@ -64,7 +64,7 @@ object AdPredictor {
       .select(col("feature"), lit(0.0d).as("mean"), lit(priorVariance).as("variance"))
       .transform(graft.graph.Iterate.ckpt)
 
-    val verbose = sys.env.contains("GRAFT_DEBUG")
+    val verbose = graft.tools.Proc.envFlag("GRAFT_DEBUG")
     for (sweep <- 1 to sweeps) {
       val swStart = System.currentTimeMillis
       val joined = flat.join(weights, "feature")

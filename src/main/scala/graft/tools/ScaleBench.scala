@@ -117,21 +117,33 @@ object ScaleBench {
 
     case class Run(sec: Double, jit: Long, steal: Double, calib: Double,
                    minflt: Long)
-    def timedRuns(fn: (SparkSession, String) => DataFrame, dir: String,
-                  n: Int = 2): Seq[Run] =
-      (1 to n).map { _ =>
-        cleanup()
-        val pre = miniCalib()
-        val s0 = stealJiffies()
-        val j0 = jitMs
-        val mf0 = minorFaults()
-        val t0 = System.nanoTime()
-        fn(spark, dir).count()
-        val dt = (System.nanoTime() - t0) / 1e9
-        val jd = jitMs - j0
-        val st = (stealJiffies() - s0) / 100.0 / (dt * nCpus)
-        Run(dt, jd, st, pre, minorFaults() - mf0)
-      }
+    def timedRun(fn: (SparkSession, String) => DataFrame,
+                 dir: String): Run = {
+      cleanup()
+      val pre = miniCalib()
+      val s0 = stealJiffies()
+      val j0 = jitMs
+      val mf0 = minorFaults()
+      val t0 = System.nanoTime()
+      fn(spark, dir).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      val jd = jitMs - j0
+      val st = (stealJiffies() - s0) / 100.0 / (dt * nCpus)
+      Run(dt, jd, st, pre, minorFaults() - mf0)
+    }
+    // Two runs per (query, scale); a THIRD when the pair disagrees >2x
+    // (r12 VERDICT #4: q65's large pair was 5.5/34.4 s — a 6.3x spread
+    // hidden by best-of-two). All runs are published, so no flagship
+    // ratio depends on a wide pair without a tie-breaking third
+    // measurement; the per-run jit/steal/minflt fields carry the
+    // attribution for whichever run is the outlier.
+    def timedRuns(fn: (SparkSession, String) => DataFrame,
+                  dir: String): Seq[Run] = {
+      val two = (1 to 2).map(_ => timedRun(fn, dir))
+      val secs = two.map(_.sec)
+      if (secs.min > 0 && secs.max / secs.min > 2.0) two :+ timedRun(fn, dir)
+      else two
+    }
 
     val rows = queries.map { case (name, fn) =>
       val small = timedRuns(fn, smallDir)

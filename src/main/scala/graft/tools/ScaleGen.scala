@@ -76,7 +76,11 @@ object ScaleGen {
     // shift makes every replica graph an isomorphic shifted copy of
     // replica 0 — for spEdges too, whose src/dst id-overlap structure
     // the old unequal (maxSupp+1 vs maxPart+1) offsets did not preserve.
-    val hubBlock = 1000000L
+    // ONE shared definition with triEdges and its oracle SQL
+    // (graft.Tables.HubBlock, r12 ADVICE): a stride misaligned with the
+    // triEdges block would silently reintroduce the r9-r11 hub
+    // densification — the oracles can't catch a ScaleGen-only drift.
+    val hubBlock = graft.Tables.HubBlock
     val liOff = {
       val m = math.max(maxOf(li, "l_partkey"), maxOf(li, "l_suppkey"))
       ((m + hubBlock - 1) / hubBlock) * hubBlock

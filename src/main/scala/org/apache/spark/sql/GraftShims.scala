@@ -61,7 +61,7 @@ object GraftShims {
     // final frame — print them here, where the executed AQE plan (and
     // its populated SQLMetrics, e.g. ObjectHashAggregate's
     // numTasksFallBacked) is still in hand. Diagnostic only.
-    if (sys.env.contains("GRAFT_DEBUG_CKPT")) {
+    if (graft.tools.Proc.envFlag("GRAFT_DEBUG_CKPT")) {
       import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
       import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
       def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = {

@@ -60,4 +60,27 @@ class TablesSpec extends SparkSpec {
     val counts = graft.streaming.EdgeStream.windowedEventCounts(ev)
     assert(counts.count() > 0)
   }
+
+  // Hub-block alignment guard (r12 ADVICE): triEdges' dst derivation,
+  // its DuckDB oracle strings, and ScaleGen's replica stride must all
+  // agree on ONE block size or the scale fixture silently reintroduces
+  // the r9-r11 hub densification (superlinear q14/q30 with no oracle to
+  // catch it — oracles only see driver SFs, where the DIV term is zero).
+  test("HubBlock: divisible by the hub modulus (100)") {
+    assert(Tables.HubBlock % 100 == 0)
+  }
+
+  test("HubBlock: every hub-block literal in the oracle SQL is the shared constant") {
+    val hubLit = """l_partkey\s*//\s*(\d+)\s*\*\s*(\d+)""".r
+    val hits = SparkEntry.oracleSql.toSeq.flatMap { case (name, sql) =>
+      hubLit.findAllMatchIn(sql).flatMap(m => Seq(
+        name -> m.group(1).toLong, name -> m.group(2).toLong))
+    }
+    // the pattern must exist (the graph oracles) and every literal must
+    // be the constant — interpolation makes this true by construction,
+    // and this test makes a future hand-edited literal fail loudly
+    assert(hits.nonEmpty)
+    val drifted = hits.filter(_._2 != Tables.HubBlock)
+    assert(drifted.isEmpty, s"hub-block literals drifted: $drifted")
+  }
 }
