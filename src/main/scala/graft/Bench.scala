@@ -286,10 +286,14 @@ object Bench {
     def jitMillis: Long = Option(ManagementFactory.getCompilationMXBean)
       .map(_.getTotalCompilationTime).getOrElse(0L)
     // One timed execution's full bracket: wall time, error, JIT delta,
-    // and — r12 VERDICT #1a — the hypervisor-steal fraction and
-    // minor-fault delta over the query's own window (see onceTimed).
+    // and — r12 VERDICT #1a — the hypervisor-steal fraction,
+    // minor-fault delta, and GC-time delta over the query's own window
+    // (see onceTimed). gc_ms is the third attribution layer: a query
+    // that is slow with clean steal/minflt/jit and a clean calib
+    // timeline can still be a GC pause (heap debt from a heavyweight
+    // predecessor), which only its own GC bracket can show.
     case class Timed(sec: Double, err: Option[String], jit: Long,
-                     steal: Double, minflt: Long)
+                     steal: Double, minflt: Long, gc: Long)
     // Both runs of every retried query — published in the artifact so
     // every cut is auditable (trigger: "jit" = first run absorbed >5 s
     // of measured compilation; "calib" = the post-query mini-calib read
@@ -336,6 +340,7 @@ object Bench {
         val j0 = jitMillis
         val s0 = stealJiffies()
         val mf0 = minorFaults()
+        val g0 = gcMillis
         val t0 = System.nanoTime()
         // A failing query is recorded as an error, never as a fast
         // success.
@@ -350,8 +355,9 @@ object Bench {
         val jd = jitMillis - j0
         val st = stealFrac(s0, stealJiffies(), dt)
         val mf = minorFaults() - mf0
+        val gd = gcMillis - g0
         cleanup()
-        Timed(dt, err, jd, st, mf)
+        Timed(dt, err, jd, st, mf, gd)
       }
       val run0 = onceTimed()
       val (dt0, err0, jitDelta) = (run0.sec, run0.err, run0.jit)
@@ -470,8 +476,33 @@ object Bench {
         f""""$k":${t.steal}%.5f""" }.mkString("{", ",", "}")
     val qMinflt = results.map { case (k, t) =>
         s"\"" + k + "\":" + t.minflt }.mkString("{", ",", "}")
+    val qGc = results.map { case (k, t) =>
+        s"\"" + k + "\":" + t.gc }.mkString("{", ",", "}")
+    // Fourth attribution layer, for the ZERO-steal contention mode this
+    // box exhibits (minutes-scale host stalls with no steal jiffies and
+    // small fault counts — README lesson (2)): per-query host ratio =
+    // max(median of the nearest calib-sample group at-or-before the
+    // query, median of the nearest group after it) / the session's
+    // robust low. A burst that covers a query's window shows in at
+    // least one bracketing sample group even when the query's OWN
+    // post-sample is clean (the r12 roll-b q86 shape: elevated at
+    // suite index 129-130, clean at its own 134), and a bursty suite
+    // HEAD — where the retry trigger is structurally blind because its
+    // reference hasn't healed yet — flags its queries here (r13 roll A:
+    // head samples 0.86-1.38 s vs the 0.13 s floor put q01-q08 at
+    // host_ratio ~7-9x with zero steal and no retry flag).
+    val sampleGroups: Map[Int, Double] = calibTimeline.toSeq.groupBy(_._1)
+      .map { case (i, g) => i -> medianOf(g.map(_._2)) }
+    val qHostRatio = results.zipWithIndex.map { case ((k, _), i) =>
+      val before = sampleGroups.keys.filter(_ <= i).maxOption.map(sampleGroups)
+      val after = sampleGroups.keys.filter(_ > i).minOption.map(sampleGroups)
+      val r = minMini.filter(_ > 0).map { ref =>
+        math.max(before.getOrElse(ref), after.getOrElse(ref)) / ref
+      }.getOrElse(1.0)
+      f""""$k":$r%.2f"""
+    }.mkString("{", ",", "}")
     def timedJson(t: Timed): String =
-      f""""sec":${t.sec}%.3f,"jit_ms":${t.jit},"steal_frac":${t.steal}%.5f,"minflt":${t.minflt}"""
+      f""""sec":${t.sec}%.3f,"jit_ms":${t.jit},"steal_frac":${t.steal}%.5f,"minflt":${t.minflt},"gc_ms":${t.gc}"""
     val retriedJson = retried
       .map { r =>
         s""""${r.name}":{"first":${r.first.sec},"retry":${r.retry.sec},""" +
@@ -701,7 +732,7 @@ object Bench {
     // never a silent contaminant (r9 ADVICE).
     val extraConfJson = sys.env.get("SPARK_GRAFT_EXTRA_CONF")
       .map(v => s""","extra_conf":${jstr(v)}""").getOrElse("")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"queries_steal_frac":$qSteal,"queries_minflt":$qMinflt$retriedJson,"sf":"$sfDir"$calibJson$miniRefJson$timelineJson$stealJson$extraConfJson$thr}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"queries_steal_frac":$qSteal,"queries_minflt":$qMinflt,"queries_gc_ms":$qGc,"queries_host_ratio":$qHostRatio$retriedJson,"sf":"$sfDir"$calibJson$miniRefJson$timelineJson$stealJson$extraConfJson$thr}"""
     // Default deliberately does NOT point at the committed round
     // artifact (bench_full_rNN.json): the round driver re-runs Bench
     // after the round's last commit, and a default aimed at the
