@@ -22,6 +22,25 @@ object Bench {
       jit1 <= math.max(5000L, jitDelta / 2) &&
       !retryMiniBursty
 
+  /** The burst-trigger/normalization reference over the mini-calib
+    * timeline, extracted so the rule is spec-pinned alongside
+    * [[keepRetry]]. ROBUST running low, not the raw min (r12 ADVICE): a
+    * single anomalously FAST sample (timer/scheduling outlier) must not
+    * permanently tighten the 1.5x trigger band for the rest of the run
+    * or rescale every normalized probe value — so the reference is the
+    * SECOND smallest sample (= median of the 3 smallest) once the
+    * timeline has ≥3 samples, which keeps the r12 self-healing property
+    * (a bursty suite head stops disabling the trigger within a few
+    * samples) while requiring two independent samples to attest any
+    * new low.
+    */
+  def robustLow(xs: Seq[Double]): Option[Double] =
+    if (xs.isEmpty) None
+    else {
+      val s = xs.sorted
+      Some(if (s.size >= 3) s(1) else s.head)
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -257,19 +276,9 @@ object Bench {
     // and the burst-hit q01-q08 block published undetected. Running
     // min over the timeline self-heals within a few samples; published
     // as calib_mini_min_sec so the trigger threshold is auditable.
-    // ROBUST low, not the raw min (r12 ADVICE): a single anomalously
-    // FAST sample (timer/scheduling outlier) would otherwise permanently
-    // tighten the 1.5x trigger band for the rest of the run and rescale
-    // every normalized probe value — so the reference is the SECOND
-    // smallest sample (= median of the 3 smallest) once the timeline has
-    // ≥3 samples, which keeps the self-healing property while requiring
-    // two independent samples to attest any new low.
+    // Robust running low, spec-pinned in robustLow (see its doc).
     def minMini: Option[Double] =
-      if (calibTimeline.isEmpty) refMini
-      else {
-        val xs = calibTimeline.map(_._2).sorted
-        Some(if (xs.size >= 3) xs(1) else xs.head)
-      }
+      robustLow(calibTimeline.map(_._2).toSeq).orElse(refMini)
     // Per-query JVM-health telemetry (GRAFT_DEBUG): the suite runs 90+
     // queries in ONE JVM, so resources that grow monotonically across
     // queries (JIT code cache, metaspace, loaded classes) can degrade
@@ -291,9 +300,13 @@ object Bench {
     // (see onceTimed). gc_ms is the third attribution layer: a query
     // that is slow with clean steal/minflt/jit and a clean calib
     // timeline can still be a GC pause (heap debt from a heavyweight
-    // predecessor), which only its own GC bracket can show.
+    // predecessor), which only its own GC bracket can show. cpu is the
+    // process-CPU delta in seconds — the zero-steal stall
+    // discriminator: wall ballooning while the CPU delta matches the
+    // steady siblings means same work, not scheduled (the r13 roll-c
+    // q51 22 s entry read clean on EVERY other instrument).
     case class Timed(sec: Double, err: Option[String], jit: Long,
-                     steal: Double, minflt: Long, gc: Long)
+                     steal: Double, minflt: Long, gc: Long, cpu: Double)
     // Both runs of every retried query — published in the artifact so
     // every cut is auditable (trigger: "jit" = first run absorbed >5 s
     // of measured compilation; "calib" = the post-query mini-calib read
@@ -341,6 +354,7 @@ object Bench {
         val s0 = stealJiffies()
         val mf0 = minorFaults()
         val g0 = gcMillis
+        val c0 = graft.tools.Proc.processCpuNanos()
         val t0 = System.nanoTime()
         // A failing query is recorded as an error, never as a fast
         // success.
@@ -356,8 +370,10 @@ object Bench {
         val st = stealFrac(s0, stealJiffies(), dt)
         val mf = minorFaults() - mf0
         val gd = gcMillis - g0
+        val c1 = graft.tools.Proc.processCpuNanos()
+        val cd = if (c0 >= 0 && c1 >= 0) (c1 - c0) / 1e9 else -1.0
         cleanup()
-        Timed(dt, err, jd, st, mf, gd)
+        Timed(dt, err, jd, st, mf, gd, cd)
       }
       val run0 = onceTimed()
       val (dt0, err0, jitDelta) = (run0.sec, run0.err, run0.jit)
@@ -478,6 +494,8 @@ object Bench {
         s"\"" + k + "\":" + t.minflt }.mkString("{", ",", "}")
     val qGc = results.map { case (k, t) =>
         s"\"" + k + "\":" + t.gc }.mkString("{", ",", "}")
+    val qCpu = results.map { case (k, t) =>
+        f""""$k":${t.cpu}%.3f""" }.mkString("{", ",", "}")
     // Fourth attribution layer, for the ZERO-steal contention mode this
     // box exhibits (minutes-scale host stalls with no steal jiffies and
     // small fault counts — README lesson (2)): per-query host ratio =
@@ -502,7 +520,7 @@ object Bench {
       f""""$k":$r%.2f"""
     }.mkString("{", ",", "}")
     def timedJson(t: Timed): String =
-      f""""sec":${t.sec}%.3f,"jit_ms":${t.jit},"steal_frac":${t.steal}%.5f,"minflt":${t.minflt},"gc_ms":${t.gc}"""
+      f""""sec":${t.sec}%.3f,"jit_ms":${t.jit},"steal_frac":${t.steal}%.5f,"minflt":${t.minflt},"gc_ms":${t.gc},"cpu_sec":${t.cpu}%.3f"""
     val retriedJson = retried
       .map { r =>
         s""""${r.name}":{"first":${r.first.sec},"retry":${r.retry.sec},""" +
@@ -732,7 +750,7 @@ object Bench {
     // never a silent contaminant (r9 ADVICE).
     val extraConfJson = sys.env.get("SPARK_GRAFT_EXTRA_CONF")
       .map(v => s""","extra_conf":${jstr(v)}""").getOrElse("")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"queries_steal_frac":$qSteal,"queries_minflt":$qMinflt,"queries_gc_ms":$qGc,"queries_host_ratio":$qHostRatio$retriedJson,"sf":"$sfDir"$calibJson$miniRefJson$timelineJson$stealJson$extraConfJson$thr}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"queries_steal_frac":$qSteal,"queries_minflt":$qMinflt,"queries_gc_ms":$qGc,"queries_cpu_sec":$qCpu,"queries_host_ratio":$qHostRatio$retriedJson,"sf":"$sfDir"$calibJson$miniRefJson$timelineJson$stealJson$extraConfJson$thr}"""
     // Default deliberately does NOT point at the committed round
     // artifact (bench_full_rNN.json): the round driver re-runs Bench
     // after the round's last commit, and a default aimed at the

@@ -41,6 +41,22 @@ object Proc {
     } finally src.close()
   } catch { case _: Throwable => 0L }
 
+  /** Cumulative CPU nanoseconds of this process (HotSpot
+    * OperatingSystemMXBean). The discriminator for the zero-steal stall
+    * mode this box exhibits: a query whose wall time balloons while its
+    * CPU delta matches its steady-state siblings did the same work and
+    * simply wasn't scheduled — cpu_delta/(wall·nCores) collapsing
+    * against siblings is mechanical host-stall attribution even when
+    * steal, faults, JIT, and every calib sample read clean. -1 when the
+    * bean isn't a HotSpot one (non-OpenJDK JVMs).
+    */
+  def processCpuNanos(): Long = try {
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime
+      case _ => -1L
+    }
+  } catch { case _: Throwable => -1L }
+
   /** Opt-out/opt-in env flag: set-and-truthy (anything but "", "0",
     * "false"). `sys.env.contains` alone made `FLAG=0` behave as ON —
     * the r11 ADVICE footgun on SPARK_GRAFT_NO_PRETOUCH; build.sbt

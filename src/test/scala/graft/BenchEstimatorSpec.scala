@@ -44,4 +44,19 @@ class BenchEstimatorSpec extends AnyFunSuite {
     assert(!Bench.keepRetry(None, dt0 = 10.0, dt1 = 8.0,
       jitDelta = 5000L, jit1 = 5500L, retryMiniBursty = false))
   }
+
+  test("robustLow: second-smallest once 3+ samples, so one fast outlier can't set the reference") {
+    assert(Bench.robustLow(Nil).isEmpty)
+    assert(Bench.robustLow(Seq(0.5)).contains(0.5))
+    // with <3 samples there is nothing to attest against: plain min
+    assert(Bench.robustLow(Seq(0.5, 0.3)).contains(0.3))
+    // the r12-ADVICE scenario: a single 0.02 s timer outlier in an
+    // otherwise-0.15 s timeline must NOT become the trigger reference
+    // (1.5x of 0.02 would flag every sample and spuriously retry the
+    // whole suite)
+    assert(Bench.robustLow(Seq(0.15, 0.02, 0.16, 0.15)).contains(0.15))
+    // but a genuine clean window (two+ attesting samples) still heals a
+    // bursty suite head — the r12 roll-A defect stays fixed
+    assert(Bench.robustLow(Seq(0.95, 0.96, 1.38, 0.15, 0.16)).contains(0.16))
+  }
 }

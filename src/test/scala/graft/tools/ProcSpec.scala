@@ -20,6 +20,16 @@ class ProcSpec extends AnyFunSuite {
     assert(Proc.minorFaults() >= a)
   }
 
+  test("processCpuNanos: monotone non-negative on HotSpot") {
+    val a = Proc.processCpuNanos()
+    assume(a >= 0, "no com.sun.management bean on this JVM")
+    var x = 0L
+    var i = 0
+    while (i < 20000000) { x += i; i += 1 } // burn ~10ms of CPU
+    assert(x != 0)
+    assert(Proc.processCpuNanos() >= a)
+  }
+
   test("envFlag: set-and-truthy only") {
     // can't set env vars in-process portably; exercise the rule's shape
     // via the values it classifies
