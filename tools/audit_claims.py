@@ -1,0 +1,145 @@
+#!/usr/bin/env python3
+"""Re-verify every quantitative claim in README.md's r13 authority note
+against the COMMITTED artifacts (r12 VERDICT What's-wrong #1b: two r12
+README claims were falsified by the artifacts they cited; the r13 done
+criterion is that every claim be mechanically re-verifiable — this
+script is that verification). Pure stdlib; run from the repo root:
+
+    python3 tools/audit_claims.py
+
+Exits nonzero if any claim fails. When a claim is deliberately changed
+(new round, re-rolled artifact), update the matching check here in the
+same commit — a stale check failing loudly is this file working.
+"""
+import json
+import statistics
+import sys
+
+FAILURES = []
+
+
+def ok(cond, msg):
+    print(("OK   " if cond else "FAIL ") + msg)
+    if not cond:
+        FAILURES.append(msg)
+
+
+def main():
+    auth = json.load(open("bench_full_r13.json"))
+    sibs = {k: json.load(open(f"bench_full_r13_{k}.json")) for k in "bcde"}
+    r11 = json.load(open("bench_full_r11.json"))
+    r12 = json.load(open("bench_full_r12.json"))
+
+    # --- headline: authoritative roll -------------------------------
+    ok(abs(auth["value"] - 337.5) < 0.1 and len(auth["queries"]) == 148
+       and not auth["errors"],
+       "authoritative: 148 queries, 337.5 s, 0 errors")
+    ok(abs(auth["calib_sec"] - 0.489) < 0.001, "authoritative calib_sec 0.489")
+    ok(abs(auth["steal_frac_wall"] - 0.0016) < 0.0002,
+       "authoritative steal_frac_wall 0.0016")
+
+    # --- calib-normalized totals are flat across rounds -------------
+    for name, d, exp in [("r11", r11, 690), ("r12", r12, 700),
+                         ("r13", auth, 690)]:
+        v = d["value"] / d["calib_sec"]
+        ok(abs(v - exp) < 2, f"{name} normalized {exp} sec-per-calib ({v:.0f})")
+
+    # --- sibling totals and field evolution --------------------------
+    for k, exp in [("b", 383.7), ("c", 408.2), ("d", 395.3), ("e", 370.5)]:
+        ok(abs(sibs[k]["value"] - exp) < 0.1, f"_{k} total {exp} s")
+    ok("queries_steal_frac" in sibs["b"] and "queries_gc_ms" not in sibs["b"]
+       and "queries_gc_ms" not in sibs["c"],
+       "_b/_c carry steal/minflt maps only (pre-gc/host_ratio rolls)")
+    ok("queries_host_ratio" in sibs["d"] and "queries_cpu_sec" not in sibs["d"],
+       "_d has gc_ms/host_ratio, predates cpu_sec")
+    ok("queries_cpu_sec" in auth, "authoritative has the complete field set")
+
+    # --- attribution acceptance test ---------------------------------
+    # every authoritative entry disagreeing >1.4x with the sibling-roll
+    # median carries a nonzero mechanical flag in its own row
+    unattributed = []
+    for n, v in auth["queries"].items():
+        med = statistics.median(s["queries"][n] for s in sibs.values())
+        if med <= 0 or v <= 0 or max(v, med) < 1.0:
+            continue
+        if max(v, med) / min(v, med) > 1.4:
+            att = (auth["queries_steal_frac"].get(n, 0) > 0.004
+                   or auth["queries_minflt"].get(n, 0) > 1e6
+                   or auth["queries_gc_ms"].get(n, 0) > 0.2 * 1000 * v
+                   or auth["queries_host_ratio"].get(n, 1) > 1.4
+                   or n in auth.get("retried", {}))
+            if not att:
+                unattributed.append(n)
+    ok(not unattributed,
+       f"zero unattributed >1.4x-vs-sibling-median entries ({unattributed})")
+
+    # --- the q86 story ------------------------------------------------
+    q86c = sibs["c"]["retried"]["q86_fm_side_features"]
+    ok(abs(q86c["first"] - 60.8) < 0.1 and abs(q86c["retry"] - 12.0) < 0.1
+       and q86c["trigger"] == "jit" and q86c["kept"] == "retry",
+       "_c q86 first 60.8 s jit-caught, 12.0 s retry kept")
+    q86 = [auth["queries"]["q86_fm_side_features"]] + \
+          [s["queries"]["q86_fm_side_features"] for s in sibs.values()]
+    ok(11.95 <= min(q86) and max(q86) <= 15.05,
+       "q86 publishes 12.0-15.0 s across all five rolls")
+
+    # --- _b head burst, _c q51 stall, _d q20 residual ----------------
+    head = [t for i, t in sibs["b"]["calib_timeline"] if i <= 5]
+    ok(0.76 <= min(head) and max(head) <= 1.39,
+       "_b head samples 0.77-1.38 s")
+    ok(abs(sibs["b"]["calib_mini_min_sec"] - 0.132) < 0.005,
+       "_b robust floor ~0.13 s")
+    q51 = [auth["queries"]["q51_pmf"]] + \
+          [sibs[k]["queries"]["q51_pmf"] for k in "bde"]
+    ok(abs(sibs["c"]["queries"]["q51_pmf"] - 22.1) < 0.1
+       and 7.1 < min(q51) and max(q51) < 8.3,
+       "_c q51 22.1 s; 7.2-8.2 s in the other four")
+    ok(abs(sibs["d"]["queries"]["q20_minhash_dups"] - 3.5) < 0.1,
+       "_d q20 3.5 s residual")
+
+    # --- watchlist ----------------------------------------------------
+    q64 = [auth["queries"]["q64_token_pmi"]] + \
+          [s["queries"]["q64_token_pmi"] for s in sibs.values()]
+    ok(2.13 < min(q64) and max(q64) < 2.49 and max(q64) / min(q64) < 1.17,
+       "q64 2.14-2.48 s (1.16x) across five rolls")
+    q140 = [auth["queries"]["q140_perplexity_buckets"]] + \
+           [s["queries"]["q140_perplexity_buckets"] for s in sibs.values()]
+    ok(2.73 < min(q140) and max(q140) < 3.98
+       and "q140_perplexity_buckets" in sibs["b"]["retried"],
+       "q140 2.74-3.97 s, slow end calib-flagged in _b")
+
+    # --- probe journal -------------------------------------------------
+    pw = [json.loads(l) for l in open("PROBES_r13.json")]
+    ok(abs(min(p["pr_sec"] for p in pw) - 7.48) < 0.01,
+       "PR best 7.48 s (17.11 M edge-iters/s)")
+    ok(abs(min(p["tc_sec"] for p in pw) - 12.22) < 0.01,
+       "TC best 12.22 s (2.62 M edges/s)")
+    ok(max(max(p["pr_steal_frac_runs"]) for p in pw) <= 0.001,
+       "PR probe steal <= 0.001 every run")
+
+    # --- scale decade ---------------------------------------------------
+    sc = json.load(open("BENCH_SCALE_r13.json"))
+    third = sorted(n for n, q in sc["queries"].items()
+                   if len(q["small_runs"]) > 2 or len(q["large_runs"]) > 2)
+    ok(third == ["q135_semantic_dedup", "q14_triangle_count"],
+       f"third-run rule fired exactly on q14-small and q135-large ({third})")
+    wide = [n for n, q in sc["queries"].items()
+            for side in ("small_runs", "large_runs")
+            if len(q[side]) == 2
+            and min(r["sec"] for r in q[side]) > 0
+            and max(r["sec"] for r in q[side]) /
+                min(r["sec"] for r in q[side]) > 2]
+    ok(not wide, f"no published pair spreads >2x without a third run ({wide})")
+    worst = max(q["ratio"] for q in sc["queries"].values())
+    ok(worst < 7.5 and all(q["ratio"] < 10 for q in sc["queries"].values()),
+       f"all 17 flagships sub-linear for 10x data (worst FM {worst:.2f}x)")
+
+    print()
+    if FAILURES:
+        print(f"{len(FAILURES)} CLAIM(S) FAILED")
+        sys.exit(1)
+    print("ALL CLAIMS VERIFIED against committed artifacts")
+
+
+if __name__ == "__main__":
+    main()
