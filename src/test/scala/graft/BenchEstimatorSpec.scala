@@ -59,4 +59,32 @@ class BenchEstimatorSpec extends AnyFunSuite {
     // bursty suite head — the r12 roll-A defect stays fixed
     assert(Bench.robustLow(Seq(0.95, 0.96, 1.38, 0.15, 0.16)).contains(0.16))
   }
+
+  test("hostRatio: a burst anywhere in the query's window flags it, even past a clean own-sample") {
+    // the r12 roll-b q86 shape: burst at groups 129/130, q86 at index
+    // 134 whose OWN settled post-sample (group 134, nearest bracket) is
+    // clean — a nearest-bracket-only rule reads 1.0 here and misses the
+    // burst; the ±5 window must reach group 130 and flag it
+    val q86 = Map(120 -> 0.15, 129 -> 0.55, 130 -> 0.90,
+      133 -> 0.21, 134 -> 0.15, 140 -> 0.15)
+    assert(math.abs(Bench.hostRatio(q86, 134, ref = 0.15) - 6.0) < 1e-9)
+    // the r13 roll-A head-burst shape: first groups elevated, trigger
+    // reference healed later — early queries flag via the head groups
+    val head = Map(-1 -> 0.95, 2 -> 1.2, 9 -> 0.16)
+    assert(math.abs(Bench.hostRatio(head, 1, ref = 0.15) - 8.0) < 1e-9)
+    // sparse sampling: no group within the window — the nearest
+    // brackets on each side still apply (a burst 9 indices back with
+    // NO intervening sample cannot hide)
+    assert(math.abs(Bench.hostRatio(Map(10 -> 0.90, 30 -> 0.15), 19,
+      ref = 0.15) - 6.0) < 1e-9)
+    // a burst OUTSIDE the window with a clean intervening group does
+    // NOT flag — the host demonstrably recovered before the query
+    assert(Bench.hostRatio(Map(10 -> 0.90, 18 -> 0.15, 30 -> 0.15),
+      19, ref = 0.15) < 1.1)
+    // clean window on both sides reads ~1x
+    assert(Bench.hostRatio(Map(10 -> 0.15, 20 -> 0.16), 15, ref = 0.15) < 1.1)
+    // degenerate inputs read clean, never divide by zero
+    assert(Bench.hostRatio(Map.empty, 5, ref = 0.15) == 1.0)
+    assert(Bench.hostRatio(Map(1 -> 0.15), 5, ref = 0.0) == 1.0)
+  }
 }

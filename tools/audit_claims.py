@@ -15,6 +15,9 @@ import json
 import statistics
 import sys
 
+sys.path.insert(0, "tools")
+from recompute_host_ratio import recomputed_map  # the spec-pinned rule
+
 FAILURES = []
 
 
@@ -53,6 +56,17 @@ def main():
     ok("queries_host_ratio" in sibs["d"] and "queries_cpu_sec" not in sibs["d"],
        "_d has gc_ms/host_ratio, predates cpu_sec")
     ok("queries_cpu_sec" in auth, "authoritative has the complete field set")
+
+    # --- host_ratio is a DERIVED field: embedded map must equal a
+    # recomputation from the artifact's own raw timeline under the
+    # spec-pinned rule (Bench.hostRatio / BenchEstimatorSpec) ----------
+    for label, d in [("auth", auth), ("_d", sibs["d"]), ("_e", sibs["e"])]:
+        want = recomputed_map(d)
+        got = d["queries_host_ratio"]
+        drift = [n for n in want if abs(got[n] - round(want[n], 2)) > 0.005]
+        ok(not drift,
+           f"{label} queries_host_ratio == recomputed from raw timeline"
+           f" ({len(drift)} drifted)")
 
     # --- attribution acceptance test ---------------------------------
     # every authoritative entry disagreeing >1.4x with the sibling-roll
