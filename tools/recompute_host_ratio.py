@@ -18,10 +18,18 @@ Usage: python3 tools/recompute_host_ratio.py <artifact.json> [...]
 """
 import json
 import re
-import statistics
 import sys
 
 WINDOW = 5
+
+
+def median_of(xs):
+    """Mirror of Bench.medianOf EXACTLY: sorted upper-middle element
+    (xs.sorted.apply(xs.size / 2)) — NOT statistics.median, which
+    averages the two middles for even sizes and drifts from the
+    engine-embedded values on every even-sized sample group."""
+    s = sorted(xs)
+    return s[len(s) // 2]
 
 
 def host_ratio(groups, q_idx, ref, window=WINDOW):
@@ -43,7 +51,7 @@ def recomputed_map(d):
     by_idx = {}
     for i, t in timeline:
         by_idx.setdefault(i, []).append(t)
-    groups = {i: statistics.median(ts) for i, ts in by_idx.items()}
+    groups = {i: median_of(ts) for i, ts in by_idx.items()}
     names = sorted(d["queries"])  # suite order = sorted query names
     return {n: host_ratio(groups, qi, ref) for qi, n in enumerate(names)}
 
