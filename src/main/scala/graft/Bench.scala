@@ -526,17 +526,15 @@ object Bench {
         f""""$k":${t.cpu}%.3f""" }.mkString("{", ",", "}")
     // Fourth attribution layer, for the ZERO-steal contention mode this
     // box exhibits (minutes-scale host stalls with no steal jiffies and
-    // small fault counts — README lesson (2)): per-query host ratio =
-    // max(median of the nearest calib-sample group at-or-before the
-    // query, median of the nearest group after it) / the session's
-    // robust low. A burst that covers a query's window shows in at
-    // least one bracketing sample group even when the query's OWN
-    // post-sample is clean (the r12 roll-b q86 shape: elevated at
-    // suite index 129-130, clean at its own 134), and a bursty suite
-    // HEAD — where the retry trigger is structurally blind because its
-    // reference hasn't healed yet — flags its queries here (r13 roll A:
-    // head samples 0.86-1.38 s vs the 0.13 s floor put q01-q08 at
-    // host_ratio ~7-9x with zero steal and no retry flag).
+    // small fault counts — README lesson (2)): per-query host ratio,
+    // the ±5-index windowed max over calib-sample-group medians ÷ the
+    // robust low (rule + rationale in hostRatio's scaladoc; the
+    // windowing is what catches the r12 roll-b q86 shape a
+    // nearest-bracket rule misses). It also flags a bursty suite HEAD
+    // — where the retry trigger is structurally blind because its
+    // reference hasn't healed yet (r13 roll _b: head samples
+    // 0.77-1.38 s vs the 0.13 s floor put q01-q08 at host_ratio ~7-9x
+    // with zero steal and no retry flag).
     val sampleGroups: Map[Int, Double] = calibTimeline.toSeq.groupBy(_._1)
       .map { case (i, g) => i -> medianOf(g.map(_._2)) }
     val qHostRatio = results.zipWithIndex.map { case ((k, _), i) =>
@@ -765,10 +763,20 @@ object Bench {
     val wallSec = (System.nanoTime() - suiteT0) / 1e9
     val stealJson = s""","steal_frac_wall":${stealFrac(suiteSteal0, stealJiffies(), wallSec)},"wall_sec":$wallSec"""
     // the burst-trigger threshold (1.5× this) — published so every
-    // calib-triggered retry decision is auditable from the artifact
+    // calib-triggered retry decision is auditable from the artifact.
+    // calib_mini_min_sec has been the ROBUST low (second-smallest
+    // timeline sample), not the raw min, since the r13 robustLow fix —
+    // the name predates the rule change and is kept for cross-round
+    // field continuity, so the statistic is self-described by
+    // calib_mini_min_rule and the raw min stays recomputable from the
+    // published calib_timeline (a reader recomputing min(timeline)
+    // would otherwise read a value BELOW this field whenever one
+    // outlier-fast sample exists and conclude the artifact is
+    // inconsistent with its own raw data).
     val miniRefJson =
       refMini.map(r => s""","calib_mini_ref_sec":$r""").getOrElse("") +
-        minMini.map(r => s""","calib_mini_min_sec":$r""").getOrElse("")
+        minMini.map(r =>
+          s""","calib_mini_min_sec":$r,"calib_mini_min_rule":"second_smallest_since_r13"""").getOrElse("")
     // Stamp any session-conf override into the artifact: a leaked
     // SPARK_GRAFT_EXTRA_CONF must be visible in the committed numbers,
     // never a silent contaminant (r9 ADVICE).

@@ -91,7 +91,8 @@ def main():
             if not att:
                 unattributed.append(n)
     ok(not unattributed,
-       f"zero unattributed >1.4x-vs-sibling-median entries ({unattributed})")
+       "zero unattributed >1.4x-vs-sibling-median entries of >=1 s "
+       f"(sub-second = scheduling noise, out of claim scope) ({unattributed})")
 
     # --- the q86 story ------------------------------------------------
     q86c = sibs["c"]["retried"]["q86_fm_side_features"]

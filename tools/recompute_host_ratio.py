@@ -44,10 +44,23 @@ def host_ratio(groups, q_idx, ref, window=WINDOW):
     return max(near + before + after) / ref
 
 
+def robust_low(xs):
+    """Mirror of Bench.robustLow: second-smallest once >=3 samples."""
+    s = sorted(xs)
+    return s[1] if len(s) >= 3 else s[0]
+
+
 def recomputed_map(d):
-    """The host-ratio map a current-rule Bench would have embedded."""
+    """The host-ratio map a current-rule Bench would have embedded.
+
+    The reference is recomputed from the raw timeline under the
+    spec-pinned robustLow rule — NOT taken from the artifact's embedded
+    calib_mini_min_sec — so the map is fully derived from raw data even
+    for artifacts rolled under the pre-r13 raw-min rule (whose embedded
+    min could be one outlier-fast sample, inflating every ratio).
+    """
     timeline = d["calib_timeline"]
-    ref = d["calib_mini_min_sec"]
+    ref = robust_low([t for _, t in timeline]) if timeline else 0.0
     by_idx = {}
     for i, t in timeline:
         by_idx.setdefault(i, []).append(t)
@@ -61,14 +74,19 @@ def main():
         text = open(path).read()
         d = json.loads(text)
         new = recomputed_map(d)
+        old_span = re.search(r'"queries_host_ratio":\{[^}]*\}', text)
+        assert old_span is not None, f"{path}: no host_ratio map"
         span = '"queries_host_ratio":{' + ",".join(
             f'"{n}":{new[n]:.2f}' for n in sorted(new)) + "}"
         out, nsub = re.subn(r'"queries_host_ratio":\{[^}]*\}', span, text)
         assert nsub == 1, f"{path}: expected exactly one host_ratio map"
         json.loads(out)  # still valid JSON
         open(path, "w").write(out)
+        # count changes against the OLD map's span only — a whole-file
+        # substring test false-matches raw queries values that share the
+        # '"name":X.XX' prefix with the new ratio
         changed = sum(1 for n in new
-                      if f'"{n}":{new[n]:.2f}' not in text)
+                      if f'"{n}":{new[n]:.2f}' not in old_span.group(0))
         print(f"{path}: rewritten ({changed} entries changed)")
 
 
