@@ -154,6 +154,24 @@ def main():
     worst = max(q["ratio"] for q in sc["queries"].values())
     ok(worst < 7.5 and all(q["ratio"] < 10 for q in sc["queries"].values()),
        f"all 17 flagships sub-linear for 10x data (worst FM {worst:.2f}x)")
+    # sibling scale roll: 14/17 ratios within 1.25x; the three movers
+    # (q53/q65/q135) are the barrier-heavy variance rows, q53's burst
+    # flagged by its own pre-run mini-calibs (0.28-0.31 s vs the floor)
+    scb = json.load(open("BENCH_SCALE_r13_b.json"))
+    agree = [n for n in sc["queries"]
+             if max(sc["queries"][n]["ratio"], scb["queries"][n]["ratio"]) /
+                min(sc["queries"][n]["ratio"], scb["queries"][n]["ratio"])
+                <= 1.25]
+    ok(len(agree) == 14 and
+       set(sc["queries"]) - set(agree) ==
+       {"q53_fm", "q65_knn_ivf", "q135_semantic_dedup"},
+       f"sibling scale roll: 14/17 ratios within 1.25x "
+       f"(movers {sorted(set(sc['queries']) - set(agree))})")
+    ok(abs(scb["queries"]["q53_fm"]["ratio"] - 11.52) < 0.05
+       and len(scb["queries"]["q53_fm"]["large_runs"]) == 3
+       and max(r["pre_calib_sec"]
+               for r in scb["queries"]["q53_fm"]["large_runs"]) > 0.25,
+       "sibling q53 11.5x: third run fired, burst in its own pre-calibs")
 
     print()
     if FAILURES:
