@@ -43,9 +43,12 @@ object Bench {
 
   /** Per-query host-ratio attribution (spec-pinned like [[keepRetry]]/
     * [[robustLow]]): max of the calib-sample-group medians within
-    * ±window suite indices of the query — plus, when the window is
-    * empty on a side (sparse sampling: groups land every ~10th query),
-    * the nearest group on that side — over the session's robust low.
+    * ±window suite indices of the query — plus, unconditionally, the
+    * nearest group on each side — over the session's robust low. The
+    * nearest-bracket terms are redundant whenever a group exists
+    * inside the window on that side (the nearest group is then IN the
+    * window) and extend coverage where sampling is sparse (groups land
+    * every ~10th query, so a side's window can be empty).
     *
     * A windowed MAX, not just the two nearest brackets: a retried
     * query's own settled post-sample is labeled with its own index, so

@@ -12,13 +12,23 @@ Exits nonzero if any claim fails. When a claim is deliberately changed
 same commit — a stale check failing loudly is this file working.
 """
 import json
+import os
 import statistics
 import sys
 
-sys.path.insert(0, "tools")
+# Resolve everything from this file's location (r13 ADVICE): the repo
+# root is the parent of tools/, so the auditor runs from any cwd.
+TOOLS = os.path.dirname(os.path.abspath(__file__))
+ROOT = os.path.dirname(TOOLS)
+sys.path.insert(0, TOOLS)
 from recompute_host_ratio import recomputed_map  # the spec-pinned rule
 
 FAILURES = []
+
+
+def art(name):
+    """Committed-artifact path, cwd-independent."""
+    return os.path.join(ROOT, name)
 
 
 def ok(cond, msg):
@@ -28,10 +38,10 @@ def ok(cond, msg):
 
 
 def main():
-    auth = json.load(open("bench_full_r13.json"))
-    sibs = {k: json.load(open(f"bench_full_r13_{k}.json")) for k in "bcdef"}
-    r11 = json.load(open("bench_full_r11.json"))
-    r12 = json.load(open("bench_full_r12.json"))
+    auth = json.load(open(art("bench_full_r13.json")))
+    sibs = {k: json.load(open(art(f"bench_full_r13_{k}.json"))) for k in "bcdef"}
+    r11 = json.load(open(art("bench_full_r11.json")))
+    r12 = json.load(open(art("bench_full_r12.json")))
 
     # --- headline: authoritative roll -------------------------------
     ok(abs(auth["value"] - 337.5) < 0.1 and len(auth["queries"]) == 148
@@ -73,6 +83,20 @@ def main():
         ok(not drift,
            f"{label} queries_host_ratio == recomputed from raw timeline"
            f" ({len(drift)} drifted)")
+
+    # --- host_ratio provenance (r13 ADVICE): _d/_e were rolled under
+    # the pre-r13 nearest-bracket rule and brought to the committed rule
+    # by tools/recompute_host_ratio.py — they carry the tool's stamp;
+    # auth/_f embedded their maps engine-side under the final rule and
+    # carry none. For the stamped pair the equality check above is
+    # necessarily circular (both sides are this tool's code); their
+    # non-circular evidence is the stamp itself plus the raw timeline.
+    for label, d, recomp in [("auth", auth, False), ("_d", sibs["d"], True),
+                             ("_e", sibs["e"], True), ("_f", sibs["f"], False)]:
+        got = d.get("host_ratio_recomputed", False)
+        ok(got == recomp,
+           f"{label} host_ratio provenance: "
+           + ("tool-recomputed (stamped)" if recomp else "engine-written"))
 
     # --- attribution acceptance test ---------------------------------
     # every authoritative entry disagreeing >1.4x with the sibling-roll
@@ -130,7 +154,7 @@ def main():
        "q140 2.74-3.97 s, slow end calib-flagged in _b")
 
     # --- probe journal -------------------------------------------------
-    pw = [json.loads(l) for l in open("PROBES_r13.json")]
+    pw = [json.loads(l) for l in open(art("PROBES_r13.json"))]
     ok(abs(min(p["pr_sec"] for p in pw) - 7.48) < 0.01,
        "PR best 7.48 s (17.11 M edge-iters/s)")
     ok(abs(min(p["tc_sec"] for p in pw) - 12.22) < 0.01,
@@ -139,7 +163,7 @@ def main():
        "PR probe steal <= 0.001 every run")
 
     # --- scale decade ---------------------------------------------------
-    sc = json.load(open("BENCH_SCALE_r13.json"))
+    sc = json.load(open(art("BENCH_SCALE_r13.json")))
     third = sorted(n for n, q in sc["queries"].items()
                    if len(q["small_runs"]) > 2 or len(q["large_runs"]) > 2)
     ok(third == ["q135_semantic_dedup", "q14_triangle_count"],
@@ -157,7 +181,7 @@ def main():
     # sibling scale roll: 14/17 ratios within 1.25x; the three movers
     # (q53/q65/q135) are the barrier-heavy variance rows, q53's burst
     # flagged by its own pre-run mini-calibs (0.28-0.31 s vs the floor)
-    scb = json.load(open("BENCH_SCALE_r13_b.json"))
+    scb = json.load(open(art("BENCH_SCALE_r13_b.json")))
     agree = [n for n in sc["queries"]
              if max(sc["queries"][n]["ratio"], scb["queries"][n]["ratio"]) /
                 min(sc["queries"][n]["ratio"], scb["queries"][n]["ratio"])

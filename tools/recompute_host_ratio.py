@@ -33,7 +33,11 @@ def median_of(xs):
 
 
 def host_ratio(groups, q_idx, ref, window=WINDOW):
-    """Mirror of Bench.hostRatio (spec: BenchEstimatorSpec)."""
+    """Mirror of Bench.hostRatio (spec: BenchEstimatorSpec): max of the
+    sample-group medians within ±window indices PLUS, unconditionally,
+    the nearest group on each side (redundant when a group exists
+    inside the window on that side; coverage where sampling is sparse),
+    over the robust low."""
     if ref <= 0 or not groups:
         return 1.0
     near = [v for i, v in groups.items() if abs(i - q_idx) <= window]
@@ -69,16 +73,27 @@ def recomputed_map(d):
     return {n: host_ratio(groups, qi, ref) for qi, n in enumerate(names)}
 
 
+# Provenance marker (r13 ADVICE): a map rewritten by this tool is
+# stamped, so a reader can tell engine-written maps (no marker) from
+# recomputed ones, and the auditor can report which artifacts carry
+# which — for pre-rule rolls the "embedded == recomputed" check is
+# otherwise circular (both sides come from this same code).
+RULE = "windowed_max_pm5_r13"
+SPAN_RE = (r'"queries_host_ratio":\{[^}]*\}'
+           r'(,"host_ratio_recomputed":true,"host_ratio_rule":"[^"]*")?')
+
+
 def main():
     for path in sys.argv[1:]:
         text = open(path).read()
         d = json.loads(text)
         new = recomputed_map(d)
-        old_span = re.search(r'"queries_host_ratio":\{[^}]*\}', text)
+        old_span = re.search(SPAN_RE, text)
         assert old_span is not None, f"{path}: no host_ratio map"
-        span = '"queries_host_ratio":{' + ",".join(
+        span = ('"queries_host_ratio":{' + ",".join(
             f'"{n}":{new[n]:.2f}' for n in sorted(new)) + "}"
-        out, nsub = re.subn(r'"queries_host_ratio":\{[^}]*\}', span, text)
+            + f',"host_ratio_recomputed":true,"host_ratio_rule":"{RULE}"')
+        out, nsub = re.subn(SPAN_RE, span, text)
         assert nsub == 1, f"{path}: expected exactly one host_ratio map"
         json.loads(out)  # still valid JSON
         open(path, "w").write(out)
