@@ -72,6 +72,63 @@ object Bench {
       (near ++ before ++ after).max / ref
     }
 
+  /** Cross-roll stall classifier for the zero-steal contention mode
+    * this box exhibits (minutes-scale host stalls with NO steal
+    * jiffies, flat faults, flat GC, clean calib samples — the r13
+    * roll-c q51 22.1 s entry vs 7.2–8.2 s in the five sibling rolls,
+    * clean on every per-row instrument). The discriminator is the
+    * process-CPU delta: a stalled query did the SAME work (cpu_sec at
+    * its sibling level) while its wall ballooned, i.e. the process
+    * simply wasn't scheduled; a query whose cpu moved WITH its wall
+    * genuinely did different work (plan/AQE variance), which is not a
+    * stall.
+    *
+    * Spec-pinned like [[keepRetry]]/[[robustLow]]/[[hostRatio]], but
+    * with NO live caller in the suite loop: a stall is only visible
+    * against same-query SIBLING-ROLL medians, which do not exist
+    * inside a single run (and per-query wall/cpu ratios vary too
+    * widely for any universal in-run threshold). The rule is executed
+    * by `tools/recompute_stall.py` — an exact mirror, the same
+    * relationship recompute_host_ratio.py has to [[hostRatio]] — over
+    * a round's committed rolls, and stamped into each artifact as
+    * `queries_stall` with rule/sibling provenance.
+    *
+    * Inputs: the entry's own kept-run bracket plus the sibling-roll
+    * medians (medianOf convention: sorted upper-middle). Negative
+    * `cpu`/`sibCpuMed`/`gcMs` mean the field predates that
+    * instrument's layer (rolls before r13's mid-round commits).
+    * Returns:
+    *  - None — in sibling agreement (≤1.4×), sub-second, or already
+    *    attributed by another instrument. The attribution thresholds
+    *    are EXACTLY the audit acceptance-test's: steal_frac > 0.004,
+    *    minflt > 1e6, gc_ms > 20% of wall, host_ratio > 1.4, or a
+    *    published retry — one consistent cleanliness notion repo-wide.
+    *  - Some("stall") — wall > 1.4× sibling median, every instrument
+    *    clean, cpu within the ±1.15× band of ITS sibling median: the
+    *    confirmed same-work-not-scheduled shape.
+    *  - Some("excess_cpu") / Some("low_cpu") — wall inflated and clean
+    *    but cpu materially above/below its sibling median: NOT a
+    *    stall (the work itself differed); published so the entry still
+    *    carries a mechanical flag instead of reading unattributed.
+    *  - Some("stall_cpu_unconfirmed") — the stall shape in a roll that
+    *    predates the cpu_sec layer (the r13 _c/_b/_d rolls): wall
+    *    inflated, all available instruments clean, no cpu to confirm.
+    */
+  def stallFlag(wall: Double, sibWallMed: Double,
+                cpu: Double, sibCpuMed: Double,
+                steal: Double, minflt: Long, gcMs: Long,
+                retried: Boolean, hostRatio: Double): Option[String] =
+    if (wall < 1.0 || sibWallMed <= 0 || wall <= 1.4 * sibWallMed) None
+    else if (steal > 0.004 || minflt > 1000000L ||
+             (gcMs >= 0 && gcMs > 0.2 * wall * 1000) ||
+             retried || hostRatio > 1.4) None
+    else if (cpu >= 0 && sibCpuMed > 0) {
+      val band = math.max(cpu, sibCpuMed) / math.min(cpu, sibCpuMed)
+      if (band <= 1.15) Some("stall")
+      else if (cpu > sibCpuMed) Some("excess_cpu")
+      else Some("low_cpu")
+    } else Some("stall_cpu_unconfirmed")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",

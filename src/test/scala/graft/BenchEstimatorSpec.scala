@@ -87,4 +87,65 @@ class BenchEstimatorSpec extends AnyFunSuite {
     assert(Bench.hostRatio(Map.empty, 5, ref = 0.15) == 1.0)
     assert(Bench.hostRatio(Map(1 -> 0.15), 5, ref = 0.0) == 1.0)
   }
+
+  test("stallFlag: the r13 roll-c q51 shape (wall 3x, every instrument clean, pre-cpu roll) gets the flag") {
+    // constants replayed from the committed bench_full_r13_c.json row:
+    // wall 22.13 s vs sibling median 7.24 s, steal 0.00064, minflt
+    // 11623, gc/cpu predate the roll (-1), host_ratio 1.35 recomputed
+    // from the roll's own raw calib_timeline, not retried
+    assert(Bench.stallFlag(wall = 22.128, sibWallMed = 7.241,
+      cpu = -1.0, sibCpuMed = 44.96, steal = 0.00064, minflt = 11623L,
+      gcMs = -1L, retried = false, hostRatio = 1.35)
+      .contains("stall_cpu_unconfirmed"))
+    // the same shape in a roll WITH the cpu layer, cpu at its sibling
+    // level (the authoritative/_f q51 cpu_sec values are 47.9/42.0 s):
+    // the confirmed same-work-not-scheduled stall
+    assert(Bench.stallFlag(wall = 22.128, sibWallMed = 7.241,
+      cpu = 46.0, sibCpuMed = 44.96, steal = 0.00064, minflt = 11623L,
+      gcMs = 0L, retried = false, hostRatio = 1.35).contains("stall"))
+  }
+
+  test("stallFlag: clean and attributed entries never flag") {
+    // the authoritative roll's own q51 row: wall 8.25 s vs sibling
+    // median 7.24 s (1.14x) — sibling agreement, no flag
+    assert(Bench.stallFlag(8.247, 7.241, 47.94, 42.0, 0.00008, 10319L,
+      0L, retried = false, hostRatio = 1.42).isEmpty)
+    // the r13 _d q20 residual: wall 3.54 s vs 1.88 s median BUT its
+    // recomputed host_ratio reads 7.52 — attributed as a host burst,
+    // exactly how the r13 VERDICT predicted this rule would classify it
+    assert(Bench.stallFlag(3.54, 1.88, -1.0, 3.23, 0.0, 3893L, 0L,
+      retried = false, hostRatio = 7.52).isEmpty)
+    // sub-second entries are scheduling noise, out of scope
+    assert(Bench.stallFlag(0.9, 0.3, 1.0, 1.0, 0.0, 0L, 0L,
+      retried = false, hostRatio = 1.0).isEmpty)
+    // FASTER than the sibling median is never a stall
+    assert(Bench.stallFlag(5.0, 9.0, 20.0, 20.0, 0.0, 0L, 0L,
+      retried = false, hostRatio = 1.0).isEmpty)
+    // each attribution instrument blocks the flag on its own:
+    // steal, fault storm, GC debt (>20% of wall), a published retry
+    assert(Bench.stallFlag(10.0, 5.0, 20.0, 20.0, 0.005, 0L, 0L,
+      retried = false, hostRatio = 1.0).isEmpty)
+    assert(Bench.stallFlag(10.0, 5.0, 20.0, 20.0, 0.0, 2000000L, 0L,
+      retried = false, hostRatio = 1.0).isEmpty)
+    assert(Bench.stallFlag(10.0, 5.0, 20.0, 20.0, 0.0, 0L, 2100L,
+      retried = false, hostRatio = 1.0).isEmpty)
+    assert(Bench.stallFlag(10.0, 5.0, 20.0, 20.0, 0.0, 0L, 0L,
+      retried = true, hostRatio = 1.0).isEmpty)
+    // an UNAVAILABLE gc bracket (-1, pre-gc roll) is not an attribution
+    assert(Bench.stallFlag(10.0, 5.0, 20.0, 20.0, 0.0, 0L, -1L,
+      retried = false, hostRatio = 1.0).contains("stall"))
+  }
+
+  test("stallFlag: cpu moving WITH the wall is work variance, not a stall") {
+    // wall 2x with cpu 2x: the query genuinely did more work
+    assert(Bench.stallFlag(10.0, 5.0, 40.0, 20.0, 0.0, 0L, 0L,
+      retried = false, hostRatio = 1.0).contains("excess_cpu"))
+    // wall 2x with cpu materially BELOW its sibling median: also not
+    // the same-work shape — flagged by its own name
+    assert(Bench.stallFlag(10.0, 5.0, 10.0, 20.0, 0.0, 0L, 0L,
+      retried = false, hostRatio = 1.0).contains("low_cpu"))
+    // the band edge: 1.15x cpu still reads as same work
+    assert(Bench.stallFlag(10.0, 5.0, 23.0, 20.0, 0.0, 0L, 0L,
+      retried = false, hostRatio = 1.0).contains("stall"))
+  }
 }

@@ -22,6 +22,7 @@ TOOLS = os.path.dirname(os.path.abspath(__file__))
 ROOT = os.path.dirname(TOOLS)
 sys.path.insert(0, TOOLS)
 from recompute_host_ratio import recomputed_map  # the spec-pinned rule
+from recompute_stall import stall_map  # mirror of Bench.stallFlag
 
 FAILURES = []
 
@@ -111,7 +112,8 @@ def main():
                    or auth["queries_minflt"].get(n, 0) > 1e6
                    or auth["queries_gc_ms"].get(n, 0) > 0.2 * 1000 * v
                    or auth["queries_host_ratio"].get(n, 1) > 1.4
-                   or n in auth.get("retried", {}))
+                   or n in auth.get("retried", {})
+                   or n in auth.get("queries_stall", {}))
             if not att:
                 unattributed.append(n)
     ok(not unattributed,
@@ -141,6 +143,36 @@ def main():
        "_c q51 22.1 s; 7.2-8.2 s in the other five")
     ok(abs(sibs["d"]["queries"]["q20_minhash_dups"] - 3.5) < 0.1,
        "_d q20 3.5 s residual")
+
+    # --- stall classification (r13 VERDICT What's-wrong #1): the
+    # queries_stall maps stamped into the six rolls are DERIVED — each
+    # must equal a recomputation under the spec-pinned Bench.stallFlag
+    # mirror against the other five rolls, and the two r13 residuals
+    # must classify the way the rule's acceptance criterion demands:
+    # _c-q51 (wall 3.1x, every available instrument clean) carries the
+    # stall flag; _d-q20 is a host BURST (recomputed host_ratio 7.5),
+    # so the stall rule correctly does NOT claim it.
+    rolls = [("auth", auth)] + [(f"_{k}", sibs[k]) for k in "bcdef"]
+    for label, d in rolls:
+        others = [s for l2, s in rolls if l2 != label]
+        want = stall_map(d, others)
+        ok(d.get("queries_stall") == want and "stall_rule" in d,
+           f"{label} queries_stall == recomputed under Bench.stallFlag "
+           f"({len(want)} flagged)")
+    ok(sibs["c"]["queries_stall"].get("q51_pmf") == "stall_cpu_unconfirmed",
+       "_c q51 carries the stall flag (cpu layer absent in that roll)")
+    ok("q20_minhash_dups" not in sibs["d"]["queries_stall"]
+       and sibs["d"]["queries_host_ratio"]["q20_minhash_dups"] > 1.4,
+       "_d q20 classifies as host burst (host_ratio 7.5), not stall")
+    flagged = {l: sorted(d.get("queries_stall", {})) for l, d in rolls}
+    ok(flagged == {"auth": [], "_b": ["q72_warmstart_matrix",
+                                     "q90_gas_pagerank"],
+                   "_c": ["q51_pmf"], "_d": ["q63_functional_pagerank"],
+                   "_e": [], "_f": ["q110_boilerplate_strip"]},
+       f"stall maps: exactly 5 flagged entries across six rolls ({flagged})")
+    ok(sibs["f"]["queries_stall"]["q110_boilerplate_strip"] == "excess_cpu",
+       "_f q110 wall moved WITH its cpu (1.55 vs 0.78 s): work variance,"
+       " not a stall")
 
     # --- watchlist ----------------------------------------------------
     q64 = [auth["queries"]["q64_token_pmi"]] + \
