@@ -851,7 +851,7 @@ object Bench {
     // in a fresh *_driver file, adjudicated against the committed run
     // by the authority rule (README) at the next commit.
     val benchFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE",
-      "/root/repo/bench_full_r13_driver.json")
+      "/root/repo/bench_full_r14_driver.json")
     // Persist the complete per-query JSON — the round artifact only
     // keeps the stdout tail, which truncated half the r2 numbers. Full
     // (unfiltered) runs at sf0.1 only, so neither a local subset run nor
