@@ -1,9 +1,10 @@
 #!/usr/bin/env python3
-"""Re-verify every quantitative claim in README.md's r13 authority note
-against the COMMITTED artifacts (r12 VERDICT What's-wrong #1b: two r12
-README claims were falsified by the artifacts they cited; the r13 done
-criterion is that every claim be mechanically re-verifiable — this
-script is that verification). Pure stdlib; run from the repo root:
+"""Re-verify every quantitative claim in README.md's r14 and r13
+authority notes against the COMMITTED artifacts (r12 VERDICT
+What's-wrong #1b: two r12 README claims were falsified by the
+artifacts they cited; the r13 done criterion was that every claim be
+mechanically re-verifiable — this script is that verification). Pure
+stdlib; run from any cwd:
 
     python3 tools/audit_claims.py
 
@@ -38,7 +39,184 @@ def ok(cond, msg):
         FAILURES.append(msg)
 
 
+def median_of(xs):
+    """Bench.medianOf mirror: sorted upper-middle (NOT statistics.median)."""
+    s = sorted(xs)
+    return s[len(s) // 2]
+
+
+def r14():
+    """Claims of the README r14 authority note."""
+    auth = json.load(open(art("bench_full_r14.json")))
+    sibs = {k: json.load(open(art(f"bench_full_r14_{k}.json")))
+            for k in "bcde"}
+    rolls = {"auth": auth, **{f"_{k}": d for k, d in sibs.items()}}
+
+    # --- headline + flat normalized totals -----------------------------
+    ok(abs(auth["value"] - 338.1) < 0.1 and len(auth["queries"]) == 148
+       and not auth["errors"],
+       "r14 authoritative: 148 queries, 338.1 s, 0 errors")
+    ok(abs(auth["calib_sec"] - 0.494) < 0.001 and
+       auth["steal_frac_wall"] < 0.0005,
+       "r14 authoritative calib_sec 0.494, steal_frac_wall <0.0005")
+    ok(abs(auth["value"] / auth["calib_sec"] - 684) < 2,
+       "r14 normalized 684 sec-per-calib (flat vs r11-r13's 690/700/690)")
+    for k, tot, cal in [("b", 368.8, 0.522), ("c", 394.0, 0.671),
+                        ("d", 392.7, 0.576), ("e", 387.8, 0.727)]:
+        ok(abs(sibs[k]["value"] - tot) < 0.1
+           and abs(sibs[k]["calib_sec"] - cal) < 0.001
+           and not sibs[k]["errors"],
+           f"r14 _{k} total {tot} s, calib {cal}, 0 errors")
+    ok(all("queries_cpu_sec" in d and "queries_stall" in d
+           and "queries_host_ratio" in d
+           and not d.get("host_ratio_recomputed", False)
+           for d in rolls.values()),
+       "all five r14 rolls carry the complete field set incl. stamped "
+       "stall maps; host_ratio engine-written in every roll")
+
+    # --- derived maps == recomputed under the spec-pinned rules --------
+    from recompute_stall import stall_map
+    for label, d in rolls.items():
+        want_hr = recomputed_map(d)
+        got_hr = d["queries_host_ratio"]
+        drift = [n for n in want_hr
+                 if abs(got_hr[n] - round(want_hr[n], 2)) > 0.005]
+        others = [s for l2, s in rolls.items() if l2 != label]
+        ok(not drift and d["queries_stall"] == stall_map(d, others),
+           f"r14 {label} host_ratio + stall maps == recomputed from raw "
+           f"({len(drift)} drifted)")
+    flagged = {l: d["queries_stall"] for l, d in rolls.items()
+               if d["queries_stall"]}
+    ok(flagged == {"auth": {"q135_semantic_dedup": "excess_cpu"}},
+       f"r14 stall maps: the only flag across five rolls is auth q135 "
+       f"excess_cpu ({flagged})")
+
+    # --- attribution acceptance, strongest form: EVERY roll, zero ≥1 s
+    # entries >1.4x SLOWER than the sibling-roll median without a
+    # mechanical flag in their own row ----------------------------------
+    unattributed = []
+    for label, d in rolls.items():
+        for n, v in d["queries"].items():
+            med = median_of([rolls[x]["queries"][n]
+                             for x in rolls if x != label])
+            if med <= 0 or v < 1.0 or v <= 1.4 * med:
+                continue
+            att = (d["queries_steal_frac"].get(n, 0) > 0.004
+                   or d["queries_minflt"].get(n, 0) > 1e6
+                   or d["queries_gc_ms"].get(n, 0) > 0.2 * 1000 * v
+                   or d["queries_host_ratio"].get(n, 1) > 1.4
+                   or n in d.get("retried", {})
+                   or n in d.get("queries_stall", {}))
+            if not att:
+                unattributed.append((label, n))
+    ok(not unattributed,
+       f"every r14 roll: zero unattributed >1.4x-slower-than-sibling-"
+       f"median entries of >=1 s ({unattributed})")
+    # complementary direction: a ≥2 s entry FASTER than a disagreeing
+    # median means the median is polluted by slow siblings — some sibling
+    # row of that query must carry a flag
+    orphans = []
+    for label, d in rolls.items():
+        for n, v in d["queries"].items():
+            med = median_of([rolls[x]["queries"][n]
+                             for x in rolls if x != label])
+            if med < 2.0 or v <= 0 or med <= 1.4 * v:
+                continue
+            sib_flagged = any(
+                rolls[x]["queries_steal_frac"].get(n, 0) > 0.004
+                or rolls[x]["queries_host_ratio"].get(n, 1) > 1.4
+                or n in rolls[x].get("retried", {})
+                or n in rolls[x].get("queries_stall", {})
+                for x in rolls if x != label)
+            if not sib_flagged:
+                orphans.append((label, n))
+    ok(not orphans,
+       f"every faster-than-median >=2 s disagreement has a flagged slow "
+       f"sibling ({orphans})")
+
+    # --- the q135 work-variance story ----------------------------------
+    w = {l: d["queries"]["q135_semantic_dedup"] for l, d in rolls.items()}
+    c = {l: d["queries_cpu_sec"]["q135_semantic_dedup"]
+         for l, d in rolls.items()}
+    ok(9.2 < min(w.values()) and max(w.values()) < 23.5
+       and 13.0 < min(c.values()) and max(c.values()) < 36.2
+       and sorted(w, key=w.get) == sorted(c, key=c.get),
+       "q135: five draws 9.3-23.4 s with cpu 13.1-36.1 s tracking the "
+       "wall (same roll order) — work variance, not a stall")
+    q51 = {l: d["queries"]["q51_pmf"] for l, d in rolls.items()}
+    ok(6.5 < min(q51.values()) and max(q51.values()) < 10.5
+       and all("q51_pmf" not in d["queries_stall"] for d in rolls.values()),
+       "q51 6.6-10.4 s across five rolls, zero stall flags this round")
+    q86 = [d["queries"]["q86_fm_side_features"] for d in rolls.values()]
+    ok(11.3 <= min(q86) and max(q86) <= 14.6,
+       "q86 holds 11.4-14.5 s across all five rolls")
+    # the burst-day self-flagging example: q56 slow rows carry flags
+    q56 = "q56_svd_onesided"
+    ok(auth["queries"][q56] < 6.5 and sibs["b"]["queries"][q56] < 6.5
+       and all(sibs[k]["queries"][q56] > 9.7 - 0.1 and
+               (sibs[k]["queries_host_ratio"][q56] > 1.4
+                or sibs[k]["queries_steal_frac"][q56] > 0.004
+                or q56 in sibs[k].get("retried", {}))
+               for k in "cde"),
+       "q56 6.4 s clean rolls / 9.7-10.7 s burst rolls, every slow row "
+       "self-flagged")
+
+    # --- scale decade under the r14 brackets ---------------------------
+    sc = json.load(open(art("BENCH_SCALE_r14.json")))       # clean roll
+    scb = json.load(open(art("BENCH_SCALE_r14_b.json")))    # first roll
+    ok(all(q["ratio"] < 10 for q in sc["queries"].values())
+       and abs(sc["queries"]["q53_fm"]["ratio"] - 7.36) < 0.01,
+       "scale (authoritative): all 17 sub-linear, worst q53 7.36x "
+       "(r13: 7.47x)")
+    ok(all("cpu_sec" in r and "gc_ms" in r
+           for q in list(sc["queries"].values())
+           + list(scb["queries"].values())
+           for r in q["small_runs"] + q["large_runs"]),
+       "every scale run carries cpu_sec + gc_ms (r13 VERDICT #3)")
+    ok(sc["queries"]["q14_triangle_count"]["small_best_rule"]
+       == "median_of_3"
+       and scb["queries"]["q14_triangle_count"]["small_best_rule"]
+       == "median_of_3",
+       "q14's small side fired the third-run rule in both rolls and "
+       "published median_of_3 as its basis")
+    agree = [n for n in sc["queries"]
+             if max(sc["queries"][n]["ratio"], scb["queries"][n]["ratio"]) /
+                min(sc["queries"][n]["ratio"], scb["queries"][n]["ratio"])
+                <= 1.25]
+    ok(len(agree) == 13 and set(sc["queries"]) - set(agree) ==
+       {"q14_triangle_count", "q53_fm", "q135_semantic_dedup",
+        "q139_ngram_novelty"},
+       f"scale sibling: 13/17 ratios within 1.25x (movers "
+       f"{sorted(set(sc['queries']) - set(agree))})")
+    q53b = scb["queries"]["q53_fm"]
+    ok(abs(q53b["ratio"] - 15.75) < 0.01
+       and max(r["pre_calib_sec"] for r in q53b["large_runs"]) > 1.0
+       and max(r["cpu_sec"] for r in q53b["large_runs"]) > 4500
+       and max(r["cpu_sec"] for r in
+               sc["queries"]["q53_fm"]["large_runs"]) < 3100,
+       "sibling q53 15.75x carries its attribution: a >1 s pre-calib "
+       "burst and 5012 s cpu vs the clean roll's <3100 s")
+    ok(sc["queries"]["q135_semantic_dedup"]["ratio"] < 1.5
+       and scb["queries"]["q135_semantic_dedup"]["ratio"] < 1.5,
+       "scale q135 far sub-linear in both rolls (0.74x/1.12x)")
+
+    # --- probe journal ---------------------------------------------------
+    pw = [json.loads(l) for l in open(art("PROBES_r14.json"))]
+    ok(len(pw) == 3 and abs(min(p["pr_sec"] for p in pw) - 8.50) < 0.01,
+       "r14 PR best 8.50 s (15.06 M edge-iters/s) across three windows")
+    ok(abs(min(p["tc_sec"] for p in pw) - 15.71) < 0.01,
+       "r14 TC best 15.71 s (2.04 M edges/s)")
+    ok(max(pw[2]["pr_steal_frac_runs"]) <= 0.0052,
+       "window-3 PR runs all read steal <=0.0052 (the clean window)")
+    ok(max(pw[1]["tc_steal_frac_runs"][1:]) <= 0.0052
+       and max(p for w in pw for p in
+               w["pr_steal_frac_runs"] + w["tc_steal_frac_runs"]) > 0.1,
+       "the 15.7-15.8 s TC runs read steal <=0.005 while the day's "
+       "bursts (up to 0.15) land in OTHER runs' own fields")
+
+
 def main():
+    r14()
     auth = json.load(open(art("bench_full_r13.json")))
     sibs = {k: json.load(open(art(f"bench_full_r13_{k}.json"))) for k in "bcdef"}
     r11 = json.load(open(art("bench_full_r11.json")))
