@@ -202,8 +202,8 @@ def r14():
 
     # --- probe journal ---------------------------------------------------
     pw = [json.loads(l) for l in open(art("PROBES_r14.json"))]
-    ok(len(pw) == 3 and abs(min(p["pr_sec"] for p in pw) - 8.50) < 0.01,
-       "r14 PR best 8.50 s (15.06 M edge-iters/s) across three windows")
+    ok(len(pw) == 4 and abs(min(p["pr_sec"] for p in pw) - 8.50) < 0.01,
+       "r14 PR best 8.50 s (15.06 M edge-iters/s) across four windows")
     ok(abs(min(p["tc_sec"] for p in pw) - 15.71) < 0.01,
        "r14 TC best 15.71 s (2.04 M edges/s)")
     ok(max(pw[2]["pr_steal_frac_runs"]) <= 0.0052,
