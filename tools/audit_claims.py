@@ -49,7 +49,7 @@ def r14():
     """Claims of the README r14 authority note."""
     auth = json.load(open(art("bench_full_r14.json")))
     sibs = {k: json.load(open(art(f"bench_full_r14_{k}.json")))
-            for k in "bcde"}
+            for k in "bcdef"}
     rolls = {"auth": auth, **{f"_{k}": d for k, d in sibs.items()}}
 
     # --- headline + flat normalized totals -----------------------------
@@ -62,7 +62,8 @@ def r14():
     ok(abs(auth["value"] / auth["calib_sec"] - 684) < 2,
        "r14 normalized 684 sec-per-calib (flat vs r11-r13's 690/700/690)")
     for k, tot, cal in [("b", 368.8, 0.522), ("c", 394.0, 0.671),
-                        ("d", 392.7, 0.576), ("e", 387.8, 0.727)]:
+                        ("d", 392.7, 0.576), ("e", 387.8, 0.727),
+                        ("f", 380.3, 0.520)]:
         ok(abs(sibs[k]["value"] - tot) < 0.1
            and abs(sibs[k]["calib_sec"] - cal) < 0.001
            and not sibs[k]["errors"],
@@ -71,7 +72,7 @@ def r14():
            and "queries_host_ratio" in d
            and not d.get("host_ratio_recomputed", False)
            for d in rolls.values()),
-       "all five r14 rolls carry the complete field set incl. stamped "
+       "all six r14 rolls carry the complete field set incl. stamped "
        "stall maps; host_ratio engine-written in every roll")
 
     # --- derived maps == recomputed under the spec-pinned rules --------
@@ -87,9 +88,11 @@ def r14():
            f"({len(drift)} drifted)")
     flagged = {l: d["queries_stall"] for l, d in rolls.items()
                if d["queries_stall"]}
-    ok(flagged == {"auth": {"q135_semantic_dedup": "excess_cpu"}},
-       f"r14 stall maps: the only flag across five rolls is auth q135 "
-       f"excess_cpu ({flagged})")
+    ok(flagged == {"auth": {"q135_semantic_dedup": "excess_cpu"},
+                   "_c": {"q06_degrees": "excess_cpu",
+                          "q09_exact_dups": "excess_cpu"}},
+       f"r14 stall maps: auth q135 + _c q06/q09 excess_cpu, nothing "
+       f"else across six rolls ({flagged})")
 
     # --- attribution acceptance, strongest form: EVERY roll, zero ≥1 s
     # entries >1.4x SLOWER than the sibling-roll median without a
@@ -141,25 +144,26 @@ def r14():
     ok(9.2 < min(w.values()) and max(w.values()) < 23.5
        and 13.0 < min(c.values()) and max(c.values()) < 36.2
        and sorted(w, key=w.get) == sorted(c, key=c.get),
-       "q135: five draws 9.3-23.4 s with cpu 13.1-36.1 s tracking the "
+       "q135: six draws 9.3-23.4 s with cpu 13.1-36.1 s tracking the "
        "wall (same roll order) — work variance, not a stall")
     q51 = {l: d["queries"]["q51_pmf"] for l, d in rolls.items()}
     ok(6.5 < min(q51.values()) and max(q51.values()) < 10.5
        and all("q51_pmf" not in d["queries_stall"] for d in rolls.values()),
-       "q51 6.6-10.4 s across five rolls, zero stall flags this round")
+       "q51 6.6-10.4 s across six rolls, zero stall flags this round")
     q86 = [d["queries"]["q86_fm_side_features"] for d in rolls.values()]
-    ok(11.3 <= min(q86) and max(q86) <= 14.6,
-       "q86 holds 11.4-14.5 s across all five rolls")
+    ok(11.3 <= min(q86) and max(q86) <= 15.6,
+       "q86 holds 11.4-15.5 s across all six rolls")
     # the burst-day self-flagging example: q56 slow rows carry flags
     q56 = "q56_svd_onesided"
     ok(auth["queries"][q56] < 6.5 and sibs["b"]["queries"][q56] < 6.5
+       and sibs["f"]["queries"][q56] < 7.3
        and all(sibs[k]["queries"][q56] > 9.7 - 0.1 and
                (sibs[k]["queries_host_ratio"][q56] > 1.4
                 or sibs[k]["queries_steal_frac"][q56] > 0.004
                 or q56 in sibs[k].get("retried", {}))
                for k in "cde"),
-       "q56 6.4 s clean rolls / 9.7-10.7 s burst rolls, every slow row "
-       "self-flagged")
+       "q56 6.4-7.2 s clean rolls / 9.7-10.7 s burst rolls, every slow "
+       "row self-flagged")
 
     # --- scale decade under the r14 brackets ---------------------------
     sc = json.load(open(art("BENCH_SCALE_r14.json")))       # clean roll
