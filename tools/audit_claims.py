@@ -203,6 +203,15 @@ def r14():
     ok(sc["queries"]["q135_semantic_dedup"]["ratio"] < 1.5
        and scb["queries"]["q135_semantic_dedup"]["ratio"] < 1.5,
        "scale q135 far sub-linear in both rolls (0.74x/1.12x)")
+    # third roll: every flagship sub-linear again; q53's clean-draw band
+    scc = json.load(open(art("BENCH_SCALE_r14_c.json")))
+    ok(all(q["ratio"] < 10 for q in scc["queries"].values())
+       and abs(scc["queries"]["q53_fm"]["ratio"] - 8.52) < 0.01
+       and max(r["cpu_sec"]
+               for r in scc["queries"]["q53_fm"]["large_runs"]) < 2350,
+       "third scale roll: all 17 sub-linear, q53 8.52x on clean cpu "
+       "(<2350 s) — clean draws band 7.36-8.52x, _b's 15.75x is the "
+       "attributed burst")
 
     # --- probe journal ---------------------------------------------------
     pw = [json.loads(l) for l in open(art("PROBES_r14.json"))]
