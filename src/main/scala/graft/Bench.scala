@@ -113,6 +113,8 @@ object Bench {
     *  - Some("stall_cpu_unconfirmed") — the stall shape in a roll that
     *    predates the cpu_sec layer (the r13 _c/_b/_d rolls): wall
     *    inflated, all available instruments clean, no cpu to confirm.
+    *    Legacy branch: every r14+ roll carries cpu_sec, so only
+    *    re-stamps over those three pre-cpu r13 rolls can reach it.
     */
   def stallFlag(wall: Double, sibWallMed: Double,
                 cpu: Double, sibCpuMed: Double,
@@ -374,6 +376,46 @@ object Bench {
     // compilation- and GC-time beans per query localize that.
     import java.lang.management.ManagementFactory
     val debug = envFlag("GRAFT_DEBUG")
+    // Stage-level capture for watchlist queries (r14 VERDICT next#2):
+    // q135's excess-cpu draw needs FULL-SUITE state (solo A/B flat,
+    // 15-query predecessor mini-suite negative), so the only way to see
+    // WHERE the extra cpu goes is to record the draw's own executed
+    // stages inside a full roll. For each query whose name starts with
+    // an entry of SPARK_GRAFT_STAGE_QUERIES (default: the q135
+    // watchlist row whenever GRAFT_DEBUG is on), every completed
+    // stage's id/attempt/name/tasks/wall/run/cpu lands in the
+    // artifact's `queries_stages` map — a clean draw and a slow draw
+    // then diff at stage granularity (same stages slower = scheduling;
+    // EXTRA stages or extra tasks = recomputation, the localCheckpoint
+    // eviction hypothesis). Attribution uses a volatile query tag set
+    // only around the timed fn execution and cleared after a listener-
+    // bus drain, so mini-calib/settle jobs never pollute the rows;
+    // when a retry fires, both runs' stages land under the same key in
+    // execution order (the retried map brackets which is which).
+    val stageWatch: Seq[String] = sys.env.get("SPARK_GRAFT_STAGE_QUERIES")
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(if (debug) Seq("q135_semantic_dedup") else Seq.empty)
+    case class StageRow(q: String, id: Int, attempt: Int, name: String,
+                        tasks: Int, wallMs: Long, runMs: Long, cpuMs: Long)
+    val stageRows = new java.util.concurrent.ConcurrentLinkedQueue[StageRow]()
+    @volatile var stageQ = ""
+    if (stageWatch.nonEmpty)
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              ev: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val q = stageQ
+            if (q.nonEmpty) {
+              val si = ev.stageInfo
+              val wall = (for { a <- si.completionTime; b <- si.submissionTime }
+                yield a - b).getOrElse(-1L)
+              stageRows.add(StageRow(q, si.stageId, si.attemptNumber(),
+                si.name.take(48), si.numTasks, wall,
+                si.taskMetrics.executorRunTime,
+                si.taskMetrics.executorCpuTime / 1000000L))
+            }
+          }
+        })
     def codeCacheUsed: Long = ManagementFactory.getMemoryPoolMXBeans
       .asScala.filter(_.getName.startsWith("CodeHeap"))
       .map(_.getUsage.getUsed).sum
@@ -438,6 +480,9 @@ object Bench {
       // attributable from the query's OWN row even when every calib
       // sample around it reads clean.
       def onceTimed(): Timed = {
+        // tag the window for the stage listener BEFORE the first job
+        // (events carry the tag read at delivery time)
+        if (stageWatch.exists(name.startsWith)) stageQ = name
         val j0 = jitMillis
         val s0 = stealJiffies()
         val mf0 = minorFaults()
@@ -460,6 +505,14 @@ object Bench {
         val gd = gcMillis - g0
         val c1 = graft.tools.Proc.processCpuNanos()
         val cd = if (c0 >= 0 && c1 >= 0) (c1 - c0) / 1e9 else -1.0
+        // drain the listener bus before untagging so a watched query's
+        // trailing stage-completed events still carry its tag; AFTER
+        // the instrument bracket reads so the drain is never billed to
+        // the query's own steal/cpu window
+        if (stageQ.nonEmpty) {
+          org.apache.spark.sql.GraftShims.waitListenerBus(spark)
+          stageQ = ""
+        }
         cleanup()
         Timed(dt, err, jd, st, mf, gd, cd)
       }
@@ -601,6 +654,24 @@ object Bench {
       val r = hostRatio(sampleGroups, i, minMini.getOrElse(0.0))
       f""""$k":$r%.2f"""
     }.mkString("{", ",", "}")
+    // Watched queries' executed-stage tables (empty when no watchlist
+    // query ran or SPARK_GRAFT_STAGE_QUERIES/GRAFT_DEBUG is off). Rows
+    // in execution order; run/cpu are the stage's summed task
+    // executorRunTime/executorCpuTime in ms.
+    val stagesJson = {
+      val rows = stageRows.asScala.toSeq
+      if (rows.isEmpty) "" else {
+        s""","stage_queries":${stageWatch.map(jstr).mkString("[", ",", "]")}""" +
+          s""","queries_stages":""" +
+          rows.groupBy(_.q).toSeq.sortBy(_._1).map { case (q, rs) =>
+            s""""$q":""" + rs.map(r =>
+              s"""{"id":${r.id},"attempt":${r.attempt},"name":${jstr(r.name)},""" +
+                s""""tasks":${r.tasks},"wall_ms":${r.wallMs},""" +
+                s""""run_ms":${r.runMs},"cpu_ms":${r.cpuMs}}""")
+              .mkString("[", ",", "]")
+          }.mkString("{", ",", "}")
+      }
+    }
     def timedJson(t: Timed): String =
       f""""sec":${t.sec}%.3f,"jit_ms":${t.jit},"steal_frac":${t.steal}%.5f,"minflt":${t.minflt},"gc_ms":${t.gc},"cpu_sec":${t.cpu}%.3f"""
     val retriedJson = retried
@@ -842,7 +913,7 @@ object Bench {
     // never a silent contaminant (r9 ADVICE).
     val extraConfJson = sys.env.get("SPARK_GRAFT_EXTRA_CONF")
       .map(v => s""","extra_conf":${jstr(v)}""").getOrElse("")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"queries_steal_frac":$qSteal,"queries_minflt":$qMinflt,"queries_gc_ms":$qGc,"queries_cpu_sec":$qCpu,"queries_host_ratio":$qHostRatio$retriedJson,"sf":"$sfDir"$calibJson$miniRefJson$timelineJson$stealJson$extraConfJson$thr}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"queries_steal_frac":$qSteal,"queries_minflt":$qMinflt,"queries_gc_ms":$qGc,"queries_cpu_sec":$qCpu,"queries_host_ratio":$qHostRatio$retriedJson,"sf":"$sfDir"$calibJson$miniRefJson$timelineJson$stealJson$extraConfJson$stagesJson$thr}"""
     // Default deliberately does NOT point at the committed round
     // artifact (bench_full_rNN.json): the round driver re-runs Bench
     // after the round's last commit, and a default aimed at the
@@ -851,7 +922,7 @@ object Bench {
     // in a fresh *_driver file, adjudicated against the committed run
     // by the authority rule (README) at the next commit.
     val benchFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE",
-      "/root/repo/bench_full_r14_driver.json")
+      "/root/repo/bench_full_r15_driver.json")
     // Persist the complete per-query JSON — the round artifact only
     // keeps the stdout tail, which truncated half the r2 numbers. Full
     // (unfiltered) runs at sf0.1 only, so neither a local subset run nor

@@ -136,6 +136,42 @@ class BenchEstimatorSpec extends AnyFunSuite {
       retried = false, hostRatio = 1.0).contains("stall"))
   }
 
+  test("stallFlag: golden vectors (shared fixture with the Python mirror)") {
+    // r14 ADVICE: every committed queries_stall map is produced by
+    // tools/recompute_stall.py and audit-verified against the same
+    // Python code — circular. This test and audit_claims.py's
+    // golden_vectors() consume the SAME committed fixture
+    // (tools/stall_golden.json: replayed artifact rows + a boundary
+    // probe at every threshold of the rule), so a drift in EITHER
+    // implementation fails its own gate against a common reference.
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = om.readTree(new java.io.File("tools/stall_golden.json"))
+    val vs = root.get("vectors")
+    assert(vs != null && vs.size() >= 20, "golden fixture present and non-trivial")
+    val seen = scala.collection.mutable.Set.empty[String]
+    (0 until vs.size()).foreach { i =>
+      val v = vs.get(i)
+      val got = Bench.stallFlag(
+        wall = v.get("wall").asDouble,
+        sibWallMed = v.get("sib_wall_med").asDouble,
+        cpu = v.get("cpu").asDouble,
+        sibCpuMed = v.get("sib_cpu_med").asDouble,
+        steal = v.get("steal").asDouble,
+        minflt = v.get("minflt").asLong,
+        gcMs = v.get("gc_ms").asLong,
+        retried = v.get("retried").asBoolean,
+        hostRatio = v.get("host_ratio").asDouble)
+      val want =
+        if (v.get("expect").isNull) None else Some(v.get("expect").asText)
+      assert(got == want,
+        s"golden vector '${v.get("note").asText}': got $got, want $want")
+      want.foreach(seen += _)
+    }
+    // the fixture exercises every flag kind the rule can emit
+    assert(seen == Set("stall", "excess_cpu", "low_cpu",
+      "stall_cpu_unconfirmed"))
+  }
+
   test("stallFlag: cpu moving WITH the wall is work variance, not a stall") {
     // wall 2x with cpu 2x: the query genuinely did more work
     assert(Bench.stallFlag(10.0, 5.0, 40.0, 20.0, 0.0, 0L, 0L,

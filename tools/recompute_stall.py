@@ -84,8 +84,11 @@ def stall_map(d, siblings):
             median_of(sib_w) if sib_w else -1.0,
             d.get("queries_cpu_sec", {}).get(q, -1.0),
             median_of(sib_c) if sib_c else -1.0,
-            d["queries_steal_frac"][q],
-            d["queries_minflt"][q],
+            # pre-r12 rolls predate the steal/minflt maps; absent maps
+            # read clean (0), consistent with the gc/cpu -1 convention
+            # rather than a KeyError (r14 ADVICE)
+            d.get("queries_steal_frac", {}).get(q, 0.0),
+            d.get("queries_minflt", {}).get(q, 0),
             d.get("queries_gc_ms", {}).get(q, -1),
             q in d.get("retried", {}),
             hr[q])
