@@ -1,5 +1,5 @@
 #!/usr/bin/env python3
-"""Re-verify every quantitative claim in README.md's r14 and r13
+"""Re-verify every quantitative claim in README.md's r15, r14, and r13
 authority notes against the COMMITTED artifacts (r12 VERDICT
 What's-wrong #1b: two r12 README claims were falsified by the
 artifacts they cited; the r13 done criterion was that every claim be
@@ -70,6 +70,185 @@ def golden_vectors():
     ok({v["expect"] for v in vs if v["expect"]} ==
        {"stall", "excess_cpu", "low_cpu", "stall_cpu_unconfirmed"},
        "golden fixture exercises every flag kind the rule can emit")
+
+
+def r15():
+    """Claims of the README r15 authority note."""
+    auth = json.load(open(art("bench_full_r15.json")))
+    sibs = {k: json.load(open(art(f"bench_full_r15_{k}.json")))
+            for k in "bcde"}
+    rolls = {"auth": auth, **{f"_{k}": d for k, d in sibs.items()}}
+
+    # --- headline + flat normalized series ------------------------------
+    ok(abs(auth["value"] - 366.1) < 0.1 and len(auth["queries"]) == 148
+       and not auth["errors"],
+       "r15 authoritative: 148 queries, 366.1 s, 0 errors")
+    ok(abs(auth["calib_sec"] - 0.536) < 0.001
+       and auth["steal_frac_wall"] < 0.002,
+       "r15 authoritative calib_sec 0.536 (cleanest of five), steal <0.002")
+    ok(abs(auth["value"] / auth["calib_sec"] - 683) < 2,
+       "r15 normalized 683 sec-per-calib (flat vs 690/700/690/684)")
+    for k, tot, cal in [("b", 367.2, 0.567), ("c", 420.7, 0.554),
+                        ("d", 367.9, 0.574), ("e", 404.2, 0.628)]:
+        ok(abs(sibs[k]["value"] - tot) < 0.1
+           and abs(sibs[k]["calib_sec"] - cal) < 0.001
+           and not sibs[k]["errors"],
+           f"r15 _{k} total {tot} s, calib {cal}, 0 errors")
+    ok(abs(sibs["c"]["steal_frac_wall"] - 0.0159) < 0.0005
+       and len(sibs["c"]["retried"]) == 16
+       and abs(sibs["d"]["steal_frac_wall"] - 0.0293) < 0.001,
+       "_c the burst roll (steal 0.0159, 16 retried); _d steal 0.0293")
+    ok(all("queries_cpu_sec" in d and "queries_stall" in d
+           and "queries_host_ratio" in d
+           and not d.get("host_ratio_recomputed", False)
+           and "q135_semantic_dedup" in d.get("queries_stages", {})
+           for d in rolls.values()),
+       "all five r15 rolls: complete field set, engine-written "
+       "host_ratio, stamped stall maps, q135 stage tables")
+
+    # --- derived maps == recomputed; stall layer all-clean --------------
+    for label, d in rolls.items():
+        want_hr = recomputed_map(d)
+        got_hr = d["queries_host_ratio"]
+        drift = [n for n in want_hr
+                 if abs(got_hr[n] - round(want_hr[n], 2)) > 0.005]
+        others = [s for l2, s in rolls.items() if l2 != label]
+        ok(not drift and d["queries_stall"] == stall_map(d, others),
+           f"r15 {label} host_ratio + stall maps == recomputed from raw "
+           f"({len(drift)} drifted)")
+    ok(all(d["queries_stall"] == {} for d in rolls.values()),
+       "r15 stall layer: zero stall-kind flags across five rolls x 148 "
+       "queries (first all-clean round)")
+
+    # --- attribution acceptance (guard on the disjunction; content
+    # carried by the stamp-equality checks above — see the r14 note) ----
+    unattributed, movers = [], []
+    for label, d in rolls.items():
+        for n, v in d["queries"].items():
+            med = median_of([rolls[x]["queries"][n]
+                             for x in rolls if x != label])
+            if med <= 0 or v < 1.0 or v <= 1.4 * med:
+                continue
+            att = (d["queries_steal_frac"].get(n, 0) > 0.004
+                   or d["queries_minflt"].get(n, 0) > 1e6
+                   or d["queries_gc_ms"].get(n, 0) > 0.2 * 1000 * v
+                   or d["queries_host_ratio"].get(n, 1) > 1.4
+                   or n in d.get("retried", {})
+                   or n in d.get("queries_stall", {}))
+            (movers if att else unattributed).append((label, n))
+    ok(not unattributed and len(movers) == 11,
+       f"every r15 roll: zero unattributed >1.4x-slower entries of "
+       f">=1 s; the 11 movers all self-attribute ({unattributed})")
+    ok(all(sibs["b"]["queries_host_ratio"][n] > 1.9 for n in
+           ["q114_bucketed_join", "q122_cross_overlap",
+            "q133_winnowing_pairs"]),
+       "_b q114->q134 block under host_ratio 1.96-2.18 (flagged window)")
+    ok(all(n in sibs["c"]["retried"]
+           and sibs["c"]["retried"][n]["trigger"] == "jit+calib"
+           and sibs["c"]["queries_host_ratio"][n] > 1.6
+           for n in ["q41_biassgd2_losses", "q50_climf"]),
+       "_c q41/q50 trainer draws carry jit+calib retries in flagged "
+       "windows")
+    ok(abs(sibs["e"]["queries_steal_frac"]["q59_random_walks"] - 0.006)
+       < 0.0005, "_e q59 reads steal 0.0060")
+    orphans = []
+    for label, d in rolls.items():
+        for n, v in d["queries"].items():
+            med = median_of([rolls[x]["queries"][n]
+                             for x in rolls if x != label])
+            if med < 2.0 or v <= 0 or med <= 1.4 * v:
+                continue
+            sib_flagged = any(
+                rolls[x]["queries_steal_frac"].get(n, 0) > 0.004
+                or rolls[x]["queries_minflt"].get(n, 0) > 1e6
+                or rolls[x]["queries_gc_ms"].get(n, 0)
+                   > 0.2 * 1000 * rolls[x]["queries"][n]
+                or rolls[x]["queries_host_ratio"].get(n, 1) > 1.4
+                or n in rolls[x].get("retried", {})
+                or n in rolls[x].get("queries_stall", {})
+                for x in rolls if x != label)
+            if not sib_flagged:
+                orphans.append((label, n))
+    ok(not orphans,
+       f"every faster-than-median >=2 s disagreement has a flagged slow "
+       f"sibling ({orphans})")
+
+    # --- the q135 stage-level story -------------------------------------
+    q = "q135_semantic_dedup"
+    w = {l: d["queries"][q] for l, d in rolls.items()}
+    c = {l: d["queries_cpu_sec"][q] for l, d in rolls.items()}
+    ok(8.8 < min(w.values()) and max(w.values()) < 12.5
+       and 13.4 < min(c.values()) and max(c.values()) < 17.0,
+       "q135: five draws 8.86-12.48 s with cpu 13.44-16.89 s — the "
+       ">=1.4x draw did not land (documented negative)")
+    worst = max(w[l] / median_of([w[x] for x in rolls if x != l])
+                for l in rolls)
+    ok(worst < 1.25, f"q135 worst draw 1.22x vs sibling median ({worst:.2f})")
+    stages = {l: d["queries_stages"][q] for l, d in rolls.items()}
+    ok(all(len(st) == 40 for st in stages.values()),
+       "q135 executes 40 stages in every roll")
+    ok(all(r["tasks"] == 1 for st in stages.values() for r in st),
+       "ALL q135 stages are single-task in every roll (100% of task-cpu "
+       "serial): structure refutes the eviction-recompute hypothesis")
+    sig = [(r["name"], r["tasks"]) for r in stages["auth"]]
+    ok(all([(r["name"], r["tasks"]) for r in st] == sig
+           for st in stages.values()),
+       "q135 stage/task structure identical across all five rolls")
+    for l in rolls:
+        task_cpu = sum(r["cpu_ms"] for r in stages[l]) / 1000.0
+        ok(abs(w[l] - task_cpu) < 0.4,
+           f"r15 {l}: q135 wall ~= summed task-cpu ({w[l]:.2f} vs "
+           f"{task_cpu:.2f} s)")
+        ok(4.3 < c[l] - task_cpu < 5.1,
+           f"r15 {l}: process-cpu minus task-cpu constant 4.3-5.1 s "
+           f"({c[l] - task_cpu:.2f})")
+    lloyd = {l: [stages[l][i]["cpu_ms"] for i in (5, 13, 21)]
+             for l in rolls}
+    ok(all(v > 2000 for vs in lloyd.values() for v in vs),
+       "the three Lloyd-centroid stages are the heavy serial stages "
+       "(>2 s each) in every roll")
+    ok(lloyd["_d"] == [2380, 2256, 2432]
+       and lloyd["_c"] == [3157, 3616, 3509],
+       "Lloyd triplet moves TOGETHER by a uniform factor (_d "
+       "2380/2256/2432 -> _c 3157/3616/3509 ms)")
+
+    # --- scale confirmation roll ----------------------------------------
+    sc = json.load(open(art("BENCH_SCALE_r15.json")))
+    sc14 = json.load(open(art("BENCH_SCALE_r14.json")))
+    ok(all(qq["ratio"] < 10 for qq in sc["queries"].values())
+       and abs(sc["queries"]["q53_fm"]["ratio"] - 9.81) < 0.01,
+       "r15 scale: all 17 sub-linear, worst q53 9.81x")
+    agree = [n for n in sc["queries"]
+             if max(sc["queries"][n]["ratio"], sc14["queries"][n]["ratio"]) /
+                min(sc["queries"][n]["ratio"], sc14["queries"][n]["ratio"])
+                <= 1.25]
+    ok(len(agree) == 14 and set(sc["queries"]) - set(agree) ==
+       {"q14_triangle_count", "q53_fm", "q135_semantic_dedup"},
+       f"r15 scale: 14/17 within 1.25x of r14 (movers "
+       f"{sorted(set(sc['queries']) - set(agree))})")
+    q53 = sc["queries"]["q53_fm"]
+    ok(min(r["cpu_sec"] for r in q53["small_runs"]) < 165
+       and all(2400 < r["cpu_sec"] < 2550 for r in q53["large_runs"])
+       and all(r["pre_calib_sec"] < 0.1 for r in q53["large_runs"]),
+       "q53 9.81x is a fast-small-draw straddle: small cpu 159 s "
+       "(series-fastest), large cpu 2493/2505 s in the clean band, "
+       "pre-calibs at the floor")
+    ok(abs(sc["queries"]["q14_triangle_count"]["ratio"] - 1.65) < 0.01
+       and sc["queries"]["q135_semantic_dedup"]["ratio"] < 1.0,
+       "movers: q14 1.65x (faster than r14's 2.20x), q135 0.76x")
+    ok(all(qq[side + "_best_rule"] == "min_of_pair"
+           for qq in sc["queries"].values() for side in ("small", "large")),
+       "no third-run rule fired: every side publishes min_of_pair")
+
+    # --- probe journal: ONE window (trimmed cadence) --------------------
+    pw = [json.loads(l) for l in open(art("PROBES_r15.json"))]
+    ok(len(pw) == 1, "r15 probe journal: exactly one window")
+    ok(abs(pw[0]["pr_sec"] - 8.95) < 0.01
+       and abs(pw[0]["tc_sec"] - 16.00) < 0.01,
+       "PR best 8.95 s (14.30 M edge-iters/s), TC best 16.00 s "
+       "(2.00 M edges/s) — inside the r11-r14 bands")
+    ok(pw[0]["tc_sec_runs"][2] > 25 and pw[0]["tc_steal_frac_runs"][2] > 0.01,
+       "the window's slow TC run (25.2 s) flags itself with steal 0.011")
 
 
 def r14():
@@ -278,6 +457,7 @@ def r14():
 
 def main():
     golden_vectors()
+    r15()
     r14()
     auth = json.load(open(art("bench_full_r13.json")))
     sibs = {k: json.load(open(art(f"bench_full_r13_{k}.json"))) for k in "bcdef"}
