@@ -73,23 +73,29 @@ def golden_vectors():
 
 
 def r15():
-    """Claims of the README r15 authority note."""
+    """Claims of the README r15 authority note (eight rolls; the
+    authoritative is the SEVENTH rolled, promoted mid-round over the
+    earlier 366.1 s choice by the cleanest-calibration rule when rolls
+    6-8 were added)."""
     auth = json.load(open(art("bench_full_r15.json")))
     sibs = {k: json.load(open(art(f"bench_full_r15_{k}.json")))
-            for k in "bcde"}
+            for k in "bcdefgh"}
     rolls = {"auth": auth, **{f"_{k}": d for k, d in sibs.items()}}
 
-    # --- headline + flat normalized series ------------------------------
-    ok(abs(auth["value"] - 366.1) < 0.1 and len(auth["queries"]) == 148
+    # --- headline + the normalized-yardstick honesty claim --------------
+    ok(abs(auth["value"] - 356.2) < 0.1 and len(auth["queries"]) == 148
        and not auth["errors"],
-       "r15 authoritative: 148 queries, 366.1 s, 0 errors")
-    ok(abs(auth["calib_sec"] - 0.536) < 0.001
-       and auth["steal_frac_wall"] < 0.002,
-       "r15 authoritative calib_sec 0.536 (cleanest of five), steal <0.002")
-    ok(abs(auth["value"] / auth["calib_sec"] - 683) < 2,
-       "r15 normalized 683 sec-per-calib (flat vs 690/700/690/684)")
+       "r15 authoritative: 148 queries, 356.2 s, 0 errors")
+    ok(abs(auth["calib_sec"] - 0.495) < 0.001
+       and auth["steal_frac_wall"] < 0.002 and len(auth["retried"]) == 9,
+       "r15 authoritative calib 0.495 at the clean floor, steal 0.0012, "
+       "9 retried (cleanest of eight)")
+    ok(abs(auth["value"] / auth["calib_sec"] - 720) < 2,
+       "r15 authoritative normalized 720 sec-per-calib")
     for k, tot, cal in [("b", 367.2, 0.567), ("c", 420.7, 0.554),
-                        ("d", 367.9, 0.574), ("e", 404.2, 0.628)]:
+                        ("g", 366.1, 0.536), ("d", 367.9, 0.574),
+                        ("e", 404.2, 0.628), ("f", 368.2, 0.520),
+                        ("h", 342.2, 0.592)]:
         ok(abs(sibs[k]["value"] - tot) < 0.1
            and abs(sibs[k]["calib_sec"] - cal) < 0.001
            and not sibs[k]["errors"],
@@ -98,15 +104,25 @@ def r15():
        and len(sibs["c"]["retried"]) == 16
        and abs(sibs["d"]["steal_frac_wall"] - 0.0293) < 0.001,
        "_c the burst roll (steal 0.0159, 16 retried); _d steal 0.0293")
+    ok(sibs["h"]["value"] < min(d["value"] for l, d in rolls.items()
+                                if l != "_h")
+       and abs(sibs["h"]["value"] / sibs["h"]["calib_sec"] - 578) < 2,
+       "_h 342.2 s is the round's best raw total; its 578 sec-per-calib "
+       "stays a sibling per the r13 _f precedent")
+    norm = [d["value"] / d["calib_sec"] for d in rolls.values()]
+    ok(575 < min(norm) < 580 and 755 < max(norm) < 765,
+       "same-binary normalized band 578-760 across the eight rolls — "
+       "brackets the 684->720 cross-round movement (yardstick noise, "
+       "not an engine change)")
     ok(all("queries_cpu_sec" in d and "queries_stall" in d
            and "queries_host_ratio" in d
            and not d.get("host_ratio_recomputed", False)
            and "q135_semantic_dedup" in d.get("queries_stages", {})
            for d in rolls.values()),
-       "all five r15 rolls: complete field set, engine-written "
+       "all eight r15 rolls: complete field set, engine-written "
        "host_ratio, stamped stall maps, q135 stage tables")
 
-    # --- derived maps == recomputed; stall layer all-clean --------------
+    # --- derived maps == recomputed; stall census -----------------------
     for label, d in rolls.items():
         want_hr = recomputed_map(d)
         got_hr = d["queries_host_ratio"]
@@ -116,9 +132,26 @@ def r15():
         ok(not drift and d["queries_stall"] == stall_map(d, others),
            f"r15 {label} host_ratio + stall maps == recomputed from raw "
            f"({len(drift)} drifted)")
-    ok(all(d["queries_stall"] == {} for d in rolls.values()),
-       "r15 stall layer: zero stall-kind flags across five rolls x 148 "
-       "queries (first all-clean round)")
+    flagged = {l: d["queries_stall"] for l, d in rolls.items()
+               if d["queries_stall"]}
+    ok(flagged == {"auth": {"q61_unionfind_cc": "excess_cpu"},
+                   "_c": {"q148_semantic_dedup_subsample": "excess_cpu"},
+                   "_e": {"q60_seeded_lpa": "excess_cpu"}},
+       f"r15 stall census: zero stall-kind flags; exactly three "
+       f"excess_cpu work-variance entries ({flagged})")
+    for l, n, wlo, clo, cmedlo in [
+            ("auth", "q61_unionfind_cc", 2.10, 3.92, 2.67),
+            ("_c", "q148_semantic_dedup_subsample", 11.78, 14.45, 10.70),
+            ("_e", "q60_seeded_lpa", 2.76, 4.46, 3.20)]:
+        d = rolls[l]
+        cmed = median_of([rolls[x]["queries_cpu_sec"][n]
+                          for x in rolls if x != l])
+        ok(abs(d["queries"][n] - wlo) < 0.05
+           and abs(d["queries_cpu_sec"][n] - clo) < 0.05
+           and abs(cmed - cmedlo) < 0.05
+           and d["queries_cpu_sec"][n] > cmed,
+           f"{l} {n}: wall moved WITH cpu ({clo} vs {cmedlo} sibling "
+           f"median) — the q135-class work-variance shape")
 
     # --- attribution acceptance (guard on the disjunction; content
     # carried by the stamp-equality checks above — see the r14 note) ----
@@ -136,9 +169,9 @@ def r15():
                    or n in d.get("retried", {})
                    or n in d.get("queries_stall", {}))
             (movers if att else unattributed).append((label, n))
-    ok(not unattributed and len(movers) == 11,
+    ok(not unattributed and len(movers) == 24,
        f"every r15 roll: zero unattributed >1.4x-slower entries of "
-       f">=1 s; the 11 movers all self-attribute ({unattributed})")
+       f">=1 s; the 24 movers all self-attribute ({unattributed})")
     ok(all(sibs["b"]["queries_host_ratio"][n] > 1.9 for n in
            ["q114_bucketed_join", "q122_cross_overlap",
             "q133_winnowing_pairs"]),
@@ -178,12 +211,12 @@ def r15():
     w = {l: d["queries"][q] for l, d in rolls.items()}
     c = {l: d["queries_cpu_sec"][q] for l, d in rolls.items()}
     ok(8.8 < min(w.values()) and max(w.values()) < 12.5
-       and 13.4 < min(c.values()) and max(c.values()) < 17.0,
-       "q135: five draws 8.86-12.48 s with cpu 13.44-16.89 s — the "
-       ">=1.4x draw did not land (documented negative)")
+       and 13.2 < min(c.values()) and max(c.values()) < 17.0,
+       "q135: eight draws 8.85-12.48 s with cpu 13.24-16.89 s — the "
+       ">=1.4x draw did not land in eight attempts (documented negative)")
     worst = max(w[l] / median_of([w[x] for x in rolls if x != l])
                 for l in rolls)
-    ok(worst < 1.25, f"q135 worst draw 1.22x vs sibling median ({worst:.2f})")
+    ok(worst < 1.4, f"q135 worst draw 1.36x vs sibling median ({worst:.2f})")
     stages = {l: d["queries_stages"][q] for l, d in rolls.items()}
     ok(all(len(st) == 40 for st in stages.values()),
        "q135 executes 40 stages in every roll")
@@ -193,24 +226,24 @@ def r15():
     sig = [(r["name"], r["tasks"]) for r in stages["auth"]]
     ok(all([(r["name"], r["tasks"]) for r in st] == sig
            for st in stages.values()),
-       "q135 stage/task structure identical across all five rolls")
+       "q135 stage/task structure identical across all eight rolls")
     for l in rolls:
         task_cpu = sum(r["cpu_ms"] for r in stages[l]) / 1000.0
-        ok(abs(w[l] - task_cpu) < 0.4,
+        ok(abs(w[l] - task_cpu) < 0.3,
            f"r15 {l}: q135 wall ~= summed task-cpu ({w[l]:.2f} vs "
            f"{task_cpu:.2f} s)")
-        ok(4.3 < c[l] - task_cpu < 5.1,
-           f"r15 {l}: process-cpu minus task-cpu constant 4.3-5.1 s "
+        ok(4.2 < c[l] - task_cpu < 5.1,
+           f"r15 {l}: process-cpu minus task-cpu constant 4.2-5.1 s "
            f"({c[l] - task_cpu:.2f})")
     lloyd = {l: [stages[l][i]["cpu_ms"] for i in (5, 13, 21)]
              for l in rolls}
     ok(all(v > 2000 for vs in lloyd.values() for v in vs),
        "the three Lloyd-centroid stages are the heavy serial stages "
        "(>2 s each) in every roll")
-    ok(lloyd["_d"] == [2380, 2256, 2432]
+    ok(lloyd["auth"] == [2233, 2205, 2458]
        and lloyd["_c"] == [3157, 3616, 3509],
-       "Lloyd triplet moves TOGETHER by a uniform factor (_d "
-       "2380/2256/2432 -> _c 3157/3616/3509 ms)")
+       "Lloyd triplet moves TOGETHER by a uniform factor (auth "
+       "2233/2205/2458 -> _c 3157/3616/3509 ms)")
 
     # --- scale confirmation roll ----------------------------------------
     sc = json.load(open(art("BENCH_SCALE_r15.json")))
