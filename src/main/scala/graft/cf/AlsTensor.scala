@@ -29,9 +29,10 @@ object AlsTensor {
   private def dotArr(a: Column, b: Column): Column =
     graft.functions.VecDot.of(a, b)
 
+  // r15: native kernel — the nested zip_with/aggregate fold evaluated
+  // interpreted per rating row (bit-exact mirror, spec-pinned).
   private def dot3(a: Column, b: Column, c: Column): Column =
-    aggregate(zip_with(zip_with(a, b, (x, y) => x * y), c, (xy, z) => xy * z),
-      lit(0.0d), (acc, v) => acc + v)
+    graft.functions.VecMath.dot3(a, b, c)
 
   private def initFactors(ids: DataFrame, rank: Int, seed: Long): DataFrame =
     ids.select(col("id"),
@@ -55,12 +56,12 @@ object AlsTensor {
       .repartition(col("user")).transform(graft.graph.Iterate.ckpt)
     val solve = gramSolver(rank, lambda)
 
-    var uf = initFactors(r.select(col("user").as("id")).distinct(), rank, seed)
-      .transform(graft.graph.Iterate.ckpt)
-    var vf = initFactors(r.select(col("item").as("id")).distinct(), rank, seed + 1)
-      .transform(graft.graph.Iterate.ckpt)
-    var tf = initFactors(r.select(col("time").as("id")).distinct(), rank, seed + 2)
-      .transform(graft.graph.Iterate.ckpt)
+    // r15: independent init materializations overlapped (Iterate.ckptAll)
+    val inits = graft.graph.Iterate.ckptAll(
+      initFactors(r.select(col("user").as("id")).distinct(), rank, seed),
+      initFactors(r.select(col("item").as("id")).distinct(), rank, seed + 1),
+      initFactors(r.select(col("time").as("id")).distinct(), rank, seed + 2))
+    var uf = inits(0); var vf = inits(1); var tf = inits(2)
 
     // Each mode solve joins ONLY the other two factor tables (its own
     // factors don't appear in its normal equations) — 2 joins per mode
@@ -79,21 +80,21 @@ object AlsTensor {
     for (iter <- 1 to iterations) {
       // users: design = q∘z
       uf = withZ(withQ(r)).select(col("user").as("id"), col("rating"), col("w"),
-          zip_with(col("q"), col("z"), (x, y) => x * y).as("d"))
+          graft.functions.VecMath.hadamard(col("q"), col("z")).as("d"))
         .groupBy("id")
         .agg(graft.functions.GramAgg.of(col("d"), col("rating"), col("w"), rank).as("g"))
         .select(col("id"), solve(col("g")).as("f"))
         .transform(graft.graph.Iterate.ckpt)
       // items: design = p∘z
       vf = withZ(withP(r)).select(col("item").as("id"), col("rating"), col("w"),
-          zip_with(col("p"), col("z"), (x, y) => x * y).as("d"))
+          graft.functions.VecMath.hadamard(col("p"), col("z")).as("d"))
         .groupBy("id")
         .agg(graft.functions.GramAgg.of(col("d"), col("rating"), col("w"), rank).as("g"))
         .select(col("id"), solve(col("g")).as("f"))
         .transform(graft.graph.Iterate.ckpt)
       // times: design = p∘q
       tf = withQ(withP(r)).select(col("time").as("id"), col("rating"), col("w"),
-          zip_with(col("p"), col("q"), (x, y) => x * y).as("d"))
+          graft.functions.VecMath.hadamard(col("p"), col("q")).as("d"))
         .groupBy("id")
         .agg(graft.functions.GramAgg.of(col("d"), col("rating"), col("w"), rank).as("g"))
         .select(col("id"), solve(col("g")).as("f"))
@@ -147,22 +148,21 @@ object AlsTensor {
         col("rating").cast("double"))
       .repartition(col("user")).transform(graft.graph.Iterate.ckpt)
     val mu = r.agg(avg("rating")).collect()(0).getDouble(0)
-    val nu = r.groupBy("user").agg(pow(count(lit(1)), -0.5).as("ninv"))
-      .transform(graft.graph.Iterate.ckpt)
-
-    var uf = initSmall(r.select(col("user").as("id")).distinct(), rank, seed)
-      .select(col("id").as("user"), col("f").as("pu"), lit(0.0d).as("bu"))
-      .withColumn("xu", col("pu"))
-      .transform(graft.graph.Iterate.ckpt)
-    var vf = initSmall(r.select(col("item").as("id")).distinct(), rank, seed + 1)
-      .select(col("id").as("item"), col("f").as("qi"), lit(0.0d).as("bi"))
-      .transform(graft.graph.Iterate.ckpt)
-    var yf = initSmall(r.select(col("item").as("id")).distinct(), rank, seed + 2)
-      .select(col("id").as("item"), col("f").as("yj"))
-      .transform(graft.graph.Iterate.ckpt)
-    var tf = initSmall(r.select(col("time").as("id")).distinct(), rank, seed + 3)
-      .select(col("id").as("time"), col("f").as("zt"), lit(0.0d).as("bt"))
-      .transform(graft.graph.Iterate.ckpt)
+    // r15: nu and the four init materializations are independent —
+    // overlap their jobs (Iterate.ckptAll)
+    val inits = graft.graph.Iterate.ckptAll(
+      r.groupBy("user").agg(pow(count(lit(1)), -0.5).as("ninv")),
+      initSmall(r.select(col("user").as("id")).distinct(), rank, seed)
+        .select(col("id").as("user"), col("f").as("pu"), lit(0.0d).as("bu"))
+        .withColumn("xu", col("pu")),
+      initSmall(r.select(col("item").as("id")).distinct(), rank, seed + 1)
+        .select(col("id").as("item"), col("f").as("qi"), lit(0.0d).as("bi")),
+      initSmall(r.select(col("item").as("id")).distinct(), rank, seed + 2)
+        .select(col("id").as("item"), col("f").as("yj")),
+      initSmall(r.select(col("time").as("id")).distinct(), rank, seed + 3)
+        .select(col("id").as("time"), col("f").as("zt"), lit(0.0d).as("bt")))
+    val nu = inits(0)
+    var uf = inits(1); var vf = inits(2); var yf = inits(3); var tf = inits(4)
 
     var rmses = Vector.empty[Double]
     // deferred trace + no per-rating materialization (see MfSgd.train /
@@ -249,10 +249,10 @@ object AlsTensor {
         col("item"),
         when(col("gy").isNotNull, zip_with(col("yj"), col("gy"),
           (y, g) => y + lit(lr) * (g - lit(reg) * y))).otherwise(col("yj")).as("yj"))
-      uf = newUf.transform(graft.graph.Iterate.ckpt)
-      vf = newVf.transform(graft.graph.Iterate.ckpt)
-      tf = newTf.transform(graft.graph.Iterate.ckpt)
-      yf = newYf.transform(graft.graph.Iterate.ckpt)
+      // r15: the four factor updates read only this iteration's frozen
+      // g/su/state frames — materialize them concurrently
+      val upd = graft.graph.Iterate.ckptAll(newUf, newVf, newTf, newYf)
+      uf = upd(0); vf = upd(1); tf = upd(2); yf = upd(3)
     }
     if (rmseFrames.nonEmpty)
       rmses = rmseFrames.reduce(_ unionAll _).orderBy("it").collect()

@@ -57,12 +57,13 @@ object Climf {
     val r = rel.select("user", "item").distinct().join(deg, "user")
       .repartition(col("user")).transform(graft.graph.Iterate.ckpt)
 
-    var uf = initFactors(r.select(col("user").as("id")).distinct(), rank, seed)
-      .select(col("id").as("user"), col("f").as("u"))
-      .transform(graft.graph.Iterate.ckpt)
-    var vf = initFactors(r.select(col("item").as("id")).distinct(), rank, seed + 1)
-      .select(col("id").as("item"), col("f").as("v"))
-      .transform(graft.graph.Iterate.ckpt)
+    // r15: overlapped init materializations (Iterate.ckptAll)
+    val inits = graft.graph.Iterate.ckptAll(
+      initFactors(r.select(col("user").as("id")).distinct(), rank, seed)
+        .select(col("id").as("user"), col("f").as("u")),
+      initFactors(r.select(col("item").as("id")).distinct(), rank, seed + 1)
+        .select(col("id").as("item"), col("f").as("v")))
+    var uf = inits(0); var vf = inits(1)
 
     // Inline trace collect, like Fm: deferring would hold every
     // iteration's |R|-row f/pairAgg checkpoints until end-of-loop,
@@ -121,27 +122,31 @@ object Climf {
       // point and pair contributions fused into one row per (user,item):
       // dU row = v·(g(−f) + a − b), dV row = u·(g(−f) + s)
       val fa = f.join(pairAgg, Seq("user", "item"), "left")
+      // r15: native VecScale on the per-(user,item) contribution rows
+      // (the HOF lambda also re-evaluated the sigmoid scalar per element)
       val gu = fa.select(col("user"),
-          transform(col("v"), x => x * (g(-col("f")) +
-            coalesce(col("a") - col("b"), lit(0.0)))).as("contrib"))
+          graft.functions.VecMath.scale(col("v"), g(-col("f")) +
+            coalesce(col("a") - col("b"), lit(0.0))).as("contrib"))
         .groupBy("user").agg(vecSum(col("contrib"), rank).as("du"))
-      uf = uf.join(gu, Seq("user"), "left").select(col("user"),
+      val newUf = uf.join(gu, Seq("user"), "left").select(col("user"),
           when(col("du").isNotNull,
             zip_with(col("u"), col("du"),
               (u, d) => u + lit(lr) * (d - lit(lambda) * u)))
             .otherwise(col("u")).as("u"))
-        .transform(graft.graph.Iterate.ckpt)
 
       val gv = fa.select(col("item"),
-          transform(col("u"),
-            x => x * (g(-col("f")) + coalesce(col("s"), lit(0.0)))).as("contrib"))
+          graft.functions.VecMath.scale(col("u"),
+            g(-col("f")) + coalesce(col("s"), lit(0.0))).as("contrib"))
         .groupBy("item").agg(vecSum(col("contrib"), rank).as("dv"))
-      vf = vf.join(gv, Seq("item"), "left").select(col("item"),
+      val newVf = vf.join(gv, Seq("item"), "left").select(col("item"),
           when(col("dv").isNotNull,
             zip_with(col("v"), col("dv"),
               (v, d) => v + lit(lr) * (d - lit(lambda) * v)))
             .otherwise(col("v")).as("v"))
-        .transform(graft.graph.Iterate.ckpt)
+      // r15: both updates read only f/pairAgg (checkpointed) and the OLD
+      // factor tables — independent; overlap their materializations
+      val upd = graft.graph.Iterate.ckptAll(newUf, newVf)
+      uf = upd(0); vf = upd(1)
     }
     Model(uf.select(col("user").as("id"), col("u").as("f")),
       vf.select(col("item").as("id"), col("v").as("f")), objectives)

@@ -129,14 +129,18 @@ object Decompositions {
     var u: DataFrame = null
     for (t <- 1 to iterations) {
       // U ← orth(A·V): join on item, k-vector sum per user, Gram-orthonorm.
+      // r15: native VecScale — transform(vec, _ * rating) evaluated
+      // interpreted per coordinate row (bit-exact mirror, spec-pinned)
       val uRaw = a.join(v, "item")
-        .select(col("user"), transform(col("vec"), x => x * col("rating")).as("w"))
+        .select(col("user"),
+          graft.functions.VecMath.scale(col("vec"), col("rating")).as("w"))
         .groupBy("user").agg(sumVecs(col("w"), k).as("vec"))
       u = rotate(uRaw, invSqrt(gram(uRaw, k)), k)
         .transform(graft.graph.Iterate.ckpt)
       // V ← Aᵀ·U (unnormalized: carries the singular-value scaling)
       v = a.join(u, "user")
-        .select(col("item"), transform(col("vec"), x => x * col("rating")).as("w"))
+        .select(col("item"),
+          graft.functions.VecMath.scale(col("vec"), col("rating")).as("w"))
         .groupBy("item").agg(sumVecs(col("w"), k).as("vec"))
         .transform(graft.graph.Iterate.ckpt)
     }
@@ -177,10 +181,13 @@ object Decompositions {
       graft.functions.VecDot.of(a, b)
     for (_ <- 1 to iterations) {
       // numerator Σ_i r_ui · h_i ; denominator Σ_i (w·h_i) · h_i  per user
+      // r15: native VecScale on the per-rating num/den rows (the HOF den
+      // lambda additionally re-evaluated dot(wu, hi) once PER ELEMENT;
+      // the kernel's scalar child evaluates it once per row — same value)
       val ju = r.join(w, "user").join(h, "item")
         .select(col("user"),
-          transform(col("hi"), x => x * col("rating")).as("num"),
-          transform(col("hi"), x => x * dot(col("wu"), col("hi"))).as("den"))
+          graft.functions.VecMath.scale(col("hi"), col("rating")).as("num"),
+          graft.functions.VecMath.scale(col("hi"), dot(col("wu"), col("hi"))).as("den"))
         .groupBy("user")
         .agg(graft.functions.VecSum.of(col("num"), rank).as("nsum"),
           graft.functions.VecSum.of(col("den"), rank).as("dsum"))
@@ -192,8 +199,8 @@ object Decompositions {
         .transform(graft.graph.Iterate.ckpt)
       val ji = r.join(w, "user").join(h, "item")
         .select(col("item"),
-          transform(col("wu"), x => x * col("rating")).as("num"),
-          transform(col("wu"), x => x * dot(col("wu"), col("hi"))).as("den"))
+          graft.functions.VecMath.scale(col("wu"), col("rating")).as("num"),
+          graft.functions.VecMath.scale(col("wu"), dot(col("wu"), col("hi"))).as("den"))
         .groupBy("item")
         .agg(graft.functions.VecSum.of(col("num"), rank).as("nsum"),
           graft.functions.VecSum.of(col("den"), rank).as("dsum"))

@@ -135,14 +135,16 @@ object Fm {
       // grouping key then matches flat's partitioning, so when AQE
       // broadcasts the small weight side the 600k-row re-shuffle per
       // iteration disappears.
+      // r15: native kernels for the two per-row HOF sites — the squared
+      // term (evaluated per flat feature row) and the prediction fold
+      // (per example group); bit-exact mirrors, spec-pinned.
       val perEx = joined.groupBy("example_id").agg(
           first("y").as("y"),
           vecSum(col("v"), rank).as("S"),
-          vecSum(transform(col("v"), x => x * x), rank).as("S2"),
+          vecSum(graft.functions.VecMath.hadamard(col("v"), col("v")), rank).as("S2"),
           sum("w").as("wsum"))
         .withColumn("pred", lit(w0) + col("wsum") +
-          lit(0.5) * aggregate(zip_with(col("S"), col("S2"),
-            (s, s2) => s * s - s2), lit(0.0d), (acc, x) => acc + x))
+          lit(0.5) * graft.functions.VecMath.sqDiffSum(col("S"), col("S2")))
         .select(col("example_id"), col("S"), (col("y") - col("pred")).as("err"))
       rmseFrames :+= perEx.agg(sqrt(avg(pow(col("err"), 2))).as("rmse"))
         .select(lit(iter).as("it"), col("rmse"))

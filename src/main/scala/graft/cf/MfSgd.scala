@@ -64,12 +64,15 @@ object MfSgd {
       case LogisticLoss => 0.0 // score passes through a sigmoid instead
       case _ => r.agg(avg("rating")).collect()(0).getDouble(0)
     }
-    var uf = initFactors(r.select(col("user").as("id")).distinct(), rank, seed)
-      .withColumnRenamed("f", "pu").withColumnRenamed("id", "user")
-      .withColumn("bu", lit(0.0)).transform(graft.graph.Iterate.ckpt)
-    var vf = initFactors(r.select(col("item").as("id")).distinct(), rank, seed + 1)
-      .withColumnRenamed("f", "qi").withColumnRenamed("id", "item")
-      .withColumn("bi", lit(0.0)).transform(graft.graph.Iterate.ckpt)
+    // r15: independent init materializations overlapped (Iterate.ckptAll)
+    val inits = graft.graph.Iterate.ckptAll(
+      initFactors(r.select(col("user").as("id")).distinct(), rank, seed)
+        .withColumnRenamed("f", "pu").withColumnRenamed("id", "user")
+        .withColumn("bu", lit(0.0)),
+      initFactors(r.select(col("item").as("id")).distinct(), rank, seed + 1)
+        .withColumnRenamed("f", "qi").withColumnRenamed("id", "item")
+        .withColumn("bi", lit(0.0)))
+    var uf = inits(0); var vf = inits(1)
 
     var rmses = Vector.empty[Double]
     // Without halt-on-increase the trace is only read after training, so
@@ -128,12 +131,11 @@ object MfSgd {
           when(col("gb").isNotNull,
             col("bu") + lit(lr) * (col("gb") - lit(reg) * col("bu")))
             .otherwise(col("bu")).as("bu"))
-          .transform(graft.graph.Iterate.ckpt)
         val gi = joined
           .groupBy("item").agg(
             aggregateVecSum(col("g"), col("pu"), rank).as("gv"),
             sum(col("g")).as("gb"))
-        vf = vf.join(gi, Seq("item"), "left").select(
+        val vf2 = vf.join(gi, Seq("item"), "left").select(
           col("item"),
           when(col("gv").isNotNull,
             zip_with(col("qi"), col("gv"),
@@ -142,8 +144,12 @@ object MfSgd {
           when(col("gb").isNotNull,
             col("bi") + lit(lr) * (col("gb") - lit(reg) * col("bi")))
             .otherwise(col("bi")).as("bi"))
-          .transform(graft.graph.Iterate.ckpt)
-        uf = uf2
+        // r15: both sides read the OLD factor state through `joined` —
+        // independent; overlap their materializations (each job also
+        // recomputes the codegen'd join, so overlapping recovers the
+        // idle cores serial execution left on the table)
+        val upd = graft.graph.Iterate.ckptAll(uf2, vf2)
+        uf = upd(0); vf = upd(1)
         it += 1
         if (verbose) System.err.println(
           f"[mfsgd] iter $it ${System.currentTimeMillis - itStart} ms" +
@@ -207,12 +213,13 @@ object MfSgd {
             k => (pmod(xxhash64(col("id"), k, lit(s)), lit(1000000L))
               .cast("double") / 1e7) - 0.05).as("f"),
           lit(0.0).as("b"))
-    var uf = init("user", seed)
-      .select(col("loss"), col("id").as("user"), col("f").as("pu"), col("b").as("bu"))
-      .transform(graft.graph.Iterate.ckpt)
-    var vf = init("item", seed + 1)
-      .select(col("loss"), col("id").as("item"), col("f").as("qi"), col("b").as("bi"))
-      .transform(graft.graph.Iterate.ckpt)
+    // r15: overlapped init materializations (see train())
+    val inits = graft.graph.Iterate.ckptAll(
+      init("user", seed)
+        .select(col("loss"), col("id").as("user"), col("f").as("pu"), col("b").as("bu")),
+      init("item", seed + 1)
+        .select(col("loss"), col("id").as("item"), col("f").as("qi"), col("b").as("bi")))
+    var uf = inits(0); var vf = inits(1)
 
     // Per-loss RMSE frames stay LAZY over the checkpointed factor state
     // and are collected once after the loop (see train()'s deferred
@@ -245,12 +252,11 @@ object MfSgd {
         when(col("gb").isNotNull,
           col("bu") + lit(lr) * (col("gb") - lit(reg) * col("bu")))
           .otherwise(col("bu")).as("bu"))
-        .transform(graft.graph.Iterate.ckpt)
       val gi = joined
         .groupBy("loss", "item").agg(
           aggregateVecSum(col("g"), col("pu"), rank).as("gv"),
           sum(col("g")).as("gb"))
-      vf = vf.join(gi, Seq("loss", "item"), "left").select(
+      val vf2 = vf.join(gi, Seq("loss", "item"), "left").select(
         col("loss"), col("item"),
         when(col("gv").isNotNull,
           zip_with(col("qi"), col("gv"),
@@ -259,8 +265,9 @@ object MfSgd {
         when(col("gb").isNotNull,
           col("bi") + lit(lr) * (col("gb") - lit(reg) * col("bi")))
           .otherwise(col("bi")).as("bi"))
-        .transform(graft.graph.Iterate.ckpt)
-      uf = uf2
+      // r15: overlapped (see train())
+      val upd = graft.graph.Iterate.ckptAll(uf2, vf2)
+      uf = upd(0); vf = upd(1)
     }
     if (rmsFrames.isEmpty) losses.map(l => l -> Seq.empty[Double]).toMap
     else {

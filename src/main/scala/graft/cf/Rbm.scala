@@ -58,10 +58,11 @@ object Rbm {
         .select(col("user"),
           transform(col("a"), x => lit(1.0) / (lit(1.0) + exp(-x))).as("h"))
       // reconstruction: v' = b_i + h·W_i
+      // r15: the fold is exactly VecDot's arithmetic (xᵢ·yᵢ summed
+      // left-to-right) — use the native kernel on the per-rating row
       val recon = jv.join(h, "user")
         .withColumn("vrec", col("b") +
-          aggregate(zip_with(col("h"), col("w"), (x, y) => x * y),
-            lit(0.0d), (acc, x) => acc + x))
+          graft.functions.VecDot.of(col("h"), col("w")))
         .transform(graft.graph.Iterate.ckpt)
       rmses :+= recon.agg(sqrt(avg(pow(col("v") - col("vrec"), 2))))
         .collect()(0).getDouble(0)
@@ -73,8 +74,9 @@ object Rbm {
       // CD-1 weight update per item
       val grad = recon.join(h2, "user")
         .select(col("item"),
-          zip_with(col("h"), col("h2"),
-            (p, n) => col("v") * p - col("vrec") * n).as("gw"),
+          // r15: native mirror of zip_with(h, h2, v·p − vrec·n)
+          graft.functions.VecMath.scaleDiff(col("h"), col("h2"),
+            col("v"), col("vrec")).as("gw"),
           (col("v") - col("vrec")).as("gb"))
         .groupBy("item")
         .agg(vecSum(col("gw"), nHidden).as("gw"), avg("gb").as("gb"),

@@ -48,15 +48,16 @@ object SvdPP {
     val nu = r.groupBy("user").agg(pow(count(lit(1)), -0.5).as("ninv"))
       .transform(graft.graph.Iterate.ckpt)
 
-    var uf = initFactors(r.select(col("user").as("id")).distinct(), rank, seed)
-      .select(col("id").as("user"), col("f").as("pu"), lit(0.0d).as("bu"))
-      .transform(graft.graph.Iterate.ckpt)
-    var vf = initFactors(r.select(col("item").as("id")).distinct(), rank, seed + 1)
-      .select(col("id").as("item"), col("f").as("qi"), lit(0.0d).as("bi"))
-      .transform(graft.graph.Iterate.ckpt)
-    var yf = initFactors(r.select(col("item").as("id")).distinct(), rank, seed + 2)
-      .select(col("id").as("item"), col("f").as("yj"))
-      .transform(graft.graph.Iterate.ckpt)
+    // r15: the three init materializations are independent — overlap
+    // their jobs (Iterate.ckptAll) instead of running them back-to-back
+    val inits = graft.graph.Iterate.ckptAll(
+      initFactors(r.select(col("user").as("id")).distinct(), rank, seed)
+        .select(col("id").as("user"), col("f").as("pu"), lit(0.0d).as("bu")),
+      initFactors(r.select(col("item").as("id")).distinct(), rank, seed + 1)
+        .select(col("id").as("item"), col("f").as("qi"), lit(0.0d).as("bi")),
+      initFactors(r.select(col("item").as("id")).distinct(), rank, seed + 2)
+        .select(col("id").as("item"), col("f").as("yj")))
+    var uf = inits(0); var vf = inits(1); var yf = inits(2)
 
     var rmses = Vector.empty[Double]
     // trace frames stay lazy over the checkpointed state and collect
@@ -120,9 +121,11 @@ object SvdPP {
         col("item"),
         when(col("gy").isNotNull, zip_with(col("yj"), col("gy"),
           (y, g) => y + lit(lr) * (g - lit(reg) * y))).otherwise(col("yj")).as("yj"))
-      uf = newUf.transform(graft.graph.Iterate.ckpt)
-      vf = newVf.transform(graft.graph.Iterate.ckpt)
-      yf = newYf.transform(graft.graph.Iterate.ckpt)
+      // r15: the three factor updates are mutually independent (each
+      // reads only this iteration's frozen gradient/state frames) —
+      // materialize them concurrently
+      val upd = graft.graph.Iterate.ckptAll(newUf, newVf, newYf)
+      uf = upd(0); vf = upd(1); yf = upd(2)
     }
     if (rmseFrames.nonEmpty)
       rmses = rmseFrames.reduce(_ unionAll _).orderBy("it").collect()

@@ -33,16 +33,19 @@ object Algorithms {
     // bounds the per-row payload at ~64k dsts so a power-law hub never
     // materializes its whole out-list in one row.
     val chunk = 65536
-    val adj = e.join(outDeg, "src")
-      .withColumn("b", pmod(col("dst"), (col("odeg") / chunk).cast("long") + 1))
-      .groupBy(col("src"), col("b"))
-      .agg(collect_list(col("dst")).as("ds"),
-        first(lit(1.0) / col("odeg")).as("w"))
-      .repartition(col("src")).sortWithinPartitions("src")
-      .transform(graft.graph.Iterate.ckpt)
-    val verts = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct()
-      .transform(graft.graph.Iterate.ckpt)
+    // r15: adjacency and vertex-set materializations are independent —
+    // overlap their jobs (Iterate.ckptAll; guide §2.6)
+    val pre = graft.graph.Iterate.ckptAll(
+      e.join(outDeg, "src")
+        .withColumn("b", pmod(col("dst"), (col("odeg") / chunk).cast("long") + 1))
+        .groupBy(col("src"), col("b"))
+        .agg(collect_list(col("dst")).as("ds"),
+          first(lit(1.0) / col("odeg")).as("w"))
+        .repartition(col("src")).sortWithinPartitions("src"),
+      e.select(col("src").as("id"))
+        .union(e.select(col("dst").as("id"))).distinct())
+    val adj = pre(0)
+    val verts = pre(1)
     // iterations = 0 ⇒ the uniform init (pr = 1.0), not an NPE on the
     // never-assigned rank frame.
     if (iterations <= 0)
@@ -407,13 +410,16 @@ object Algorithms {
         when(col("__seed").isNotNull, oneHot(col("__seed"))).otherwise(uniform).as("dist"))
       .transform(graft.graph.Iterate.ckpt)
     for (i <- 1 to iterations) {
+      // r15: native VecScale for the per-edge weighted copy and the
+      // per-vertex renormalize (interpreted HOFs before; bit-exact)
       val msgs = e.join(state, e("src") === state("id"))
         .select(col("dst").as("mid"),
-          transform(col("dist"), p => p * col("w")).as("wd"), col("w"))
+          graft.functions.VecMath.scale(col("dist"), col("w")).as("wd"), col("w"))
         .groupBy("mid")
         .agg(graft.functions.VecSum.of(col("wd"), numLabels).as("sumd"),
           sum("w").as("sw"))
-        .select(col("mid"), transform(col("sumd"), x => x / col("sw")).as("avg"))
+        .select(col("mid"),
+          graft.functions.VecMath.scaleDiv(col("sumd"), col("sw")).as("avg"))
       val updated = state.join(msgs, state("id") === col("mid"), "left")
         .select(col("id"), col("fixed"),
           when(col("fixed") || col("avg").isNull, col("dist"))

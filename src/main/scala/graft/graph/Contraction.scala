@@ -66,13 +66,17 @@ object Contraction {
         while (changed) {
           val msgs = e.join(color, e("src") === color("id"))
             .groupBy(col("dst").as("mid")).agg(min("color").as("mc"))
+          // r15: checkpoint (id, ncolor, chg) TOGETHER, then read the
+          // changed-count as a cheap aggregate over the materialized
+          // blocks — the previous shape ran the flood join twice per
+          // superstep (once for the count, once for the checkpoint)
           val upd = color.join(msgs, color("id") === col("mid"), "left")
             .select(col("id"),
               least(col("color"), coalesce(col("mc"), col("color"))).as("ncolor"),
               (col("color") > coalesce(col("mc"), col("color"))).as("chg"))
+            .transform(graft.graph.Iterate.ckpt)
           val nchanged = upd.filter(col("chg")).count()
           color = upd.select(col("id"), col("ncolor").as("color"))
-            .transform(graft.graph.Iterate.ckpt)
           changed = nchanged > 0
         }
         // --- backward confirm: reverse-BFS from each color root through
@@ -183,14 +187,16 @@ object Contraction {
           .transform(graft.graph.Iterate.ckpt)
         var jumping = true
         while (jumping) {
+          // r15: same staged-checkpoint fix as the forward flood — one
+          // execution of the jump join per superstep, not two
           val jumped = parent.as("x")
             .join(parent.select(col("c").as("pc"), col("p").as("pp")),
               col("p") === col("pc"), "left")
             .select(col("c"), coalesce(col("pp"), col("p")).as("np"),
               (coalesce(col("pp"), col("p")) =!= col("p")).as("chg"))
+            .transform(graft.graph.Iterate.ckpt)
           val changed = jumped.filter(col("chg")).count()
           parent = jumped.select(col("c"), col("np").as("p"))
-            .transform(graft.graph.Iterate.ckpt)
           jumping = changed > 0
         }
         comp = comp.join(parent.select(col("c").as("comp"), col("p")), Seq("comp"), "left")

@@ -26,8 +26,7 @@ object Similarity {
   }
 
   def euclidean(a: Column, b: Column): Column =
-    sqrt(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0.0d), (acc, v) => acc + v))
+    sqrt(graft.functions.VecMath.sqDistSum(a, b))
 
   def manhattan(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => abs(x - y)), lit(0.0d), (acc, v) => acc + v)
@@ -42,11 +41,13 @@ object Similarity {
     when(den > 0, ab / den).otherwise(lit(0.0d))
   }
 
-  /** L2-normalized copy of a vector column. */
-  def normalize(a: Column): Column = {
-    val n = norm(a)
-    when(n > 0, transform(a, x => x / n)).otherwise(a)
-  }
+  /** L2-normalized copy of a vector column. Native kernel (r15): the
+    * HOF form `when(norm > 0, transform(a, _ / norm)).otherwise(a)`
+    * evaluated interpreted per element AND recomputed the norm's VecDot
+    * inside the fallback subtree; [[graft.functions.VecNormalize]] is
+    * its bit-exact compiled mirror (spec-pinned in VecMathSpec).
+    */
+  def normalize(a: Column): Column = graft.functions.VecMath.normalize(a)
 
   /** Σ aᵢ */
   def sumArr(a: Column): Column =
@@ -202,8 +203,11 @@ object Similarity {
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
               queryMaxId: Long, nlist: Int = 16, nprobe: Int = 4,
               lloydIterations: Int = 2): DataFrame = {
+    // r15: materialized — Lloyd + the assignment/probe joins re-read nv
+    // several times (same rationale as semanticDedup's nv checkpoint).
     val nv = df.select(col(idCol).as("vid"),
       normalize(transform(col(vecCol), x => x.cast("double"))).as("v"))
+      .transform(graft.graph.Iterate.ckpt)
     val (cents, best) = lloydAssign(nv, nlist, lloydIterations)
     val c = broadcast(cents)
     val assigned = nv.join(best, "vid")
@@ -305,8 +309,13 @@ object Similarity {
     // nv once (stats-clean localCheckpoint) so the count is a scan of
     // the materialized rows and Lloyd + the pair stage + the final
     // join all reuse them.
+    // r15: materialize nv on BOTH nlist paths, not just auto-nlist —
+    // Lloyd (2 passes per step), the member join, and the final output
+    // join each re-read nv, so an unmaterialized nv re-executed the
+    // read + normalize lineage ~8× per query (jstack: ArrayTransform
+    // interpreted eval dominated every q135 task sample).
     val (nv, k) =
-      if (nlist > 0) (nv0, nlist)
+      if (nlist > 0) (graft.graph.Iterate.ckpt(nv0), nlist)
       else {
         val m = graft.graph.Iterate.ckpt(nv0)
         (m, math.max(8, math.ceil(math.sqrt(m.count().toDouble)).toInt))
@@ -396,11 +405,15 @@ object Similarity {
     val subDim = dim / m
     val nv = df.select(col(idCol).as("vid"),
       normalize(transform(col(vecCol), x => x.cast("double"))).as("v"))
-    // (vid, j, sv): the m in-row slices, one posexplode — no shuffle
+    // (vid, j, sv): the m in-row slices, one posexplode — no shuffle.
+    // r15: materialized — codebook training (one join per Lloyd step),
+    // encoding, and the ADC table each re-read subs, so the
+    // normalize + slice lineage re-executed per consumer.
     val subs = nv.select(col("vid"), posexplode(
         transform(sequence(lit(0), lit(m - 1)),
           j => slice(col("v"), j * lit(subDim) + 1, lit(subDim)))))
       .select(col("vid"), col("pos").as("j"), col("col").as("sv"))
+      .transform(graft.graph.Iterate.ckpt)
     def centroidsOf(assignment: DataFrame): DataFrame =
       subs.join(assignment, Seq("vid", "j"))
         .select(col("j"), col("cl"), posexplode(col("sv")))
@@ -411,8 +424,7 @@ object Similarity {
     def assignTo(cents: DataFrame): DataFrame =
       subs.join(broadcast(cents), Seq("j"))
         .select(col("vid"), col("j"), col("cl"),
-          round(sqrt(aggregate(zip_with(col("sv"), col("cv"),
-            (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)), 6)
+          round(sqrt(graft.functions.VecMath.sqDistSum(col("sv"), col("cv"))), 6)
             .as("dist"))
         .groupBy("vid", "j")
         .agg(max_by(col("cl"), struct(-col("dist"), -col("cl"))).as("cl"))
@@ -490,9 +502,12 @@ object Similarity {
                        labelCol: String, k: Int, queryMaxId: Long,
                        nlist: Int = 16, nprobe: Int = 4,
                        lloydIterations: Int = 2): DataFrame = {
+    // r15: materialized — Lloyd re-reads the (vid, v) projection twice
+    // per step and the probe/candidate sides re-read base again.
     val base = df.select(col(idCol).as("vid"),
       normalize(transform(col(vecCol), x => x.cast("double"))).as("v"),
       col(labelCol).as("lbl"))
+      .transform(graft.graph.Iterate.ckpt)
     val (cents, best) = lloydAssign(base.select("vid", "v"), nlist,
       lloydIterations)
     val assigned = base.join(best, "vid")
