@@ -135,13 +135,26 @@ object AlsNormal {
     *   from — the reference's `load_factors_from_file` warm start
     *   (`als.cpp:207-210`, `io.hpp:611-760`); absent → hash-seeded init.
     */
+  /** @param inputPrepared caller guarantees `ratings` is already exactly
+    *   (user, item, rating: double, w: double), hash-partitioned by user
+    *   and materialized (Iterate.ckpt) — skip the per-call
+    *   select/repartition/checkpoint. Added for Pmf (r15 batch 2): its
+    *   Gibbs loop calls train() once per sweep on the SAME prepared
+    *   frame, and the redundant prep re-shuffled + re-materialized the
+    *   full rating table every sweep. The skipped shuffle is an identity
+    *   permutation (already hash(user)-partitioned input, same partition
+    *   count), so GramAgg accumulation order — hence every factor bit —
+    *   is unchanged.
+    */
   def train(ratings: DataFrame, rank: Int = 8, iterations: Int = 5,
             lambda: Double = 0.065, seed: Long = 42L,
             warmStartItemFactors: Option[DataFrame] = None,
-            sparsity: Option[Int] = None): Model =
+            sparsity: Option[Int] = None,
+            inputPrepared: Boolean = false): Model =
       graft.GraftSession.withTrainerAggCapacity(ratings.sparkSession) {
     val w = if (ratings.columns.contains("weight")) col("weight").cast("double") else lit(1.0d)
-    val r = ratings.select(col("user"), col("item"), col("rating").cast("double"), w.as("w"))
+    val r = if (inputPrepared) ratings
+      else ratings.select(col("user"), col("item"), col("rating").cast("double"), w.as("w"))
       .repartition(col("user")).transform(graft.graph.Iterate.ckpt)
     val solve = gramSolver(rank, lambda, sparsity)
 

@@ -171,13 +171,17 @@ object AlsTensor {
     // pinned state and map-side partial-aggregates directly
     var rmseFrames = Vector.empty[DataFrame]
     for (iter <- 1 to iterations) {
+      // r15 batch 2: native VecScale/VecAdd for the per-user composite
+      // (interpreted HOFs broke whole-stage codegen for these stages;
+      // bit-exact kernels, spec-pinned in VecMathSpec)
       val impl = r.join(yf, "item").groupBy("user")
         .agg(vecSum(col("yj"), rank).as("ysum"))
         .join(nu, "user")
-        .select(col("user"), transform(col("ysum"), v => v * col("ninv")).as("imp"))
+        .select(col("user"),
+          graft.functions.VecMath.scale(col("ysum"), col("ninv")).as("imp"))
       val puimpU = uf.join(impl, "user")
         .select(col("user"), col("bu"), col("xu"),
-          zip_with(col("pu"), col("imp"), (p, m) => p + m).as("puimp"))
+          graft.functions.VecMath.add(col("pu"), col("imp")).as("puimp"))
         .transform(graft.graph.Iterate.ckpt)
       val joined = r.join(puimpU, "user").join(vf, "item").join(tf, "time")
         .withColumn("err", col("rating") - (lit(mu) + col("bu") + col("bi") +
@@ -193,14 +197,19 @@ object AlsTensor {
       // 4-way join is evaluated once per iteration instead of three
       // times. (va/vb are the per-kind vectors each gradient scales by
       // err; kinds that need only one use a zero vb.)
-      val zeroVec = array_repeat(lit(0.0d), rank)
+      // r15 batch 2: the i/t kinds carried a per-row array_repeat(0.0)
+      // zero vector whose aggregate (gvb) those kinds never read; a
+      // typed NULL produces the identical all-zero buffer (VecScaleSum
+      // skips null inputs) without allocating two arrays per rating row
+      // in the trainer's heaviest stage.
+      val nullVec = lit(null).cast("array<double>")
       val tagged = joined.select(explode(array(
           struct(lit("u").as("kind"), col("user").as("key"),
             col("qi").as("va"), col("zt").as("vb"), col("err")),
           struct(lit("i").as("kind"), col("item").as("key"),
-            col("puimp").as("va"), zeroVec.as("vb"), col("err")),
+            col("puimp").as("va"), nullVec.as("vb"), col("err")),
           struct(lit("t").as("kind"), col("time").as("key"),
-            col("xu").as("va"), zeroVec.as("vb"), col("err")))).as("x"))
+            col("xu").as("va"), nullVec.as("vb"), col("err")))).as("x"))
         .select(col("x.kind"), col("x.key"), col("x.va"), col("x.vb"), col("x.err"))
       val g = tagged.groupBy("kind", "key").agg(
           vecScaleSum(col("err"), col("va"), rank).as("ga"),
@@ -232,7 +241,7 @@ object AlsTensor {
       // gradient over ~n/|T| ratings diverges at any fixed step size
       val gt = g.filter(col("kind") === "t")
         .select(col("key").as("time"),
-          transform(col("ga"), x => x / col("gn")).as("gz"),
+          graft.functions.VecMath.scaleDiv(col("ga"), col("gn")).as("gz"),
           (col("gs") / col("gn")).as("gb"))
       val newTf = tf.join(gt, Seq("time"), "left").select(
         col("time"),
@@ -243,7 +252,8 @@ object AlsTensor {
           .otherwise(col("bt")).as("bt"))
       // gu's vecScaleSum(err, qi) IS the y-gradient's per-user inner sum
       val su = gu.join(nu, "user")
-        .select(col("user"), transform(col("gp"), v => v * col("ninv")).as("s"))
+        .select(col("user"),
+          graft.functions.VecMath.scale(col("gp"), col("ninv")).as("s"))
       val gy = r.join(su, "user").groupBy("item").agg(vecSum(col("s"), rank).as("gy"))
       val newYf = yf.join(gy, Seq("item"), "left").select(
         col("item"),

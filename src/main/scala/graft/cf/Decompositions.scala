@@ -130,13 +130,22 @@ object Decompositions {
     for (t <- 1 to iterations) {
       // U ← orth(A·V): join on item, k-vector sum per user, Gram-orthonorm.
       // r15: native VecScale — transform(vec, _ * rating) evaluated
-      // interpreted per coordinate row (bit-exact mirror, spec-pinned)
-      val uRaw = a.join(v, "item")
+      // interpreted per coordinate row (bit-exact mirror, spec-pinned).
+      // r15 batch 2: uRaw is checkpointed ONCE and both consumers read
+      // the materialized rows — before, `gram(uRaw)` executed the full
+      // A⋈V join+aggregate for the k×k Gram collect and the checkpoint
+      // of rotate(uRaw) executed it AGAIN (3 heavy executions per
+      // iteration instead of 2). The rotate itself is per-row k²
+      // arithmetic with no shuffle, so it stays LAZY over the
+      // checkpoint (the v half-step and the final rotate evaluate it
+      // inline, fused into their own codegen). Values are unchanged:
+      // same rows, same partitioning (groupBy user), same Gram
+      // accumulation order.
+      val uRaw = graft.graph.Iterate.ckpt(a.join(v, "item")
         .select(col("user"),
           graft.functions.VecMath.scale(col("vec"), col("rating")).as("w"))
-        .groupBy("user").agg(sumVecs(col("w"), k).as("vec"))
+        .groupBy("user").agg(sumVecs(col("w"), k).as("vec")))
       u = rotate(uRaw, invSqrt(gram(uRaw, k)), k)
-        .transform(graft.graph.Iterate.ckpt)
       // V ← Aᵀ·U (unnormalized: carries the singular-value scaling)
       v = a.join(u, "user")
         .select(col("item"),

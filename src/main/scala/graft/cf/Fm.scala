@@ -138,26 +138,48 @@ object Fm {
       // r15: native kernels for the two per-row HOF sites — the squared
       // term (evaluated per flat feature row) and the prediction fold
       // (per example group); bit-exact mirrors, spec-pinned.
+      // r15 batch 2: the S2 ARRAY aggregate became a SCALAR sum. S2
+      // entered the prediction only through Σ_d S2_d = Σ_f ‖v_f‖², so
+      // sum(v·v) (codegen'd scalar, declarative partial agg) replaces
+      // the second TypedImperativeAggregate array buffer AND the
+      // per-row hadamard allocation in the trainer's heaviest stage
+      // (stage table: the 600k-group per-example ObjectHashAggregate).
+      // ½Σ_d(S_d²−S2_d) becomes ½(S·S − s2) — same quantity summed in a
+      // different order (ulp-level trace difference only; the declared
+      // outputs are counts and wide-margin booleans, oracle-verified).
       val perEx = joined.groupBy("example_id").agg(
           first("y").as("y"),
           vecSum(col("v"), rank).as("S"),
-          vecSum(graft.functions.VecMath.hadamard(col("v"), col("v")), rank).as("S2"),
+          sum(graft.functions.VecDot.of(col("v"), col("v"))).as("s2"),
           sum("w").as("wsum"))
         .withColumn("pred", lit(w0) + col("wsum") +
-          lit(0.5) * graft.functions.VecMath.sqDiffSum(col("S"), col("S2")))
+          lit(0.5) * (graft.functions.VecDot.of(col("S"), col("S")) - col("s2")))
         .select(col("example_id"), col("S"), (col("y") - col("pred")).as("err"))
-      rmseFrames :+= perEx.agg(sqrt(avg(pow(col("err"), 2))).as("rmse"))
-        .select(lit(iter).as("it"), col("rmse"))
       // feature gradients: ∂/∂w_f = err; ∂/∂v_f = err·(S − v_f)
       // = err·S − v_f·err, so the pass aggregates Σ err·S and Σ err per
       // feature (no weight re-join — v_f is constant per group and is
-      // applied at the update join)
+      // applied at the update join).
+      // r15 batch 2: grads is CHECKPOINTED and carries Σ err² / count
+      // partials. The per-iteration RMSE trace previously deferred lazy
+      // frames over `perEx` — whose 600k-group ObjectHashAggregate is
+      // THE heavy stage of this trainer (stage table: 12-29 cpu-s per
+      // execution) — so the end-of-loop trace collect re-executed the
+      // heavy aggregate once per iteration. Every example carries
+      // exactly |cols| feature rows (fixed-length feature array, inner
+      // dictionary joins), so Σ err²/count over the per-FEATURE partials
+      // equals the per-example mean: rmse = √(Σ_f se2_f / Σ_f n_f)
+      // = √(nf·Σ_ex err² / (nf·N)) = √(avg_ex err²). The trace then
+      // reads |F|-row checkpoints instead of re-running the heavy agg.
       val grads = flat
         .join(perEx.select(col("example_id"), col("S"), col("err")), "example_id")
         .groupBy("feature")
         .agg(graft.functions.VecScaleSum.of(col("err"), col("S"), rank).as("es"),
-          sum("err").as("gw"), count(lit(1)).as("n"))
-      w = w.join(grads, Seq("feature"), "left").select(
+          sum("err").as("gw"), count(lit(1)).as("n"),
+          sum(col("err") * col("err")).as("se2"))
+        .transform(graft.graph.Iterate.ckpt)
+      rmseFrames :+= grads.agg(sqrt(sum("se2") / sum("n")).as("rmse"))
+        .select(lit(iter).as("it"), col("rmse"))
+      w = w.join(grads.drop("se2"), Seq("feature"), "left").select(
           col("feature"),
           when(col("es").isNotNull,
             zip_with(col("v"),

@@ -66,10 +66,13 @@ object SvdPP {
     var rmseFrames = Vector.empty[DataFrame]
     for (iter <- 1 to iterations) {
       // (1) implicit user vector: |N(u)|^-1/2 · Σ y_j over rated items
+      // r15 batch 2: native VecScale/VecAdd (bit-exact HOF mirrors,
+      // spec-pinned) — the interpreted lambdas broke codegen here
       val impl = r.join(yf, "item").groupBy("user")
         .agg(vecSum(col("yj"), rank).as("ysum"))
         .join(nu, "user")
-        .select(col("user"), transform(col("ysum"), v => v * col("ninv")).as("imp"))
+        .select(col("user"),
+          graft.functions.VecMath.scale(col("ysum"), col("ninv")).as("imp"))
       // (2) the per-user composite p_u + imp_u is a |U|-sized frame and
       // the ONLY materialization per superstep: it pins the expensive
       // |R|-shuffle implicit sum. The per-rating error frame itself is
@@ -81,7 +84,7 @@ object SvdPP {
       // fixed cost than the join recompute saves — the r3 q40 lesson).
       val puimpU = uf.join(impl, "user")
         .select(col("user"), col("bu"),
-          zip_with(col("pu"), col("imp"), (p, m) => p + m).as("puimp"))
+          graft.functions.VecMath.add(col("pu"), col("imp")).as("puimp"))
         .transform(graft.graph.Iterate.ckpt)
       val joined = r.join(puimpU, "user").join(vf, "item")
         .withColumn("err", col("rating") -
@@ -115,7 +118,8 @@ object SvdPP {
           .otherwise(col("bi")).as("bi"))
       // y_j gradient: Σ_{u: j∈N(u)} ninv_u · (Σ_i err_ui q_i) − reg·y_j
       val su = gu.join(nu, "user")
-        .select(col("user"), transform(col("gp"), v => v * col("ninv")).as("s"))
+        .select(col("user"),
+          graft.functions.VecMath.scale(col("gp"), col("ninv")).as("s"))
       val gy = r.join(su, "user").groupBy("item").agg(vecSum(col("s"), rank).as("gy"))
       val newYf = yf.join(gy, Seq("item"), "left").select(
         col("item"),

@@ -51,10 +51,26 @@ object GraftShims {
   def stopStateStoreMaintenance(): Unit =
     org.apache.spark.sql.execution.streaming.state.StateStore.stop()
 
+  /** Storage level for iterative-driver checkpoints — localCheckpoint's
+    * own default (MEMORY_AND_DISK, deserialized), kept after a measured
+    * A/B (r15): jstack showed deserialized caching paying
+    * `SizeEstimator` object-graph walks during unroll, but a full-suite
+    * roll with MEMORY_AND_DISK_SER was strictly worse — these
+    * checkpoints exist precisely BECAUSE they are re-read several times
+    * per superstep, and serialized blocks pay a per-row deserialization
+    * on every read (q135 per-query cpu 13.5→50.9 s, q44 42.7→96.4 s in
+    * the A/B roll; Java-serde of rank/dim-length array rows dwarfs the
+    * estimation walk it saved). SPARK_GRAFT_CKPT_LEVEL keeps the knob
+    * for measurement; values are storage-level-independent either way.
+    */
+  private lazy val ckptLevel: org.apache.spark.storage.StorageLevel =
+    org.apache.spark.storage.StorageLevel.fromString(
+      sys.env.getOrElse("SPARK_GRAFT_CKPT_LEVEL", "MEMORY_AND_DISK"))
+
   def freshCheckpoint(df: DataFrame): DataFrame = {
     val cdf = df.asInstanceOf[CDataset[Row]]
     val spark = cdf.sparkSession.asInstanceOf[CSparkSession]
-    val ck = cdf.localCheckpoint(true).asInstanceOf[CDataset[Row]]
+    val ck = cdf.localCheckpoint(true, ckptLevel).asInstanceOf[CDataset[Row]]
     // Debug hook (GRAFT_DEBUG_CKPT): the iterative drivers' heavy
     // aggregates execute INSIDE this materializing action, so their
     // executed-plan metrics are invisible to any walk of the caller's
